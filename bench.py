@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass at sf0.001 compiles the
+plan; the timed pass runs a count-collapsed action (write-free) so we
+measure scan+compute+shuffle, not driver materialization of result
+rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that define the engine's headline throughput. Keep this list
+# in sync with the big operator families: scan+agg, join, window,
+# streaming twin, dedup, similarity, text.
+HEADLINE: list[str] = [
+    "pricing_summary",
+    "filter_cast_project",
+    "json_extract",
+    "deterministic_row_key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from finance_etl_system_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = qs[name]
+        # warm-up at the smallest sf: JVM/codegen warm, plan compiled
+        fn(spark, "/root/testdata/sf0.001").count()
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

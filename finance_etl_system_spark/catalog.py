@@ -1,0 +1,167 @@
+"""Table catalog: explicit schemas + Parquet registry.
+
+The reference infers schema from Mongo sampling and then defensively
+re-checks columns at runtime (reference spark-job/etl_job.py:185,
+218-221). The new engine inverts that: every table has an explicit
+``StructType`` contract here, validated at load. ``infer`` mode remains
+available for ad-hoc ingest.
+
+Tables are the driver's synthetic star schema (TESTDATA.md) plus the
+engine's own domain tables (OHLCV raw/processed, watermarks, models)
+defined in pipeline modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver star-schema tables (FIXTURES.md §B). Identical across scale
+# factors; one parquet file per table under the sf dir.
+STAR_SCHEMA: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES = tuple(STAR_SCHEMA)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    validate: bool = False,
+) -> DataFrame:
+    """Scan one star-schema table from ``sf_dir``.
+
+    Parquet carries its own exact schema, so we read it directly (the
+    footer is authoritative and Catalyst prunes columns/row-groups from
+    it). ``validate=True`` additionally asserts the column contract —
+    the engine equivalent of the reference's runtime required-column
+    check (reference etl_job.py:218-221), but failing fast instead of
+    logging and limping on.
+    """
+    if name not in STAR_SCHEMA:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # The driver may hand us an arbitrary SparkSession; this conf is
+    # runtime-settable and required to scan the fixtures' NANOS
+    # timestamps (events.ts), so pin it here rather than only at
+    # session build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as ns-since-epoch.
+    # Truncate to microseconds exactly like DuckDB does so oracle
+    # comparisons agree.
+    for f in df.schema.fields:
+        expect = STAR_SCHEMA[name][f.name].dataType if f.name in STAR_SCHEMA[name].names else None
+        if isinstance(expect, T.TimestampType) and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000")))
+    if validate:
+        expected = [f.name for f in STAR_SCHEMA[name].fields]
+        missing = [c for c in expected if c not in df.columns]
+        if missing:
+            raise ValueError(f"table {name!r} missing columns {missing}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view for Spark SQL.
+
+    Mirrors the reference's Mongo logical view registration
+    (reference mongo-setup/mongo_init.py:112-137) — Spark's equivalent
+    is ``createOrReplaceTempView`` (SURVEY §1.1).
+    """
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,279 @@
+"""Relational core: scans, filters, projections, scalar functions.
+
+Covers SURVEY §2.1 (parquet scan w/ pushdown — the Spark-first
+re-expression of the reference's hand-built Mongo ``$match`` pushdown,
+reference spark-job/etl_job.py:180-184) and §2.2 (P1-P20: rlike /
+regexp_extract / to_date / when-otherwise / casts / concat_ws /
+date_format / isnan / json decode / case normalization).
+
+Scale notes: every query here is a single scan with Catalyst predicate
+pushdown + column pruning — no shuffle except the final aggregation or
+sort, which AQE sizes at runtime. At 100 TB these scans prune row
+groups on the pushed predicates; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary over lineitem.
+
+    filter -> groupBy -> multi-agg -> sort. Exercises scan+pushdown,
+    partial aggregation (map-side combine), and a tiny final sort.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defensive clean-and-prepare re-expression (P2-P5, P7, P11-P12).
+
+    The reference's clean step casts numerics to double, filters nulls,
+    and derives columns (reference etl_job.py:240-257). Same shape over
+    ``orders``: predicate pushdown carries both filters to the scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_totalprice") > 1000.0) & F.col("o_orderstatus").isNotNull()
+        )
+        .filter(F.col("o_orderpriority") != "3-MEDIUM")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").cast("long").alias("cust_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total_price"),
+            F.when(F.col("o_totalprice") >= 200000.0, F.lit("large"))
+            .otherwise(F.lit("small"))
+            .alias("size_class"),
+        )
+    )
+
+
+_FILTER_CAST_PROJECT_SQL = """
+SELECT
+  o_orderkey AS order_key,
+  CAST(o_custkey AS BIGINT) AS cust_key,
+  o_orderstatus AS status,
+  ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
+  CASE WHEN o_totalprice >= 200000.0 THEN 'large' ELSE 'small' END AS size_class
+FROM orders
+WHERE o_totalprice > 1000.0
+  AND o_orderstatus IS NOT NULL
+  AND o_orderpriority <> '3-MEDIUM'
+"""
+
+
+def q_regex_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex guard + extract + date functions (P1, P2, P9, P15).
+
+    Re-expresses the reference's messy-date salvage: rlike guard,
+    regexp_extract of the date, to_date parse, composite string key
+    (reference etl_job.py:224-231, 386-388). Star-schema twin over
+    ``orders``: derive a yyyy-MM-dd string, regex-extract parts, build
+    the ``<key>_<date>`` composite id the ES sink used.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return (
+        o.filter(date_str.rlike(r"^\d{4}-\d{2}-\d{2}$"))
+        .select(
+            "o_orderkey",
+            date_str.alias("order_date_str"),
+            F.regexp_extract(date_str, r"^(\d{4})-", 1).cast("int").alias("order_year"),
+            F.to_date(date_str, "yyyy-MM-dd").cast("string").alias("order_date"),
+            F.concat_ws(
+                "_", F.col("o_orderstatus"), date_str
+            ).alias("status_date_key"),
+            F.lower("o_orderpriority").alias("priority_lower"),
+            F.upper("o_orderstatus").alias("status_upper"),
+        )
+        .filter(F.col("order_year") >= 1996)
+    )
+
+
+_REGEX_DATE_PARSE_SQL = """
+WITH src AS (
+  SELECT *, strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+  FROM orders
+)
+SELECT
+  o_orderkey,
+  order_date_str,
+  CAST(regexp_extract(order_date_str, '^(\\d{4})-', 1) AS INT) AS order_year,
+  CAST(CAST(order_date_str AS DATE) AS VARCHAR) AS order_date,
+  o_orderstatus || '_' || order_date_str AS status_date_key,
+  lower(o_orderpriority) AS priority_lower,
+  upper(o_orderstatus) AS status_upper
+FROM src
+WHERE regexp_matches(order_date_str, '^\\d{4}-\\d{2}-\\d{2}$')
+  AND CAST(regexp_extract(order_date_str, '^(\\d{4})-', 1) AS INT) >= 1996
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode at the stream edge (P20).
+
+    The reference JSON-decodes every Kafka message in Python
+    (reference kafka-consumer/consumer.py:129). Spark-first: keep JSON
+    as a string column and extract fields JVM-side with
+    ``get_json_object`` — no Python in the hot path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+        .filter(F.col("prop_k") > 50)
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+"""
+
+
+def q_null_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN/null normalization + conditional math (P3, P10, P19).
+
+    Re-expresses the reference's NaN scrub before the ES sink
+    (reference etl_job.py:439-450) and the Mongo view's accuracy
+    expression ``100*(1-abs(pred-actual)/actual)``
+    (reference mongo-setup/mongo_init.py:118-136) over events values.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clean_value = F.when(F.isnan(F.col("value")), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(clean_value, 2).alias("clean_value"),
+        F.when(
+            clean_value.isNotNull() & (clean_value != 0),
+            F.round(100 * (1 - F.abs(clean_value - 50.0) / 50.0), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("proximity_pct"),
+    )
+
+
+_NULL_NAN_HANDLING_SQL = """
+SELECT
+  event_id,
+  user_id,
+  ROUND(CASE WHEN isnan(value) THEN NULL ELSE value END, 2) AS clean_value,
+  CASE
+    WHEN (CASE WHEN isnan(value) THEN NULL ELSE value END) IS NOT NULL
+         AND (CASE WHEN isnan(value) THEN NULL ELSE value END) <> 0
+    THEN ROUND(100 * (1 - abs((CASE WHEN isnan(value) THEN NULL ELSE value END) - 50.0) / 50.0), 6)
+    ELSE 0.0
+  END AS proximity_pct
+FROM events
+"""
+
+
+def q_deterministic_row_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate key (replaces the reference's uuid(), P8).
+
+    The reference stamps rows with nondeterministic ``expr("uuid()")``
+    (reference etl_job.py:257) — banned in oracle-checked paths
+    (SURVEY §7). The engine's key is ``sha2(concat_ws(...), 256)``:
+    deterministic, collision-safe, replay-stable.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sha2(
+            F.concat_ws(
+                "§",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            256,
+        ).alias("row_key"),
+    )
+
+
+_DETERMINISTIC_ROW_KEY_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  sha256(CAST(l_orderkey AS VARCHAR) || chr(167) || CAST(l_linenumber AS VARCHAR)) AS row_key
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_cast_project": q_filter_cast_project,
+    "regex_date_parse": q_regex_date_parse,
+    "json_extract": q_json_extract,
+    "null_nan_handling": q_null_nan_handling,
+    "deterministic_row_key": q_deterministic_row_key,
+}
+
+ORACLE = {
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "filter_cast_project": _FILTER_CAST_PROJECT_SQL,
+    "regex_date_parse": _REGEX_DATE_PARSE_SQL,
+    "json_extract": _JSON_EXTRACT_SQL,
+    "null_nan_handling": _NULL_NAN_HANDLING_SQL,
+    "deterministic_row_key": _DETERMINISTIC_ROW_KEY_SQL,
+}
