@@ -27,7 +27,11 @@ HEADLINE: list[str] = [
     "pricing_summary",
     "filter_cast_project",
     "json_extract",
-    "deterministic_row_key",
+    "join_big_big",
+    "join_broadcast_dims",
+    "join_asof",
+    "argmax_latest_per_group",
+    "rollup",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Join operators beyond plain ``df.join`` (SURVEY §2.3 J1-J9).
+
+The reference has zero DataFrame joins — its join-like semantics are
+Mongo key lookups (reference spark-job/etl_job.py:102) and pandas
+``shift`` alignment (reference ml-service/ml_pipeline.py:142). The new
+engine exposes the full join family; this module adds the two shapes
+Spark has no single primitive for: **as-of join** and a helper for
+**range joins** that keeps an equi-key so Catalyst doesn't fall back
+to a cartesian product.
+
+Scale notes: ``asof_join`` is the union+window formulation — ONE
+shuffle on (keys), no join explosion, state bounded per key. That is
+the 100 TB-safe plan; a ``merge_asof`` via ``applyInPandas`` would
+materialize each key group in pandas instead (kept as an alternative
+for exotic tolerance semantics, not the default).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    right_values: Sequence[str] = (),
+    *,
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    with ``right.on <= left.on`` (``<`` when ``strict``), per ``by`` keys.
+
+    Implemented as union + last-observation-carried-forward window:
+
+    1. tag sides, union aligned columns
+    2. per ``by`` key ordered by (on, side-priority), carry the last
+       non-null right value forward
+    3. keep only left rows
+
+    Matches DuckDB ``ASOF JOIN`` semantics (used as this operator's
+    oracle). Right rows are deduplicated to the last row per
+    (by, on) — ties on the timestamp resolve to the right row, like
+    ASOF's ``>=``.
+    """
+    by = list(by)
+    right_values = list(right_values) or [
+        c for c in right.columns if c != on and c not in by
+    ]
+
+    out_cols = [f"{c}{suffix}" for c in right_values]
+    # Deterministic right side: collapse duplicate (by, on) rows via
+    # per-column max (DuckDB ASOF picks an arbitrary one; we pin it).
+    r = (
+        right.select(
+            *by,
+            F.col(on).alias(on),
+            *[F.col(c).alias(oc) for c, oc in zip(right_values, out_cols)],
+        )
+        .groupBy(*by, on)
+        .agg(*[F.max(oc).alias(oc) for oc in out_cols])
+        .withColumn("__is_right", F.lit(1))
+    )
+    l = left.select(
+        *left.columns, F.lit(0).alias("__is_right")
+    )
+    for oc in out_cols:
+        l = l.withColumn(oc, F.lit(None).cast(r.schema[oc].dataType))
+    union_cols = by + [on] + out_cols + ["__is_right"]
+    extra_left_cols = [c for c in left.columns if c not in union_cols]
+    for c in extra_left_cols:
+        r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l.select(*union_cols, *extra_left_cols).unionByName(
+        r.select(*union_cols, *extra_left_cols)
+    )
+
+    # Right rows sort before left rows at equal `on` so a tie is
+    # visible to the left row (ASOF >=). With strict=True, left rows
+    # sort first, hiding the tie (ASOF >).
+    side_order = F.col("__is_right").desc() if not strict else F.col("__is_right").asc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *union_cols,
+        *extra_left_cols,
+        *[
+            F.last(oc, ignorenulls=True).over(w).alias(f"__filled_{oc}")
+            for oc in out_cols
+        ],
+    )
+    result = filled.filter(F.col("__is_right") == 0).select(
+        *by,
+        on,
+        *extra_left_cols,
+        *[F.col(f"__filled_{oc}").alias(oc) for oc in out_cols],
+    )
+    return result
+
+
+def range_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    equi: Sequence[tuple[str, str]],
+    range_cond: Column,
+    how: str = "inner",
+    *,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Theta/range join that keeps its equi-keys explicit.
+
+    A bare ``a.join(b, theta_cond)`` degenerates to
+    BroadcastNestedLoopJoin; passing the equi part separately lets
+    Catalyst hash-partition on it and apply the range predicate as a
+    post-filter. For a small dim, broadcast wins outright.
+    """
+    cond = None
+    for lc, rc in equi:
+        piece = fact[lc] == dim[rc]
+        cond = piece if cond is None else cond & piece
+    cond = range_cond if cond is None else cond & range_cond
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, cond, how)

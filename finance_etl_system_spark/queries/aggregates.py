@@ -1,0 +1,317 @@
+"""Aggregations, sorts/top-k, set operations (SURVEY §2.4, §2.6, §2.7).
+
+Reference semantics re-expressed:
+- grouped count (reference api/prediction_api.py:282-291 ``$group $sum``)
+- latest-per-group argmax (reference ml-service/ml_scheduler.py:142-149
+  ``$sort + $group $first`` — the canonical Spark window row_number)
+- distinct / count-distinct (reference ml_pipeline.py:374,
+  prediction_api.py:332)
+- avg/min/max summaries (reference prediction_api.py:322-342)
+- sort+limit top-N (reference prediction_api.py:236-250)
+- union+distinct of key sets (reference prediction_api.py:375)
+plus harness coverage the reference lacks: rollup, cube, having,
+intersect/except.
+
+Scale notes: all groupBys here get map-side partial aggregation from
+Catalyst automatically. Top-k uses orderBy+limit which Spark plans as
+TakeOrderedAndProject (per-partition heaps, no global sort). Argmax is
+a single window shuffle, not a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_group_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6/A7: multi-key group, full agg family, HAVING filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev("l_extendedprice"), 6).alias("std_price"),
+        )
+        .filter(F.col("n") > 100)
+    )
+
+
+_GROUP_AGG_HAVING_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  ROUND(SUM(l_quantity), 2) AS total_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(MIN(l_extendedprice), 2) AS min_price,
+  ROUND(MAX(l_extendedprice), 2) AS max_price,
+  ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 100
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A8: exact count-distinct per group.
+
+    (At 100 TB the default would be ``approx_count_distinct`` — HLL,
+    no exact-distinct shuffle; exact kept here because the oracle
+    hash-compares values.)
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS distinct_parts,
+  COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup with sentinel-filled subtotal rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        e.withColumn("day", day)
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT
+  COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+  COUNT(*) AS n,
+  ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def q_argmax_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W10/O4: latest order per customer — the Spark argmax.
+
+    Reference shape: ``$sort created_at desc + $group $first``
+    (reference ml_scheduler.py:142-149) and best-model
+    ``find_one(sort=[('r2_score',-1)])`` (reference
+    ml_pipeline.py:288-291). One window, deterministic tiebreak on the
+    unique key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+    )
+
+
+_ARGMAX_LATEST_PER_GROUP_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey AS latest_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+  ROUND(o_totalprice, 2) AS latest_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+"""
+
+
+def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class (window top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+_TOP_N_PER_GROUP_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+  ) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3
+"""
+
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global sort+limit — planned as TakeOrderedAndProject.
+
+    Reference shape: latest-N predictions
+    (reference prediction_api.py:236-250). Unique-key tiebreak keeps
+    the result deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderstatus"
+        )
+    )
+
+
+_GLOBAL_TOPK_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 + harness intersect/except over customer-key slices.
+
+    big spenders UNION auto-segment, INTERSECT with machinery-nation
+    keys, EXCEPT customers with open orders; tagged per-branch so one
+    result covers all three operators.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 400000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    union_d = big.union(auto).distinct()
+    inter = union_d.intersect(
+        c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    )
+    diff = inter.exceptAll(open_orders.distinct())
+    return diff.select("custkey").orderBy("custkey")
+
+
+_SET_OPS_SQL = """
+WITH big AS (
+  SELECT o_custkey AS custkey FROM orders
+  GROUP BY o_custkey HAVING SUM(o_totalprice) > 400000.0
+),
+auto AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+),
+pos AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+),
+open_orders AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT custkey FROM (
+  (SELECT custkey FROM big UNION SELECT custkey FROM auto)
+  INTERSECT
+  SELECT custkey FROM pos
+)
+EXCEPT ALL
+SELECT custkey FROM open_orders
+ORDER BY custkey
+"""
+
+
+QUERIES = {
+    "group_agg_having": q_group_agg_having,
+    "count_distinct": q_count_distinct,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "argmax_latest_per_group": q_argmax_latest_per_group,
+    "top_n_per_group": q_top_n_per_group,
+    "global_topk": q_global_topk,
+    "set_ops": q_set_ops,
+}
+
+ORACLE = {
+    "group_agg_having": _GROUP_AGG_HAVING_SQL,
+    "count_distinct": _COUNT_DISTINCT_SQL,
+    "rollup": _ROLLUP_SQL,
+    "cube": _CUBE_SQL,
+    "argmax_latest_per_group": _ARGMAX_LATEST_PER_GROUP_SQL,
+    "top_n_per_group": _TOP_N_PER_GROUP_SQL,
+    "global_topk": _GLOBAL_TOPK_SQL,
+    "set_ops": _SET_OPS_SQL,
+}

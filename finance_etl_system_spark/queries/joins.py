@@ -1,0 +1,317 @@
+"""Join family (SURVEY §2.3 J1-J9).
+
+The reference's join-like semantics are key lookups
+(reference spark-job/etl_job.py:102 find_one watermark;
+reference ml-service/ml_pipeline.py:260 model fetch) and symbol-set
+union (reference api/prediction_api.py:369-376). Harness coverage adds
+the full equi/outer/semi/anti/range/as-of family over the star schema.
+
+Scale notes: dimension joins (nation/region/supplier) are explicit
+``F.broadcast`` — at 100 TB the fact side streams, dims ship once per
+executor, zero shuffle. orders⋈lineitem is a genuine big-big join:
+both sides hash-partition on the key; AQE handles skew. The as-of join
+is union+window (one shuffle, no explosion) — see operators/joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.joins import asof_join, range_join
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5: fact ⋈ broadcast dims (customer -> nation -> region).
+
+    The Spark-first form of the reference's per-key dimension lookup
+    (reference etl_job.py:102): instead of N driver-side find_one
+    calls, one broadcast hash join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_JOIN_BROADCAST_DIMS_SQL = """
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  COUNT(*) AS customers,
+  ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: orders ⋈ lineitem — the genuine shuffle join.
+
+    Both sides hash-partition on l_orderkey/o_orderkey; Catalyst picks
+    SMJ or shuffled-hash, AQE splits skewed partitions at runtime.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_BIG_BIG_SQL = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS line_count,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 outer: every customer with order stats, null-preserving."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+_JOIN_LEFT_OUTER_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  COALESCE(n_orders, 0) AS n_orders,
+  COALESCE(spend, 0.0) AS spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+) po ON c_custkey = po.o_custkey
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full outer: symbol-set reconciliation, the Spark form of the
+    reference's symbols-with-models vs symbols-with-data merge
+    (reference prediction_api.py:369-376)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("c_custkey").isNotNull().alias("has_customer_row"),
+        )
+    )
+
+
+_JOIN_FULL_OUTER_SQL = """
+SELECT
+  COALESCE(c_custkey, o_custkey) AS custkey,
+  c_nationkey AS nationkey,
+  COALESCE(n_orders, 0) AS n_orders,
+  c_custkey IS NOT NULL AS has_customer_row
+FROM (SELECT c_custkey, c_nationkey FROM customer) c
+FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 semi: customers having at least one high-value order (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 anti: customers with no urgent high-value order (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000.0)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000.0
+)
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 theta/range: price-band classification of orders.
+
+    Equi part (none — the band table is tiny) + range predicate; the
+    band dim is broadcast so this is a broadcast nested-loop over 5
+    rows, not a cartesian blow-up.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 50000.0),
+            ("small", 50000.0, 125000.0),
+            ("medium", 125000.0, 250000.0),
+            ("large", 250000.0, 400000.0),
+            ("huge", 400000.0, 1e18),
+        ],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    joined = range_join(
+        o,
+        bands,
+        equi=[],
+        range_cond=(o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_JOIN_RANGE_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 125000.0),
+         ('medium', 125000.0, 250000.0), ('large', 250000.0, 400000.0),
+         ('huge', 400000.0, 1e18)
+)
+SELECT band, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as-of: each purchase matched to the user's most recent prior
+    (or simultaneous) signup/click value.
+
+    union+window LOCF formulation (operators/joins.py) — the
+    scale-safe as-of; oracle is DuckDB's native ASOF JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_values=["click_value"],
+        suffix="",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value", 2).alias("last_click_value"),
+    )
+
+
+_JOIN_ASOF_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT
+  p.user_id,
+  p.event_id,
+  ROUND(p.value, 2) AS purchase_value,
+  ROUND(c.click_value, 2) AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES = {
+    "join_broadcast_dims": q_join_broadcast_dims,
+    "join_big_big": q_join_big_big,
+    "join_left_outer": q_join_left_outer,
+    "join_full_outer": q_join_full_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_range": q_join_range,
+    "join_asof": q_join_asof,
+}
+
+ORACLE = {
+    "join_broadcast_dims": _JOIN_BROADCAST_DIMS_SQL,
+    "join_big_big": _JOIN_BIG_BIG_SQL,
+    "join_left_outer": _JOIN_LEFT_OUTER_SQL,
+    "join_full_outer": _JOIN_FULL_OUTER_SQL,
+    "join_semi": _JOIN_SEMI_SQL,
+    "join_anti": _JOIN_ANTI_SQL,
+    "join_range": _JOIN_RANGE_SQL,
+    "join_asof": _JOIN_ASOF_SQL,
+}
