@@ -32,6 +32,8 @@ HEADLINE: list[str] = [
     "join_asof",
     "argmax_latest_per_group",
     "rollup",
+    "technical_indicators",
+    "window_range_frame",
 ]
 
 
