@@ -1,0 +1,136 @@
+"""Streaming ingest: the reference's Kafka->consumer->Mongo path
+(SURVEY §3.2) as Structured Streaming.
+
+Reference behavior being re-expressed:
+- JSON decode per message (reference kafka-consumer/consumer.py:129)
+  -> ``from_json`` on the value column, JVM-side
+- ``consumed_at`` UTC enrichment (consumer.py:135)
+  -> ``current_timestamp()``
+- micro-batch flush at 500 msgs / 10 s (consumer.py:35-36,113-146)
+  -> trigger(processingTime) + foreachBatch
+- manual offset commit after flush = at-least-once (consumer.py:67,145)
+  -> checkpointed offsets + idempotent sink = effectively-once
+- per-ticker grouping before insert (consumer.py:139)
+  -> partitionBy(symbol) on the sink
+
+The Kafka wire format is reproduced exactly (key=ticker, value=JSON of
+the crawler record, reference crawler/crawler.py:99-133) so a real
+``readStream.format("kafka")`` drops in by swapping the source; tests
+use the file source with the same (key, value) shape.
+
+Scale notes: the only stateful operator is the optional windowed agg
+(watermark-bounded state). The sink is append-only parquet partitioned
+by symbol; exactly-once comes from checkpoint + deterministic row keys
++ dedup-on-read or periodic compaction, not from a driver-side set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# crawler record shape (reference crawler/crawler.py:99-108)
+KAFKA_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+
+def parse_kafka_records(df: DataFrame) -> DataFrame:
+    """(key, value) JSON records -> typed rows + consumed_at.
+
+    Works on both streaming and batch frames (the batch twin is used
+    in tests and by the DuckDB oracle path).
+    """
+    return (
+        df.select(
+            F.col("key").cast("string").alias("kafka_key"),
+            F.from_json(F.col("value").cast("string"), KAFKA_VALUE_SCHEMA).alias("r"),
+        )
+        .select("kafka_key", "r.*")
+        .withColumn("consumed_at", F.current_timestamp())
+        .withColumn("event_time", F.to_timestamp("timestamp"))
+    )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """File-source stand-in for the Kafka topic: each JSON line is one
+    message with ``key``/``value`` fields. Returns the started query.
+
+    foreachBatch writes symbol-partitioned parquet with per-batch
+    dedup on (symbol, date) — idempotent under replay because the
+    checkpoint pins source offsets to batch ids.
+    """
+    raw = (
+        spark.readStream.schema("key STRING, value STRING")
+        .json(source_dir)
+    )
+    parsed = parse_kafka_records(raw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("symbol", F.upper("ticker"))
+            .dropDuplicates(["symbol", "date"])
+            .write.mode("append")
+            .partitionBy("symbol")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def windowed_stream_agg(
+    parsed: DataFrame,
+    *,
+    window: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """T4/T6: late-data-aware tumbling aggregate per symbol.
+
+    The reference has no late-data handling (SURVEY §2.8 T4) — its ES
+    upsert just rewrites. Here: event-time watermark bounds state;
+    late rows beyond the delay are dropped deterministically.
+    """
+    return (
+        parsed.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.window("event_time", window).alias("win"),
+            F.upper("ticker").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("close"), 6).alias("avg_close"),
+            F.round(F.sum("volume").cast("double"), 2).alias("total_volume"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "symbol",
+            "n_rows",
+            "avg_close",
+            "total_volume",
+        )
+    )
