@@ -1,0 +1,310 @@
+"""Deduplication operators (SURVEY §2.10 X1): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Design for 100 TB (the whole point of these operators):
+- exact: one groupBy on a 256-bit content hash — uniform shuffle keys.
+- n-gram Jaccard: inverted-index self-join on shingles. Quadratic in
+  the worst case — kept for oracle-checkable ground truth and small
+  candidate sets; the scale path is MinHash below.
+- MinHash+LSH: per-doc signature (k permutations) computed in ONE
+  explode+groupBy pass; banding turns the all-pairs problem into a
+  bucket join (only docs sharing a band hash ever meet). Candidate
+  pairs then verified with exact Jaccard. No crossJoin anywhere.
+- SimHash: 64-bit signature via a vectorized pandas UDF (bit-vote loop
+  is numpy, Arrow-batched); near-dups = signatures within Hamming
+  distance d, found by pigeonhole banding (d+1 bands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalized, tokens
+
+# MinHash modulus: 31-bit Mersenne prime keeps a*h+b within int64
+# under ANSI overflow checking (a, h < 2^31 → a*h < 2^62).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id doc per identical normalized content."""
+    hashed = df.withColumn("_fp", F.sha2(normalized(F.col(text_col)), 256))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct) from normalized text."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # slide a window over the token array: tokens[i : i+n] joined by ' '
+    idx = F.sequence(F.lit(0), F.greatest(F.array_size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets, via an
+    inverted-index self-join (docs only meet on shared shingles)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("id", F.array_size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of
+    (a_i * h(shingle) + b_i) mod p, for each permutation i.
+
+    One explode + one groupBy — signature state is num_perm longs per
+    doc. h() is xxhash64 (JVM-side); the permutation mins are computed
+    as num_perm aggregate expressions, no Python in the path.
+    """
+    a, b = _perm_params(num_perm, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    sh = sh.withColumn("h", h)
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: float = 0.0,
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> candidate pairs ->
+    verified with estimated Jaccard (fraction of matching perms).
+
+    rows_per_band = num_perm // bands; two docs collide iff some band's
+    signature slice matches exactly. The candidate join is on
+    (band_id, band_hash) — never all-pairs.
+    """
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
+    )
+    band_rows = sig.select(
+        "id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
+    ).select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"sig")[bi * rpb + j].cast("string")
+                                    for j in range(rpb)
+                                ],
+                            ),
+                            256,
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bandrec"),
+    ).select("id", "sig", F.col("bandrec.band").alias("band"), F.col("bandrec.bh").alias("bh"))
+
+    cands = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_perm),
+        6,
+    )
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(tok_arrays: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per-token xxhash-free numpy hashing
+    (stable blake2-derived 64-bit ints), bit votes weighted by token
+    frequency. Arrow-batched — no per-row Python overhead beyond the
+    token loop, which is bounded by document length."""
+    import hashlib
+
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+    out = np.empty(len(tok_arrays), dtype=np.int64)
+    for i, toks in enumerate(tok_arrays):
+        votes = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+        if toks is not None and len(toks):
+            vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            for tok, cnt in zip(vals, counts):
+                hv = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(str(tok).encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                )
+                bits = (hv >> shifts) & np.uint64(1)
+                votes += int(cnt) * (2 * bits.astype(np.int64) - 1)
+        bits = (votes > 0).astype(np.uint64)
+        total = int(bits.dot(weights))
+        out[i] = total - (1 << 64) if total >= (1 << 63) else total
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash_udf(tokens(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into (max_hamming + 1) bands; any
+    pair within distance d agrees exactly on ≥1 band → candidate join
+    on (band, band_bits), then exact popcount verify. No all-pairs.
+    """
+    nbands = max_hamming + 1
+    width = _SIMHASH_BITS // nbands
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for bi in range(nbands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bits"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

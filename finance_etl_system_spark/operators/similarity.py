@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (SURVEY §2.10 X2).
+
+Three tiers, as a real 100 TB pipeline would deploy them:
+- ``cosine_topk_bruteforce``: exact. The query set is broadcast (it is
+  small by construction); the corpus streams — one scan, no shuffle of
+  the corpus, per-partition heaps via window top-k. The JVM computes
+  the dot products (``zip_with``/``aggregate``), no Python.
+- ``cosine_topk_lsh``: random-hyperplane signatures; candidates only
+  meet on matching signature bands, then exact rerank. Sub-linear
+  candidate volume, tunable recall.
+- ``cosine_topk_ivf``: inverted-file — corpus pre-bucketed by coarse
+  centroid (here: per-label mean, standing in for k-means), queries
+  probe the ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Scale shape: broadcast(queries) ⋈ corpus is a map-side nested loop
+    over a small broadcast side — the corpus is scanned once, never
+    shuffled; the final top-k window shuffles only (n_queries × corpus
+    partition heads). Cosine is rounded BEFORE ranking so ordering is
+    deterministic across engines/plans.
+    """
+    q = queries.select(
+        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            round_dp,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "cosine")
+    )
+
+
+def _planes(nbits: int, dim: int, seed: int = 7) -> np.ndarray:
+    return np.random.RandomState(seed).randn(nbits, dim)
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Random-hyperplane signature: bit i = sign(v · plane_i) — as an
+    array of nbits ints, computed JVM-side from literal plane arrays."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(_dot(vec_col, plane) >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band, then
+    exact cosine rerank. Recall rises with bands; cost falls with
+    rows-per-band."""
+    assert nbits % bands == 0
+    rpb = nbits // bands
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(nbits, dim, seed)
+
+    def with_bands(df, id_alias):
+        v = _as_double(F.col(vec_col))
+        sig = signature_col(v, planes)
+        rows = df.select(
+            F.col(id_alias[0]).alias(id_alias[1]),
+            v.alias(f"{id_alias[1]}_v"),
+            sig.alias("sig"),
+        )
+        return rows.select(
+            id_alias[1],
+            f"{id_alias[1]}_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.col("sig")[bi * rpb + j].cast("string")
+                                    for j in range(rpb)
+                                ],
+                            ).alias("sigb"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            id_alias[1],
+            f"{id_alias[1]}_v",
+            F.col("b.band").alias("band"),
+            F.col("b.sigb").alias("sigb"),
+        )
+
+    qb = with_bands(queries, (query_id, "qid"))
+    cb = with_bands(corpus, (corpus_id, "cid"))
+    cands = (
+        cb.join(F.broadcast(qb), ["band", "sigb"])
+        .dropDuplicates(["qid", "cid"])
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot(F.col("qid_v"), F.col("cid_v"))
+                / (_norm(F.col("qid_v")) * _norm(F.col("cid_v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "cosine")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: coarse-quantize the corpus (here by ``cluster_col``, the
+    stand-in for a k-means assignment), compute per-cluster centroids,
+    route each query to its ``nprobe`` nearest centroids, and search
+    only those buckets. The bucket routing join is a broadcast of
+    (query × centroid) distances — tiny; the corpus is scanned with a
+    cluster-membership semi-filter, which at scale is a partition-
+    pruned read when the table is partitioned by cluster."""
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(cluster_col).alias("cluster"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    centroids = (
+        c.select("cluster", F.posexplode("cv").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid",
+            "qv",
+            "cluster",
+            (
+                _dot(F.col("qv"), F.col("centroid"))
+                / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+            ).alias("c_cos"),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("c_cos").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("crnk") <= nprobe)
+        .select("qid", "qv", "cluster")
+    )
+    scored = c.join(F.broadcast(routed), "cluster").select(
+        "qid",
+        "cid",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "cosine")
+    )

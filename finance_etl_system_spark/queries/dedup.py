@@ -1,0 +1,107 @@
+"""Deduplication queries over ``documents`` (SURVEY §2.10 X1).
+
+Exact + n-gram Jaccard are oracle-checked; MinHash-LSH and SimHash are
+the scale paths (probabilistic signatures are engine-specific →
+rows-only driver check, accuracy pinned by tests/test_dedup.py against
+exact Jaccard ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact: survivors of content-hash dedup (lowest doc_id wins)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id
+  ) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 fuzzy ground truth: word-3-gram Jaccard pairs ≥ 0.2, via
+    inverted-index self-join (no crossJoin)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2).orderBy("id_a", "id_b")
+
+
+_DEDUP_NGRAM_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+           )
+         ) AS shset
+  FROM tok
+),
+sizes AS (SELECT id, len(shset) AS n_sh FROM sh),
+inv AS (SELECT id, unnest(shset) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 scale path: MinHash(32 perms, 3-gram shingles) + 8-band LSH
+    candidate pairs with estimated Jaccard. Probabilistic → rows-only
+    driver check; accuracy asserted in tests against exact Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n=3, num_perm=32, bands=8).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 scale path #2: 64-bit SimHash near-dup pairs within Hamming
+    distance 3 (pigeonhole banding). Rows-only driver check."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
+}

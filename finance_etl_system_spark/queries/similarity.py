@@ -1,0 +1,92 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY §2.10 X2).
+
+Brute-force cosine top-k is oracle-checked against DuckDB's
+``list_cosine_similarity`` (both sides in double precision, cosine
+rounded before ranking so the top-k selection is deterministic).
+LSH and IVF variants are approximate → rows-only driver check, recall
+pinned against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+
+_N_QUERIES = 5
+_K = 10
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact: cosine top-10 of the first 5 vectors vs the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        _queries_df(spark, sf_dir), e, k=_K
+    ).orderBy("qid", "rnk")
+
+
+_KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT qid, cid,
+         ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, cid ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, cid, cosine
+FROM ranked WHERE rnk <= {_K}
+ORDER BY qid, rnk
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: random-hyperplane LSH candidates + exact rerank.
+    Approximate → rows-only; recall vs brute force pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        _queries_df(spark, sf_dir), e, k=_K, nbits=16, bands=4
+    ).orderBy("qid", "rnk")
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2: IVF coarse routing (label-bucketed corpus,
+    per-bucket centroids, nprobe=2). Rows-only driver check."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        _queries_df(spark, sf_dir), e, k=_K, nprobe=2
+    ).orderBy("qid", "rnk")
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+}
+
+ORACLE = {
+    "knn_bruteforce": _KNN_BRUTEFORCE_SQL,
+}

@@ -1,0 +1,164 @@
+"""Text-analysis queries over ``documents`` (SURVEY §2.10 X4).
+
+Language ID, quality scoring, token counting, and fingerprinting — the
+text half of a training-data pipeline, all JVM-side and oracle-checked
+against DuckDB string/regex functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    lang_id,
+    normalized,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe_ish,
+    word_count,
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/word/BPE-ish token counts + punctuation and stopword
+    ratios, per document."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(t).alias("char_count"),
+        word_count(t).alias("word_count"),
+        token_count_bpe_ish(t).alias("token_count"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+tok AS (
+  SELECT *, string_split(ntext, ' ') AS toks FROM norm
+)
+SELECT
+  doc_id,
+  lang,
+  length(text) AS char_count,
+  len(toks) AS word_count,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token_count,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  ROUND(CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_EN!r}, x))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS stopword_ratio
+FROM tok
+"""
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + marker-lexicon language ID."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(t), 6).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
+def _lang_case_sql() -> str:
+    # replicate lang_id's fixed iteration order and strict-> argmax
+    hits_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        hits_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({markers!r}, x))) AS hits_{lang}"
+        )
+    hits_sql = ",\n    ".join(hits_exprs)
+    # fold in declaration order: later lang wins only on strictly more hits
+    fold = "'und'"
+    best = "0"
+    for lang in LANG_MARKERS:
+        fold = f"CASE WHEN hits_{lang} > {best} THEN '{lang}' ELSE {fold} END"
+        best = f"greatest(hits_{lang}, {best})"
+    return hits_sql, fold
+
+
+_HITS_SQL, _LANG_FOLD = _lang_case_sql()
+
+_TEXT_QUALITY_LANG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, text, toks,
+    {_HITS_SQL}
+  FROM tok
+),
+scored AS (
+  SELECT *,
+    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+    CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_r
+  FROM hits
+)
+SELECT
+  doc_id,
+  lang,
+  ROUND((
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END)
+    + (CASE WHEN punct_r < 0.1 THEN 1.0 ELSE 0.5 END)
+    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.5 END)
+  ) / 3.0, 6) AS quality_score,
+  {_LANG_FOLD} AS lang_pred
+FROM scored
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2-256 content fingerprint of the normalized text + dup count
+    per fingerprint (exact-dedup prep)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        fp.join(counts, "fingerprint")
+        .select("doc_id", "fingerprint", "n_docs")
+    )
+
+
+_TEXT_FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT f.doc_id, f.fingerprint, c.n_docs
+FROM fp f
+JOIN (SELECT fingerprint, COUNT(*) AS n_docs FROM fp GROUP BY fingerprint) c
+  ON f.fingerprint = c.fingerprint
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality_lang": q_text_quality_lang,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,88 @@
+"""Dedup operator accuracy tests (SURVEY §2.10 X1).
+
+Synthetic corpus with planted exact and near duplicates; MinHash-LSH
+and SimHash are validated against exact n-gram Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from finance_etl_system_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+VOCAB = (
+    "spark batch window join filter scan table row column value hash merge "
+    "sort stream data query fast slow small big the a part key agg line"
+).split()
+
+
+def _corpus():
+    rng = random.Random(13)
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(120))))
+    # exact duplicates (ids 100, 101) of doc 0
+    docs.append((100, docs[0][1]))
+    docs.append((101, "  " + docs[0][1].upper() + " "))  # normalizes equal
+    # near duplicate of doc 1: flip a few tokens
+    toks = docs[1][1].split()
+    for j in (5, 40, 80):
+        toks[j] = "changed"
+    docs.append((200, " ".join(toks)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_corpus(), "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs_df):
+    kept = exact_dedup(docs_df)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 100 not in ids and 101 not in ids
+    assert 200 in ids  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, n=3, threshold=0.5).collect()
+    }
+    assert (1, 200) in pairs
+    assert pairs[(1, 200)] > 0.8  # 3 token flips in 120 tokens
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+
+
+def test_minhash_lsh_recall_and_estimate(spark, docs_df):
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, n=3, threshold=0.7).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs_df, n=3, num_perm=32, bands=8).collect()
+    }
+    # every high-similarity true pair must be found (LSH recall @ 0.7+)
+    for pair, j in truth.items():
+        assert pair in est, f"missed true near-dup {pair} (jaccard={j})"
+        assert est[pair] == pytest.approx(j, abs=0.25)
+
+
+def test_simhash_identical_and_near(spark, docs_df):
+    sig = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert sig[0] == sig[100] == sig[101]  # normalized-identical docs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs_df, max_hamming=8).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 0
+    assert (1, 200) in pairs  # 3 flipped tokens → few bits differ
