@@ -1,0 +1,190 @@
+"""ML tier (SURVEY §2.9): chronological split, standardization,
+per-group model training, metrics, registry, monitoring rules.
+
+The reference trains sklearn models per symbol in a driver loop
+(reference ml-service/ml_pipeline.py:154-208) with
+TimeSeriesSplit + StandardScaler + RF/LightGBM/LinearRegression and
+stores models + metadata in GridFS/Mongo
+(ml_pipeline.py:223-244). Spark-first re-expression:
+
+- the *structure* (per-key many small models) maps to ONE
+  ``applyInPandas`` job — each key group trains in a worker, models
+  distribute horizontally (idiomatic for millions of small models;
+  SURVEY §2.9 M6);
+- closed-form OLS is ALSO provided as pure aggregates (covariance
+  algebra over integer ticks) — deterministic, oracle-checkable, and
+  at 100 TB it is a single map-side-combinable aggregation with no
+  Python at all;
+- the registry is a small parquet table; "best model per symbol" is
+  the argmax window (reference ml_pipeline.py:288-291);
+- monitoring thresholds (reference ml_scheduler.py:152-218) are
+  ``when()`` rule columns.
+
+sklearn is not available in this environment; the trainer uses
+numpy ``lstsq`` (identical math for LinearRegression) and records the
+model family it emulates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def chronological_split(
+    df: DataFrame,
+    *,
+    group_col: str = "symbol",
+    time_col: str = "trading_date",
+    train_frac: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """M4: last-fold time split via percent_rank — no shuffle beyond
+    the one window partitioning (reference ml_pipeline.py:170-174)."""
+    w = Window.partitionBy(group_col).orderBy(time_col)
+    return df.withColumn(
+        split_col,
+        F.when(F.percent_rank().over(w) < train_frac, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    group_col: str = "symbol",
+    suffix: str = "_z",
+) -> DataFrame:
+    """M5: per-group z-score (StandardScaler.fit_transform per key,
+    reference ml_pipeline.py:176-179) as window aggregates."""
+    w = Window.partitionBy(group_col)
+    out = df
+    for c in cols:
+        mu = F.avg(c).over(w)
+        sd = F.stddev(c).over(w)
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(sd > 0, (F.col(c) - mu) / sd).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+_OLS_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("model_name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("coefficients", T.ArrayType(T.DoubleType())),
+        T.StructField("intercept", T.DoubleType()),
+        T.StructField("r2", T.DoubleType()),
+        T.StructField("mse", T.DoubleType()),
+    ]
+)
+
+
+def train_ols_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    min_rows: int = 20,
+) -> DataFrame:
+    """M6: per-group multi-feature OLS via Arrow-batched applyInPandas.
+
+    Each group's frame fits in one worker (bounded per-key state);
+    numpy ``lstsq`` is the same math as sklearn LinearRegression.
+    Groups below ``min_rows`` are skipped (reference floor of 252
+    points, ml_pipeline.py:56-58, scaled down for fixtures).
+    """
+    fcols = list(feature_cols)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col])
+        n = len(pdf)
+        key = str(pdf[group_col].iloc[0]) if n else ""
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _OLS_SCHEMA.fields])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols] + [np.ones(n)])
+        y = pdf[target_col].to_numpy(float)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": ["linear_regression"],
+                "n_rows": [n],
+                "coefficients": [[float(b) for b in beta[:-1]]],
+                "intercept": [float(beta[-1])],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_OLS_SCHEMA)
+
+
+def score_ols(
+    df: DataFrame,
+    models: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """M8 batch scoring: join the (small) model table broadcast, apply
+    coefficients as column arithmetic — no Python, no model object."""
+    m = models.select(
+        F.col("group_key").alias(group_col), "coefficients", "intercept"
+    )
+    scored = df.join(F.broadcast(m), group_col, "inner")
+    expr = F.col("intercept")
+    for i, c in enumerate(feature_cols):
+        expr = expr + F.col("coefficients")[i] * F.col(c)
+    return scored.withColumn(prediction_col, expr).drop("coefficients", "intercept")
+
+
+def save_model_registry(models: DataFrame, path: str) -> None:
+    """M9: registry as parquet keyed by (group, model); overwrite =
+    the reference's update_one(upsert=True) (ml_pipeline.py:240-244)."""
+    models.withColumn("created_at", F.current_timestamp()).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def best_model_per_group(models: DataFrame) -> DataFrame:
+    """M8/W10: argmax by r2 per group (reference ml_pipeline.py:288-291)."""
+    w = Window.partitionBy("group_key").orderBy(
+        F.col("r2").desc(), F.col("model_name").asc()
+    )
+    return models.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+
+
+def monitoring_rules(
+    models: DataFrame,
+    *,
+    low_r2: float = 0.1,
+    high_mse: float | None = None,
+) -> DataFrame:
+    """M10: threshold alert columns (reference ml_scheduler.py:152-218
+    val_r2<0.1 → low-accuracy alert), as pure ``when()`` rules."""
+    out = models.withColumn(
+        "alert_low_r2", (F.col("r2") < low_r2).cast("boolean")
+    ).withColumn(
+        "alert_insufficient_data", (F.col("n_rows") < 60).cast("boolean")
+    )
+    if high_mse is not None:
+        out = out.withColumn("alert_high_mse", F.col("mse") > high_mse)
+    return out.withColumn(
+        "needs_attention",
+        F.col("alert_low_r2") | F.col("alert_insufficient_data"),
+    )

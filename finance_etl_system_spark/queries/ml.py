@@ -1,0 +1,232 @@
+"""ML-tier queries over ``events`` (SURVEY §2.9).
+
+The per-user value series stands in for the per-symbol close series.
+Chronological split, standardization, and closed-form OLS + monitoring
+are oracle-checked (the OLS uses exact integer-tick covariance algebra
+so both engines produce bit-identical doubles); the applyInPandas
+multi-feature trainer is rows-only (validated against the closed form
+in tests/test_ml.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..pipeline.ml import chronological_split, train_ols_per_group
+
+_TRAIN_FRAC = 0.8
+
+
+def q_ml_chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: per-user chronological 80/20 split — row counts per side."""
+    e = load_table(spark, sf_dir, "events")
+    split = chronological_split(
+        e, group_col="user_id", time_col="ts", train_frac=_TRAIN_FRAC
+    )
+    return split.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0, 2).alias(
+            "value_sum"
+        ),
+    )
+
+
+_ML_CHRONO_SPLIT_SQL = f"""
+WITH ranked AS (
+  SELECT *,
+    PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS pr
+  FROM events
+)
+SELECT
+  user_id,
+  CASE WHEN pr < {_TRAIN_FRAC} THEN 'train' ELSE 'test' END AS split,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS value_sum
+FROM ranked
+GROUP BY user_id, CASE WHEN pr < {_TRAIN_FRAC} THEN 'train' ELSE 'test' END
+"""
+
+
+def q_ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: per-user z-score of value — integer-tick moments so both
+    engines compute identical doubles (no float accumulation drift)."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id")
+    df = e.withColumn("_t", t)
+    s = F.sum("_t").over(w).cast("double")
+    sq = F.sum(F.col("_t") * F.col("_t")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mu = s / n
+    var = (sq - s * s / n) / (n - 1)
+    sd = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0))
+    return df.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.when(sd > 0, (F.col("_t") - mu) / sd).otherwise(F.lit(0.0)), 6
+        ).alias("value_z"),
+    )
+
+
+_ML_STANDARDIZE_SQL = """
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS tv
+  FROM events
+),
+m AS (
+  SELECT *,
+    CAST(SUM(tv) OVER w AS DOUBLE) AS s,
+    CAST(SUM(tv * tv) OVER w AS DOUBLE) AS sq,
+    COUNT(*) OVER w AS n
+  FROM t
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT
+  event_id,
+  user_id,
+  ROUND(
+    CASE WHEN n > 1 AND sqrt(greatest((sq - s * s / n) / (n - 1), 0.0)) > 0
+         THEN (tv - s / n) / sqrt(greatest((sq - s * s / n) / (n - 1), 0.0))
+         ELSE 0.0 END, 6) AS value_z
+FROM m
+"""
+
+
+def q_ml_linreg_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7/M10: closed-form per-user OLS (value ~ prev value) with
+    R², plus monitoring alert flags — exact integer covariance algebra,
+    bit-identical across engines.
+
+    The Spark side is pure aggregates (map-side combinable — at 100 TB
+    this is ONE pass, no Python); slope/intercept/r2 come from
+    (n·Σxy − ΣxΣy) / (n·Σxx − Σx²) on tick-scaled longs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    pairs = (
+        e.withColumn("_y", t)
+        .withColumn("_x", F.lag(t.alias("t"), 1).over(w))
+        .filter(F.col("_x").isNotNull())
+    )
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(den_x != 0, num / den_x).otherwise(F.lit(0.0))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / 100.0
+    r2 = F.when(
+        (den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y)
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        "user_id",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+    return out.select(
+        "*",
+        (F.col("r2") < 0.1).alias("alert_low_r2"),
+        (F.col("n") < 30).alias("alert_insufficient_data"),
+    )
+
+
+_ML_LINREG_MONITORING_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+         LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+),
+p AS (SELECT * FROM t WHERE x IS NOT NULL),
+agg AS (
+  SELECT user_id,
+    COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM p GROUP BY user_id
+),
+calc AS (
+  SELECT user_id, n,
+    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+    CAST(n * syy - sy * sy AS DOUBLE) AS den_y,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM agg
+),
+res AS (
+  SELECT user_id, n,
+    CASE WHEN den_x <> 0 THEN num / den_x ELSE 0.0 END AS slope,
+    (syd - (CASE WHEN den_x <> 0 THEN num / den_x ELSE 0.0 END) * sxd) / n / 100.0 AS intercept,
+    CASE WHEN den_x <> 0 AND den_y <> 0 THEN (num * num) / (den_x * den_y) ELSE 0.0 END AS r2
+  FROM calc
+)
+SELECT
+  user_id, n,
+  ROUND(slope, 6) AS slope,
+  ROUND(intercept, 6) AS intercept,
+  ROUND(r2, 6) AS r2,
+  r2 < 0.1 AS alert_low_r2,
+  n < 30 AS alert_insufficient_data
+FROM res
+"""
+
+
+def q_ml_train_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 scale path: multi-feature OLS per user via applyInPandas
+    (numpy lstsq). Rows-only driver check; parity with the closed form
+    asserted in tests."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn(
+            "sma5", F.avg("value").over(w.rowsBetween(-4, 0))
+        )
+    )
+    models = train_ols_per_group(
+        feats,
+        group_col="user_id",
+        feature_cols=["lag1", "lag2", "sma5"],
+        target_col="value",
+        min_rows=20,
+    )
+    return models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.round("mse", 6).alias("mse"),
+        F.round(F.col("coefficients")[0], 6).alias("coef_lag1"),
+        F.round(F.col("coefficients")[1], 6).alias("coef_lag2"),
+        F.round(F.col("coefficients")[2], 6).alias("coef_sma5"),
+    ).orderBy("group_key")
+
+
+QUERIES = {
+    "ml_chrono_split": q_ml_chrono_split,
+    "ml_standardize": q_ml_standardize,
+    "ml_linreg_monitoring": q_ml_linreg_monitoring,
+    "ml_train_ols_pandas": q_ml_train_ols_pandas,
+}
+
+ORACLE = {
+    "ml_chrono_split": _ML_CHRONO_SPLIT_SQL,
+    "ml_standardize": _ML_STANDARDIZE_SQL,
+    "ml_linreg_monitoring": _ML_LINREG_MONITORING_SQL,
+}

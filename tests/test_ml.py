@@ -1,0 +1,122 @@
+"""ML-tier tests (SURVEY §2.9): applyInPandas OLS vs closed form,
+scoring, registry, monitoring."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.pipeline.ml import (
+    best_model_per_group,
+    chronological_split,
+    monitoring_rules,
+    save_model_registry,
+    score_ols,
+    standardize,
+    train_ols_per_group,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.withColumn("lag1", F.lag("value", 1).over(w))
+
+
+def test_chrono_split_fractions(spark, series):
+    split = chronological_split(series, group_col="user_id", time_col="ts")
+    counts = (
+        split.groupBy("user_id")
+        .pivot("split", ["train", "test"])
+        .count()
+        .na.fill(0)
+        .collect()
+    )
+    for r in counts:
+        total = r["train"] + r["test"]
+        if total >= 5:
+            assert r["train"] / total >= 0.6  # ~80% train
+
+
+def test_standardize_moments(spark, series):
+    z = standardize(series, ["value"], group_col="user_id")
+    stats = (
+        z.groupBy("user_id")
+        .agg(F.avg("value_z").alias("mu"), F.stddev("value_z").alias("sd"),
+             F.count(F.lit(1)).alias("n"))
+        .filter("n > 3")
+        .collect()
+    )
+    for r in stats:
+        assert abs(r["mu"]) < 1e-9
+        assert abs(r["sd"] - 1.0) < 1e-6
+
+
+def test_ols_trainer_matches_closed_form(spark, series):
+    """Single-feature applyInPandas OLS must equal the covariance
+    formula (same math sklearn LinearRegression uses)."""
+    models = {
+        r["group_key"]: r
+        for r in train_ols_per_group(
+            series, group_col="user_id", feature_cols=["lag1"],
+            target_col="value", min_rows=5,
+        ).collect()
+    }
+    closed = (
+        series.dropna(subset=["lag1"])
+        .groupBy("user_id")
+        .agg(
+            F.covar_pop("lag1", "value").alias("cov"),
+            F.var_pop("lag1").alias("var"),
+            F.avg("value").alias("my"),
+            F.avg("lag1").alias("mx"),
+        )
+        .collect()
+    )
+    for r in closed:
+        key = str(r["user_id"])
+        if key in models and r["var"] and r["var"] > 0:
+            slope = r["cov"] / r["var"]
+            assert models[key]["coefficients"][0] == pytest.approx(slope, rel=1e-6)
+            assert models[key]["intercept"] == pytest.approx(
+                r["my"] - slope * r["mx"], rel=1e-6
+            )
+
+
+def test_scoring_and_registry_roundtrip(spark, series, tmp_path):
+    models = train_ols_per_group(
+        series, group_col="user_id", feature_cols=["lag1"],
+        target_col="value", min_rows=5,
+    )
+    path = str(tmp_path / "registry")
+    save_model_registry(models, path)
+    loaded = spark.read.parquet(path)
+    assert loaded.count() == models.count()
+    assert "created_at" in loaded.columns
+
+    best = best_model_per_group(loaded)
+    assert best.groupBy("group_key").count().filter("count > 1").count() == 0
+
+    scored = score_ols(
+        series.dropna(subset=["lag1"]), loaded,
+        group_col="user_id", feature_cols=["lag1"],
+    )
+    row = scored.select("prediction").first()
+    assert row["prediction"] is not None
+
+
+def test_monitoring_flags(spark, series):
+    models = train_ols_per_group(
+        series, group_col="user_id", feature_cols=["lag1"],
+        target_col="value", min_rows=5,
+    )
+    flagged = monitoring_rules(models)
+    pdf = flagged.toPandas()
+    # random-walk-ish lag regression on noise → low r2 alerts exist
+    assert pdf["alert_low_r2"].any()
+    assert (pdf["needs_attention"] == (pdf["alert_low_r2"] | pdf["alert_insufficient_data"])).all()
