@@ -34,6 +34,13 @@ HEADLINE: list[str] = [
     "rollup",
     "technical_indicators",
     "window_range_frame",
+    "tumbling_window",
+    "session_window",
+    "text_stats",
+    "text_tfidf",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "ml_linreg_monitoring",
 ]
 
 

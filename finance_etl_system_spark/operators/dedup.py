@@ -68,7 +68,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets, via an
     inverted-index self-join (docs only meet on shared shingles)."""
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     sizes = sh.select("id", F.array_size("sh").alias("n_sh"))
@@ -120,7 +121,14 @@ def minhash_signatures(
     as num_perm aggregate expressions, no Python in the path.
     """
     a, b = _perm_params(num_perm, seed)
-    sh = df.select(
+    # small-file sources arrive as one partition; spread docs BEFORE
+    # the shingle explode so hashing parallelizes (the explode
+    # multiplies rows ~100×, so balance matters here, not after).
+    # Explicit partition count: AQE would coalesce a keyless/small
+    # repartition back to 1 partition because the PRE-explode bytes
+    # are tiny — the blow-up happens after.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
     h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
@@ -158,47 +166,40 @@ def minhash_lsh_pairs(
     rpb = num_perm // bands
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
+    ).select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
     )
+    sig = sig.localCheckpoint(eager=False)  # reused 3× below
+
+    # candidate pairs travel as bare (id, id) — signatures re-join
+    # later from the (small) sig table, keeping the band-join shuffle
+    # narrow. Band key = one xxhash64 over the band's slice.
     band_rows = sig.select(
         "id",
-        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
-    ).select(
-        "id",
-        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"sig")[bi * rpb + j].cast("string")
-                                    for j in range(rpb)
-                                ],
-                            ),
-                            256,
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rpb + j] for j in range(rpb)]
                         ).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
             )
-        ).alias("bandrec"),
-    ).select("id", "sig", F.col("bandrec.band").alias("band"), F.col("bandrec.bh").alias("bh"))
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
     cands = (
         band_rows.alias("a")
         .join(band_rows.alias("b"), ["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(
             F.filter(
@@ -210,7 +211,9 @@ def minhash_lsh_pairs(
         6,
     )
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= verify_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -151,14 +151,73 @@ JOIN (SELECT fingerprint, COUNT(*) AS n_docs FROM fp GROUP BY fingerprint) c
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 TF-IDF: top-5 terms per document by tf·ln(N/df).
+
+    explode → two aggregations (term-in-doc counts, doc frequency) →
+    window top-k. At 100 TB the df table is the only broadcast-size
+    product (vocabulary), and the tf pass is map-side combinable.
+    Ranking uses the ROUNDED score so selection is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+    )
+
+
+_TEXT_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rnk, term, tf, df, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rnk
+  FROM scored
+) t
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
 }
 
 ORACLE = {
     "text_stats": _TEXT_STATS_SQL,
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "text_tfidf": _TEXT_TFIDF_SQL,
 }
