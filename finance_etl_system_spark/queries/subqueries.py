@@ -1,0 +1,101 @@
+"""Subquery forms (SURVEY §4: Catalyst decorrelation coverage).
+
+The reference's only declarative IR is Mongo aggregation pipelines;
+real engines must also handle scalar and correlated subqueries — this
+module pins Catalyst's rewrite of both into joins (decorrelation),
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar subquery becomes
+    a broadcast of a 1-row aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's orders above THEIR OWN average — correlated
+    scalar subquery; Catalyst decorrelates into an aggregate + join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.8 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_CORRELATED_SUBQUERY_SQL = """
+SELECT o.o_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.8 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN over a derived key set (semi/anti-join rewrite)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        )
+        """
+    )
+
+
+_IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+AND c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+)
+"""
+
+
+QUERIES = {
+    "scalar_subquery": q_scalar_subquery,
+    "correlated_subquery": q_correlated_subquery,
+    "in_subquery": q_in_subquery,
+}
+
+ORACLE = {
+    "scalar_subquery": _SCALAR_SUBQUERY_SQL,
+    "correlated_subquery": _CORRELATED_SUBQUERY_SQL,
+    "in_subquery": _IN_SUBQUERY_SQL,
+}

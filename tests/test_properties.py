@@ -1,0 +1,86 @@
+"""Property-based checks (SURVEY §5 item 5) with hypothesis.
+
+Each example spins Spark jobs, so examples are few but adversarial:
+hypothesis shrinks failures to minimal series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from finance_etl_system_spark.operators.joins import asof_join
+from finance_etl_system_spark.pipeline.indicators import technical_indicators
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+prices = st.lists(
+    st.floats(min_value=1.0, max_value=1000.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(closes=prices)
+@settings(**_SETTINGS)
+def test_indicator_invariants(spark, closes):
+    base = dt.date(2024, 1, 1)
+    rows = [
+        ("S", base + dt.timedelta(days=i), round(float(c), 2), 100.0)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol STRING, trading_date DATE, close DOUBLE, volume DOUBLE"
+    )
+    pdf = (
+        technical_indicators(df)
+        .orderBy("trading_date")
+        .toPandas()
+    )
+    closes_r = [round(float(c), 2) for c in closes]
+    for i, row in pdf.iterrows():
+        # sma_5 within [min, max] of its window
+        w = closes_r[max(0, i - 4) : i + 1]
+        assert min(w) - 1e-9 <= row["sma_5"] <= max(w) + 1e-9
+        # bollinger ordering wherever defined
+        if row["bb_upper"] == row["bb_upper"]:  # not NaN
+            assert row["bb_upper"] >= row["bb_middle"] - 1e-9
+            assert row["bb_lower"] <= row["bb_middle"] + 1e-9
+        # rsi bounded
+        assert -1e-9 <= row["rsi"] <= 100 + 1e-9
+    # obv steps by exactly ±volume or 0
+    obv = list(pdf["obv"])
+    for prev, cur in zip(obv, obv[1:]):
+        assert abs(cur - prev) in (0.0, 100.0)
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left_ts, right_ts):
+    right_vals = {t: float(t * 7 % 101) for t in sorted(set(right_ts))}
+    left = spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(left_ts)], "k STRING, ts LONG, rid LONG"
+    )
+    right = spark.createDataFrame(
+        [("k", t, v) for t, v in right_vals.items()] or [("zzz", 0, 0.0)],
+        "k STRING, ts LONG, v DOUBLE",
+    )
+    got = {
+        r["rid"]: r["v"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_values=["v"], suffix=""
+        ).collect()
+    }
+    for i, t in enumerate(left_ts):
+        eligible = [rt for rt in right_vals if rt <= t]
+        expect = right_vals[max(eligible)] if eligible else None
+        assert got.get(i) == expect, (t, sorted(right_vals), got.get(i), expect)
