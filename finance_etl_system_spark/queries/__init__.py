@@ -30,6 +30,7 @@ _MODULES: list[str] = [
     "windows",
     "indicators",
     "streaming_twins",
+    "domain",
     "dedup",
     "similarity",
     "text",

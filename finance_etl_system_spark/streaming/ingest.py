@@ -103,6 +103,43 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+):
+    """Watermarked tumbling count per symbol, append-mode to parquet.
+
+    Append mode only emits a window once the watermark passes its end —
+    the observable late-data contract (T4): rows later than
+    ``watermark_delay`` behind the max seen event time are dropped.
+    Returns the started query (availableNow trigger).
+    """
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    parsed = parse_kafka_records(raw)
+    agg = (
+        parsed.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.window("event_time", window).alias("win"),
+            F.upper("ticker").alias("symbol"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("win.start").alias("window_start"), "symbol", "n_rows")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_stream_agg(
     parsed: DataFrame,
     *,

@@ -96,6 +96,69 @@ def test_stream_restart_does_not_duplicate(spark, tmp_path):
     assert dup == 0
 
 
+@pytest.mark.timeout(300)
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T4 live: a row arriving far behind the checkpointed watermark is
+    dropped; its window (already emitted) does not change."""
+    from finance_etl_system_spark.streaming.ingest import stream_windowed_counts
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def msg(ticker, iso_ts):
+        return {
+            "ticker": ticker,
+            "date": iso_ts[:10],
+            "open": 1.0,
+            "close": 2.0,
+            "volume": 1,
+            "timestamp": iso_ts,
+        }
+
+    def write(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"b{len(list(src.glob('*.json')))}.json"
+        with open(f, "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps({"key": r["ticker"], "value": json.dumps(r)}) + "\n"
+                )
+
+    # batch 1: two rows in hour 10, advance max event time to 13:00
+    write([
+        msg("AAPL", "2024-01-02T10:05:00"),
+        msg("AAPL", "2024-01-02T10:45:00"),
+        msg("AAPL", "2024-01-02T13:00:00"),
+    ])
+    q = stream_windowed_counts(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    first = {
+        (str(r["window_start"]), r["symbol"]): r["n_rows"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark passed 10:00-11:00 window end → it was emitted with n=2
+    assert first[("2024-01-02 10:00:00", "AAPL")] == 2
+
+    # batch 2: a LATE row for hour 10 (watermark ≈ 12:30) + a fresh row
+    # far ahead so the 13:00 window also closes
+    write([
+        msg("AAPL", "2024-01-02T10:50:00"),  # late → dropped
+        msg("AAPL", "2024-01-02T18:00:00"),
+    ])
+    q2 = stream_windowed_counts(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+    final = {
+        (str(r["window_start"]), r["symbol"]): r["n_rows"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-10 window unchanged (late row dropped), no duplicate emission
+    assert final[("2024-01-02 10:00:00", "AAPL")] == 2
+    assert sum(1 for (w, s) in final if w == "2024-01-02 10:00:00") == 1
+    # 13:00 window emitted by batch 2's watermark advance
+    assert final[("2024-01-02 13:00:00", "AAPL")] == 1
+
+
 def test_windowed_agg_batch_twin(spark):
     """The windowed agg runs identically on a batch frame (no
     watermark state needed) — sanity-check shape and values."""
