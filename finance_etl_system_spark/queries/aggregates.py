@@ -294,7 +294,81 @@ ORDER BY custkey
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median/p90) — the
+    distribution summary the reference's avg/min/max lacks (A7+).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation definition. (At 100 TB the documented alternative is
+    ``approx_percentile`` — mergeable t-digest-style sketch.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT
+  o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+  COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_merge_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the reference's ``$mergeObjects`` of latest-doc + counts per
+    group (reference api/prediction_api.py:281-318) — in Spark, a join
+    of two aggregates on the group key: latest order per customer
+    merged with that customer's order stats."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderstatus").alias("latest_status"),
+        )
+    )
+    stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+    return latest.join(stats, "o_custkey").select(
+        "o_custkey", "latest_orderkey", "latest_status", "n_orders", "avg_price"
+    )
+
+
+_MERGE_AGGREGATES_SQL = """
+WITH latest AS (
+  SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderstatus AS latest_status
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS rn FROM orders
+  ) t WHERE rn = 1
+),
+stats AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 6) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT l.o_custkey, latest_orderkey, latest_status, n_orders, avg_price
+FROM latest l JOIN stats s ON l.o_custkey = s.o_custkey
+"""
+
+
 QUERIES = {
+    "percentiles": q_percentiles,
+    "merge_aggregates": q_merge_aggregates,
     "group_agg_having": q_group_agg_having,
     "count_distinct": q_count_distinct,
     "rollup": q_rollup,
@@ -306,6 +380,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "percentiles": _PERCENTILES_SQL,
+    "merge_aggregates": _MERGE_AGGREGATES_SQL,
     "group_agg_having": _GROUP_AGG_HAVING_SQL,
     "count_distinct": _COUNT_DISTINCT_SQL,
     "rollup": _ROLLUP_SQL,
