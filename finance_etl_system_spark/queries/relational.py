@@ -260,7 +260,92 @@ WHERE l_orderkey % 100 = 0
 """
 
 
+def q_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/struct surface (SURVEY §1.3 nested types): per-user sorted
+    value array + array ops (size, first/last element, JVM-side fold).
+
+    collect_list is non-deterministic in order → wrapped in an explicit
+    sort by (ts, event_id) BEFORE collecting via struct sort, the
+    canonical deterministic-collect idiom.
+    """
+    e = load_table(spark, sf_dir, "events")
+    collected = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("event_id"),
+                        F.round("value", 2).alias("v"),
+                    )
+                )
+            ).alias("recs")
+        )
+    )
+    vals = F.transform("recs", lambda r: r["v"])
+    return collected.select(
+        "user_id",
+        F.size("recs").alias("n_events"),
+        F.element_at(vals, 1).alias("first_value"),
+        F.element_at(vals, -1).alias("last_value"),
+        F.round(
+            F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v), 2
+        ).alias("value_total"),
+        F.round(F.array_max(vals), 2).alias("value_max"),
+    )
+
+
+_NESTED_TYPES_SQL = """
+WITH collected AS (
+  SELECT user_id,
+         list(ROUND(value, 2) ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  len(vals) AS n_events,
+  vals[1] AS first_value,
+  vals[-1] AS last_value,
+  ROUND(list_sum(vals), 2) AS value_total,
+  ROUND(list_max(vals), 2) AS value_max
+FROM collected
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts/value by event_type per day — Spark's
+    ``pivot`` (oracle: conditional aggregation, the portable form)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.withColumn("day", day)
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select("day", *types)
+    )
+
+
+_PIVOT_SQL = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "nested_types": q_nested_types,
+    "pivot": q_pivot,
     "pricing_summary": q_pricing_summary,
     "filter_cast_project": q_filter_cast_project,
     "regex_date_parse": q_regex_date_parse,
@@ -270,6 +355,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "nested_types": _NESTED_TYPES_SQL,
+    "pivot": _PIVOT_SQL,
     "pricing_summary": _PRICING_SUMMARY_SQL,
     "filter_cast_project": _FILTER_CAST_PROJECT_SQL,
     "regex_date_parse": _REGEX_DATE_PARSE_SQL,
