@@ -193,6 +193,36 @@ def write_processed_idempotent(processed: DataFrame, out_dir: str) -> None:
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    partition_col: str = "symbol",
+    sort_cols: tuple[str, ...] = ("trading_date",),
+) -> int:
+    """Small-files compaction for append-mode sinks.
+
+    Streaming foreachBatch appends one file per partition per batch —
+    at 100 TB that's the classic small-files death spiral. Rewrite each
+    partition as one sorted file set (sortWithinPartitions restores
+    min/max pruning). Returns the file count after compaction.
+
+    Plain-parquet caveat: the rewrite is not atomic; production runs it
+    on a quiesced table or via a staging-dir swap.
+    """
+    import glob
+
+    df = spark.read.parquet(table_dir).localCheckpoint(eager=True)
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(table_dir)
+    )
+    return len(glob.glob(f"{table_dir}/**/*.parquet", recursive=True))
+
+
 def incremental_etl(
     spark: SparkSession,
     raw: DataFrame,
