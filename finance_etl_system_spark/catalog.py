@@ -134,11 +134,13 @@ def load_table(
     """
     if name not in STAR_SCHEMA:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    # The driver may hand us an arbitrary SparkSession; this conf is
-    # runtime-settable and required to scan the fixtures' NANOS
-    # timestamps (events.ts), so pin it here rather than only at
-    # session build time.
+    # The driver may hand us an arbitrary SparkSession; these confs are
+    # runtime-settable and required for correct scans regardless of how
+    # the session was built: NANOS timestamps (events.ts) read as long,
+    # and UTC so timestamp formatting matches the (naive-UTC) fixture
+    # data and the DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in the fixture parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as ns-since-epoch.
