@@ -150,6 +150,14 @@ def load_table(
         expect = STAR_SCHEMA[name][f.name].dataType if f.name in STAR_SCHEMA[name].names else None
         if isinstance(expect, T.TimestampType) and isinstance(f.dataType, T.LongType):
             df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000")))
+        elif isinstance(expect, T.TimestampType) and isinstance(
+            f.dataType, T.TimestampNTZType
+        ):
+            # parquet writers differ: pandas/arrow yield TIMESTAMP_LTZ,
+            # DuckDB yields TIMESTAMP_NTZ. Normalize to the catalog's
+            # TimestampType — identity on wall-clock under the UTC
+            # session pinned above.
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     if validate:
         expected = [f.name for f in STAR_SCHEMA[name].fields]
         missing = [c for c in expected if c not in df.columns]
