@@ -208,7 +208,41 @@ WHERE rnk <= 5
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: supplier names within Levenshtein
+    distance 2 of each other (entity-resolution primitive). The
+    self-join is banded by name length (|len(a)-len(b)| ≤ distance)
+    so candidates are length-bucketed, not all-pairs."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+_FUZZY_MATCH_SQL = """
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a
+JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(length(a.s_name) - length(b.s_name)) <= 2
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 QUERIES = {
+    "fuzzy_match": q_fuzzy_match,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
     "text_fingerprint": q_text_fingerprint,
@@ -216,6 +250,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fuzzy_match": _FUZZY_MATCH_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
