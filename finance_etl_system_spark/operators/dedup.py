@@ -13,6 +13,10 @@ Design for 100 TB (the whole point of these operators):
 - SimHash: 64-bit signature via a vectorized pandas UDF (bit-vote loop
   is numpy, Arrow-batched); near-dups = signatures within Hamming
   distance d, found by pigeonhole banding (d+1 bands).
+- embedding-cosine: near-dup pairs by embedding similarity. Exact mode
+  is the quadratic ground truth; the scale path reuses the
+  random-hyperplane LSH banding from operators.similarity, so only
+  vectors sharing a signature band ever meet.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .similarity import _as_double, _dot, _norm, _planes, signature_col, signature_udf
 from .text import normalized, tokens
 
 # MinHash modulus: 31-bit Mersenne prime keeps a*h+b within int64
@@ -310,4 +315,91 @@ def simhash_near_pairs(
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    lsh_nbits: int | None = None,
+    bands: int = 4,
+    seed: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    ``round(cosine, round_dp) >= threshold``.
+
+    Exact mode (``lsh_nbits=None``): all-pairs self-join — quadratic,
+    kept as the oracle-checkable ground truth for small corpora. The
+    smaller side is broadcast so the corpus is scanned once without a
+    shuffle; cosine is a JVM ``zip_with``/``aggregate`` fold, rounded
+    BEFORE the threshold so the cut is deterministic across engines.
+
+    LSH mode: random-hyperplane signatures (same planes as the ANN
+    path); candidates must share >= 1 of ``bands`` signature bands,
+    then pass the SAME exact-cosine verify — so the output is always a
+    subset of exact mode (recall pinned in tests/test_dedup.py). At
+    100 TB this is the only viable shape: the band join touches
+    O(n·bands) rows instead of O(n²) pairs.
+    """
+    # normalize ONCE per row (not per pair): cosine(a, b) = n̂a · n̂b,
+    # so the O(n²) pair stage does a single dot product per pair. The
+    # norm is materialized as its own column first — referencing it
+    # from inside the transform lambda would re-fold it per element.
+    base = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v0"))
+        .withColumn("_n", _norm(F.col("v0")))
+        .select("id", F.transform("v0", lambda x: x / F.col("_n")).alias("v"))
+    )
+    if lsh_nbits is None:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cands = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        assert lsh_nbits % bands == 0
+        rpb = lsh_nbits // bands
+        dim = len(df.select(vec_col).first()[0])
+        planes = _planes(lsh_nbits, dim, seed)
+        # wide signatures (64 bits here) via the Arrow-batched matmul
+        # UDF: constant plan size, BLAS per batch — the JVM-literal
+        # signature_col form is O(nbits × dim) plan nodes and stalls
+        # codegen at this width.
+        sig = base.withColumn("sig", signature_udf(planes)(F.col("v")))
+        band_rows = sig.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[F.col("sig")[bi * rpb + j] for j in range(rpb)]
+                            ).alias("sigb"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("id", "v", F.col("b.band").alias("band"), F.col("b.sigb").alias("sigb"))
+        cands = (
+            band_rows.alias("a")
+            .join(band_rows.alias("b"), ["band", "sigb"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cosine = F.round(_dot(F.col("va"), F.col("vb")), round_dp)
+    return (
+        cands.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

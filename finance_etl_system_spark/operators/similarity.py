@@ -16,6 +16,7 @@ Three tiers, as a real 100 TB pipeline would deploy them:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,12 +82,37 @@ def _planes(nbits: int, dim: int, seed: int = 7) -> np.ndarray:
 
 def signature_col(vec_col, planes: np.ndarray):
     """Random-hyperplane signature: bit i = sign(v · plane_i) — as an
-    array of nbits ints, computed JVM-side from literal plane arrays."""
+    array of nbits ints, computed JVM-side from literal plane arrays.
+    Plan size grows as nbits × dim literals: fine to ~16 bits; beyond
+    that use :func:`signature_udf` (Arrow-batched matmul)."""
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(float(x)) for x in row])
         bits.append(F.when(_dot(vec_col, plane) >= 0, 1).otherwise(0))
     return F.array(*bits)
+
+
+def signature_udf(planes: np.ndarray):
+    """Wide-signature variant of :func:`signature_col`: one vectorized
+    pandas UDF doing the whole (batch × dim) @ (dim × nbits) matmul in
+    BLAS per Arrow batch. Constant plan size regardless of nbits, and
+    the per-row cost is a fused matmul — the right shape when nbits ≥
+    32 or dim is large (plan compilation dominates the JVM-literal
+    form there)."""
+    from pyspark.sql import types as T
+
+    pt = planes.T.copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        out = []
+        if len(vecs):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            bits = (m @ pt >= 0).astype(np.int32)
+            out = [row for row in bits]
+        return pd.Series(out)
+
+    return _sig
 
 
 def cosine_topk_lsh(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -94,8 +95,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 embedding tier, exact ground truth: near-dup vector pairs
+    with cosine >= 0.4 over ``embeddings`` (all-pairs broadcast
+    self-join; quadratic — oracle anchor for the LSH variant below)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+_DEDUP_EMBEDDING_COSINE_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(
+         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 embedding tier, scale path: random-hyperplane LSH banding
+    prefilter + the same exact-cosine verify (output ⊆ exact variant).
+    Probabilistic candidate set → rows-only driver check; recall vs
+    the exact query pinned in tests/test_dedup.py. 16 bands × 4 bits
+    tuned for the fixtures' near-orthogonal vectors at threshold 0.4
+    (recall ≈ 0.94); production near-dup thresholds (cosine ≥ 0.8)
+    prune orders of magnitude harder at the same band shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        e, threshold=0.4, lsh_nbits=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -103,5 +140,6 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
 }

@@ -11,6 +11,7 @@ import random
 import pytest
 
 from finance_etl_system_spark.operators.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -86,3 +87,40 @@ def test_simhash_identical_and_near(spark, docs_df):
     }
     assert (0, 100) in pairs and pairs[(0, 100)] == 0
     assert (1, 200) in pairs  # 3 flipped tokens → few bits differ
+
+
+def test_embedding_cosine_exact_planted_pairs(spark):
+    # planted geometry: 0≡1 (identical), 2 = scaled 0 (cosine 1),
+    # 3 orthogonal to 0, 4 ≈ 0 with small noise (cosine just under 1)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [5.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0 and pairs[(1, 2)] == 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+    assert 0.99 < pairs[(0, 4)] < 1.0
+
+
+def test_embedding_cosine_lsh_subset_and_recall(spark):
+    from finance_etl_system_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(e, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            e, threshold=0.4, lsh_nbits=64, bands=16
+        ).collect()
+    }
+    assert lsh <= exact  # banding only prunes; the verify is exact
+    assert exact and len(lsh) / len(exact) >= 0.85  # measured 0.94 w/ seed 7
