@@ -30,6 +30,9 @@ HEADLINE: list[str] = [
     "join_big_big",
     "join_broadcast_dims",
     "join_asof",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
     "argmax_latest_per_group",
     "rollup",
     "technical_indicators",

@@ -25,6 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "relational",
     "joins",
+    "analytics",
     "subqueries",
     "aggregates",
     "windows",
