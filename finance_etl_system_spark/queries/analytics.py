@@ -164,14 +164,51 @@ LIMIT 20
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: monthly share of promo-part revenue — the
+    conditional-aggregation (sum-of-CASE over a join) pattern, and the
+    only query family touching ``part``. No explicit broadcast: the
+    projected part side is (p_partkey, p_type) and AQE promotes it to
+    a broadcast when it fits, which is the right call at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_PROMO_REVENUE_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
 QUERIES = {
     "shipping_priority": q_shipping_priority,
+    "promo_revenue": q_promo_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
 }
 
 ORACLE = {
     "shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "promo_revenue": _PROMO_REVENUE_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "returned_items": _RETURNED_ITEMS_SQL,
 }

@@ -77,6 +77,40 @@ def test_asof_join_is_one_shuffle_no_join_explosion(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed layout pays the join shuffle once at write time: a
+    join of two tables bucketed on the same key into the same bucket
+    count must plan with ZERO shuffle exchanges (broadcast disabled so
+    the assertion is about bucketing, not about side size)."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(
+        o, "orders_b", keys=["o_orderkey"], buckets=4, sort_by=["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        l, "lineitem_b", keys=["l_orderkey"], buckets=4, sort_by=["l_orderkey"],
+        path=str(tmp_path / "lineitem_b"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        # and the same count as the shuffle join would produce
+        plain = l.join(o, l.l_orderkey == o.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_whole_stage_codegen_covers_indicators(spark):
     # AQE wraps the plan and hides codegen markers until execution;
     # disable it for the assertion (markers print as *(N) in the
