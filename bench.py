@@ -33,6 +33,8 @@ HEADLINE: list[str] = [
     "shipping_priority",
     "local_supplier_volume",
     "returned_items",
+    "late_shipment_priority",
+    "order_count_distribution",
     "argmax_latest_per_group",
     "rollup",
     "technical_indicators",

@@ -26,6 +26,7 @@ _MODULES: list[str] = [
     "relational",
     "joins",
     "analytics",
+    "analytics2",
     "subqueries",
     "aggregates",
     "windows",
