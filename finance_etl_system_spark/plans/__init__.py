@@ -1,0 +1,26 @@
+"""Plan inspection: programmatic access to the physical-plan
+properties the 100 TB design depends on (SURVEY §4)."""
+
+from .inspect import (
+    broadcast_join_count,
+    exchange_count,
+    explain_text,
+    has_cartesian_product,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    shuffle_join_count,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "exchange_count",
+    "explain_text",
+    "has_cartesian_product",
+    "has_take_ordered",
+    "pushed_filters",
+    "read_schemas",
+    "shuffle_join_count",
+    "wholestage_codegen_spans",
+]

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import cents, discounted_revenue, money
 
 
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,11 +210,10 @@ def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(band)
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(money(F.sum(discounted_revenue())).alias("revenue"))
     )
 
 
@@ -238,18 +238,16 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= "2000-01-01")
         .select("o_custkey")
     )
-    cents = F.round(F.col("c_acctbal") * 100)
-    threshold = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg(cents).alias("t"))
-    )
+    bal = cents("c_acctbal")
+    threshold = c.filter(F.col("c_acctbal") > 0).agg(F.avg(bal).alias("t"))
     return (
         c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .join(F.broadcast(threshold))
-        .filter(cents > F.col("t"))
+        .filter(bal > F.col("t"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money(F.sum("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )

@@ -8,7 +8,21 @@ from __future__ import annotations
 
 import pytest
 
+from finance_etl_system_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    explain_text,
+    has_cartesian_product,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    shuffle_join_count,
+)
 from finance_etl_system_spark.queries.aggregates import q_global_topk
+from finance_etl_system_spark.queries.analytics2 import (
+    q_late_shipment_priority,
+    q_order_count_distribution,
+)
 from finance_etl_system_spark.queries.indicators import q_technical_indicators
 from finance_etl_system_spark.queries.joins import (
     q_join_asof,
@@ -19,45 +33,49 @@ from finance_etl_system_spark.queries.relational import q_pricing_summary
 from tests.conftest import SF_SMOKE
 
 
-def _capture_explain(df, mode) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
-
-
 def _plan(df) -> str:
-    return _capture_explain(df, "simple")
-
-
-def _formatted(df) -> str:
-    return _capture_explain(df, "formatted")
+    return explain_text(df, "simple")
 
 
 def test_dim_joins_are_broadcast(spark):
-    plan = _plan(q_join_broadcast_dims(spark, SF_SMOKE))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    df = q_join_broadcast_dims(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 2
+    assert shuffle_join_count(df) == 0
+    assert not has_cartesian_product(df)
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = _formatted(q_join_big_big(spark, SF_SMOKE))
-    assert "EqualTo(o_orderstatus,F)" in plan  # pushed to parquet scan
+    filters = pushed_filters(q_join_big_big(spark, SF_SMOKE))
+    assert "EqualTo(o_orderstatus,F)" in filters  # pushed to parquet scan
 
 
 def test_pricing_summary_prunes_columns(spark):
-    plan = _formatted(q_pricing_summary(spark, SF_SMOKE))
     # ReadSchema must not include columns the query never touches
-    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    schemas = read_schemas(q_pricing_summary(spark, SF_SMOKE))
+    assert schemas and all("l_partkey" not in s for s in schemas)
 
 
 def test_global_topk_avoids_full_sort(spark):
-    plan = _plan(q_global_topk(spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
+    assert has_take_ordered(q_global_topk(spark, SF_SMOKE))
+
+
+def test_semi_join_prunes_and_pushes(spark):
+    """Q4 shape: the date predicate reaches the orders scan and the
+    EXISTS side reads only (l_orderkey, l_shipdate)."""
+    df = q_late_shipment_priority(spark, SF_SMOKE)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    lineitem_scans = [s for s in read_schemas(df) if "l_orderkey" in s]
+    assert lineitem_scans and all("l_quantity" not in s for s in lineitem_scans)
+    assert not has_cartesian_product(df)
+
+
+def test_order_count_distribution_two_aggregate_stages(spark):
+    """Q13 shape: join + first groupBy share the custkey exchange; the
+    distribution groupBy adds one more — tiny (≤ distinct counts)."""
+    df = q_order_count_distribution(spark, SF_SMOKE)
+    # custkey exchanges (≤2: customer side + orders side), count
+    # exchange, and the final orderBy range exchange — nothing else
+    assert exchange_count(df) <= 4
 
 
 def test_indicators_single_window_shuffle(spark):
@@ -115,9 +133,37 @@ def test_whole_stage_codegen_covers_indicators(spark):
     # AQE wraps the plan and hides codegen markers until execution;
     # disable it for the assertion (markers print as *(N) in the
     # non-adaptive plan).
+    from finance_etl_system_spark.plans import wholestage_codegen_spans
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = _plan(q_technical_indicators(spark, SF_SMOKE))
+        df = q_technical_indicators(spark, SF_SMOKE)
+        plan = _plan(df)
+        spans = wholestage_codegen_spans(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan  # WholeStageCodegen stage markers — JVM-side exprs
+    assert spans >= 1
+
+
+def test_expression_library_determinism(spark):
+    """cents() must be exact-integer; row_key deterministic across
+    evaluations (the uuid() replacement property)."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.functions import cents, money, row_key
+
+    df = spark.createDataFrame(
+        [("A", "2024-01-02", 12.34), ("B", "2024-01-03", -0.005)],
+        ["sym", "d", "bal"],
+    )
+    out = df.select(
+        cents("bal").alias("c"),
+        money(F.col("bal")).alias("m"),
+        row_key("sym", "d").alias("k"),
+    ).collect()
+    # Spark (and DuckDB) round half AWAY FROM ZERO: -0.5 -> -1
+    assert [r.c for r in out] == [1234.0, -1.0]
+    again = df.select(row_key("sym", "d").alias("k")).collect()
+    assert [r.k for r in out] == [r.k for r in again]
+    assert len({r.k for r in out}) == 2
