@@ -113,6 +113,43 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube sugar
+    over: per-status totals, per-priority totals, and one grand total,
+    WITHOUT the (status, priority) pairs a cube would add. Spark plans
+    one Expand + one aggregation — a single pass over orders however
+    many sets are requested."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube over two dimensions."""
     e = load_table(spark, sf_dir, "events")
@@ -373,6 +410,7 @@ QUERIES = {
     "count_distinct": q_count_distinct,
     "rollup": q_rollup,
     "cube": q_cube,
+    "grouping_sets": q_grouping_sets,
     "argmax_latest_per_group": q_argmax_latest_per_group,
     "top_n_per_group": q_top_n_per_group,
     "global_topk": q_global_topk,
@@ -386,6 +424,7 @@ ORACLE = {
     "count_distinct": _COUNT_DISTINCT_SQL,
     "rollup": _ROLLUP_SQL,
     "cube": _CUBE_SQL,
+    "grouping_sets": _GROUPING_SETS_SQL,
     "argmax_latest_per_group": _ARGMAX_LATEST_PER_GROUP_SQL,
     "top_n_per_group": _TOP_N_PER_GROUP_SQL,
     "global_topk": _GLOBAL_TOPK_SQL,

@@ -269,6 +269,113 @@ ORDER BY c_mktsegment
 """
 
 
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipped volume between two nations (either direction),
+    per direction per year. supplier-nation and customer-nation ride
+    separate broadcast copies of `nation`; the disjunctive pair
+    predicate evaluates after both are attached."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money(F.sum(discounted_revenue())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_NATION_PAIR_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's revenue per year —
+    conditional aggregation (sum-of-CASE / total) over a 6-way join.
+    The share divides two sums from the SAME aggregated rows, so no
+    second pass over the fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = discounted_revenue()
+    national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(national) / F.sum(rev), 6).alias("mkt_share"),
+            money(F.sum(rev)).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS region_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "order_count_distribution": q_order_count_distribution,
@@ -276,6 +383,8 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "nation_pair_volume": q_nation_pair_volume,
+    "market_share": q_market_share,
 }
 
 ORACLE = {
@@ -285,4 +394,6 @@ ORACLE = {
     "large_volume_customers": _LARGE_VOLUME_CUSTOMERS_SQL,
     "disjunctive_part_revenue": _DISJUNCTIVE_PART_REVENUE_SQL,
     "idle_rich_customers": _IDLE_RICH_CUSTOMERS_SQL,
+    "nation_pair_volume": _NATION_PAIR_VOLUME_SQL,
+    "market_share": _MARKET_SHARE_SQL,
 }

@@ -140,6 +140,70 @@ def stream_windowed_counts(
     )
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    trades_dir: str,
+    signals_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark_delay: str = "1 hour",
+    join_horizon_minutes: int = 30,
+):
+    """Stream-stream interval join: each trade row matched to signal
+    rows for the same symbol whose event time falls within
+    ``join_horizon_minutes`` AFTER the trade.
+
+    The reference has nothing like this (its consumer is a single
+    stream, reference kafka-consumer/consumer.py:113-146); this is the
+    Structured Streaming capability the engine adds. Both sides carry
+    a watermark and the join condition bounds the time skew, so each
+    side's buffered state is capped at (watermark_delay +
+    join_horizon) of data per symbol — without the time bound Spark
+    would have to keep BOTH streams forever. Returns the started query
+    (availableNow trigger, append-only parquet sink).
+    """
+    raw_l = spark.readStream.schema("key STRING, value STRING").json(trades_dir)
+    raw_r = spark.readStream.schema("key STRING, value STRING").json(signals_dir)
+    trades = (
+        parse_kafka_records(raw_l)
+        .select(
+            F.upper("ticker").alias("symbol"),
+            F.col("event_time").alias("trade_time"),
+            F.col("close").alias("trade_close"),
+        )
+        .withWatermark("trade_time", watermark_delay)
+    )
+    signals = (
+        parse_kafka_records(raw_r)
+        .select(
+            F.upper("ticker").alias("sig_symbol"),
+            F.col("event_time").alias("signal_time"),
+            F.col("close").alias("signal_value"),
+        )
+        .withWatermark("signal_time", watermark_delay)
+    )
+    cond = (
+        (trades.symbol == signals.sig_symbol)
+        & (signals.signal_time >= trades.trade_time)
+        & (
+            signals.signal_time
+            <= trades.trade_time + F.expr(f"INTERVAL {join_horizon_minutes} MINUTES")
+        )
+    )
+    joined = trades.join(signals, cond).select(
+        "symbol", "trade_time", "trade_close", "signal_time", "signal_value"
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_stream_agg(
     parsed: DataFrame,
     *,

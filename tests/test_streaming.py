@@ -179,3 +179,70 @@ def test_windowed_agg_batch_twin(spark):
     assert agg[0]["n_rows"] == 2
     assert agg[0]["avg_close"] == pytest.approx(15.0)
     assert agg[0]["total_volume"] == pytest.approx(12.0)
+
+
+@pytest.mark.timeout(300)
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on symbol within a 30-minute horizon;
+    result must equal the batch twin of the same interval join."""
+    from finance_etl_system_spark.streaming.ingest import stream_stream_join
+
+    def msg(ticker, ts, close):
+        value = {"ticker": ticker, "date": ts[:10], "open": close, "high": close,
+                 "low": close, "close": close, "volume": 1, "timestamp": ts}
+        return json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n"
+
+    trades_dir, signals_dir = tmp_path / "trades", tmp_path / "signals"
+    for d in (trades_dir, signals_dir):
+        d.mkdir()
+    (trades_dir / "b0.json").write_text(
+        msg("AAPL", "2024-01-02T10:00:00", 100.0)
+        + msg("AAPL", "2024-01-02T11:00:00", 101.0)
+        + msg("MSFT", "2024-01-02T10:00:00", 200.0)
+    )
+    (signals_dir / "b0.json").write_text(
+        msg("AAPL", "2024-01-02T10:10:00", 1.0)   # joins AAPL@10:00
+        + msg("AAPL", "2024-01-02T10:45:00", 2.0)  # beyond 10:00+30m, before 11:00 → no match
+        + msg("AAPL", "2024-01-02T11:05:00", 3.0)  # joins AAPL@11:00
+        + msg("MSFT", "2024-01-02T10:20:00", 4.0)  # joins MSFT@10:00
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_stream_join(spark, str(trades_dir), str(signals_dir), out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["symbol"], str(r["trade_time"]), str(r["signal_time"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("AAPL", "2024-01-02 10:00:00", "2024-01-02 10:10:00"),
+        ("AAPL", "2024-01-02 11:00:00", "2024-01-02 11:05:00"),
+        ("MSFT", "2024-01-02 10:00:00", "2024-01-02 10:20:00"),
+    }
+
+    # batch twin: same join, plain DataFrames
+    import pyspark.sql.functions as F
+
+    t = parse_kafka_records(
+        spark.read.schema("key STRING, value STRING").json(str(trades_dir))
+    ).select(
+        F.upper("ticker").alias("symbol"),
+        F.col("event_time").alias("trade_time"),
+    )
+    s = parse_kafka_records(
+        spark.read.schema("key STRING, value STRING").json(str(signals_dir))
+    ).select(
+        F.upper("ticker").alias("sig_symbol"),
+        F.col("event_time").alias("signal_time"),
+    )
+    twin = t.join(
+        s,
+        (t.symbol == s.sig_symbol)
+        & (s.signal_time >= t.trade_time)
+        & (s.signal_time <= t.trade_time + F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert {
+        (r["symbol"], str(r["trade_time"]), str(r["signal_time"]))
+        for r in twin.collect()
+    } == got
