@@ -34,6 +34,7 @@ _MODULES: list[str] = [
     "streaming_twins",
     "domain",
     "dedup",
+    "sampling",
     "similarity",
     "text",
     "ml",
