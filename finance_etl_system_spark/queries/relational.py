@@ -343,9 +343,76 @@ GROUP BY 1
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the lineitem price components into long form —
+    the inverse of `pivot`. Spark's `unpivot` plans as one Expand (a
+    map-side row multiplication, no shuffle before the filter)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-07-01"
+    )
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-07-01'
+) UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: size,
+    max element, L2 norm via transform+aggregate, positive-element
+    count via filter. Elements are cast to double BEFORE arithmetic on
+    both engines so the sequential fold is bit-identical (see
+    queries/similarity.py for the same policy)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+_ARRAY_FUNCTIONS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_val,
+       ROUND(sqrt(list_aggregate(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
 QUERIES = {
     "nested_types": q_nested_types,
     "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "array_functions": q_array_functions,
     "pricing_summary": q_pricing_summary,
     "filter_cast_project": q_filter_cast_project,
     "regex_date_parse": q_regex_date_parse,
@@ -357,6 +424,8 @@ QUERIES = {
 ORACLE = {
     "nested_types": _NESTED_TYPES_SQL,
     "pivot": _PIVOT_SQL,
+    "unpivot": _UNPIVOT_SQL,
+    "array_functions": _ARRAY_FUNCTIONS_SQL,
     "pricing_summary": _PRICING_SUMMARY_SQL,
     "filter_cast_project": _FILTER_CAST_PROJECT_SQL,
     "regex_date_parse": _REGEX_DATE_PARSE_SQL,
