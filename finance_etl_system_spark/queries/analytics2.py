@@ -376,6 +376,82 @@ ORDER BY o_year
 """
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue
+    — an aggregate view consumed twice (scalar max + equality filter).
+    Spark reuses the aggregated exchange for both branches; no second
+    scan of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(money(F.sum(discounted_revenue())).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_REVENUE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size) for
+    non-promo parts, excluding a denylisted supplier set (NOT IN →
+    anti join against a tiny aggregated list). The distinct-count
+    rides the (partkey-joined) fact; top 10 categories."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    denylist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(denylist), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            F.col("p_size").asc(),
+        )
+        .limit(10)
+    )
+
+
+_SUPPLIER_DIVERSITY_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 10
+"""
+
+
 QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "order_count_distribution": q_order_count_distribution,
@@ -385,6 +461,8 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "nation_pair_volume": q_nation_pair_volume,
     "market_share": q_market_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "supplier_diversity": q_supplier_diversity,
 }
 
 ORACLE = {
@@ -396,4 +474,6 @@ ORACLE = {
     "idle_rich_customers": _IDLE_RICH_CUSTOMERS_SQL,
     "nation_pair_volume": _NATION_PAIR_VOLUME_SQL,
     "market_share": _MARKET_SHARE_SQL,
+    "top_supplier_revenue": _TOP_SUPPLIER_REVENUE_SQL,
+    "supplier_diversity": _SUPPLIER_DIVERSITY_SQL,
 }
