@@ -140,6 +140,41 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark_delay: str = "1 hour",
+):
+    """Cross-micro-batch stateful dedup via
+    ``dropDuplicatesWithinWatermark`` — the engine-level form of the
+    reference's ES doc-id upsert (reference spark-job/etl_job.py:457:
+    replay-safe because the sink rewrites the same id). Here the
+    duplicate never reaches the sink: Spark keeps one state entry per
+    (symbol, date) key until the watermark passes, so re-delivered
+    messages across batches are dropped with BOUNDED state — unlike
+    plain dropDuplicates on a stream, whose state grows forever.
+    Returns the started query (availableNow trigger).
+    """
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    deduped = (
+        parse_kafka_records(raw)
+        .withColumn("symbol", F.upper("ticker"))
+        .withWatermark("event_time", watermark_delay)
+        .dropDuplicatesWithinWatermark(["symbol", "date"])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_join(
     spark: SparkSession,
     trades_dir: str,

@@ -246,3 +246,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r["symbol"], str(r["trade_time"]), str(r["signal_time"]))
         for r in twin.collect()
     } == got
+
+
+@pytest.mark.timeout(300)
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a re-delivered message
+    in a LATER micro-batch (per-batch dedup cannot), state bounded by
+    the watermark."""
+    from finance_etl_system_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_messages(src, _rows("AAPL", ["2024-01-02", "2024-01-03"]))
+
+    q = stream_dedup(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2 re-delivers 2024-01-03 (same symbol+date, within the
+    # watermark window) plus one genuinely new row
+    _write_messages(src, _rows("AAPL", ["2024-01-03", "2024-01-04"]))
+    q2 = stream_dedup(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.groupBy("symbol", "date").count().filter("count > 1").count() == 0
