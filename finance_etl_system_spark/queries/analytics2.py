@@ -452,8 +452,57 @@ LIMIT 10
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    a user advances a stage only with an event AT OR AFTER their
+    previous stage's first event. Three stage aggregations, each
+    joined on user_id — all shuffles share one key, so Catalyst plans
+    one hash partitioning reused down the chain. The output is the
+    per-stage user count (funnel drop-off)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(df, etype, prev):
+        ev = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            ev = ev.join(prev, "user_id").filter(F.col("ts") >= F.col("t0")).drop("t0")
+        return ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+
+    views = first_after(e, "view", None)
+    clicks = first_after(e, "click", views)
+    buys = first_after(e, "purchase", clicks)
+    return (
+        views.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("stage"), "n")
+        .unionAll(clicks.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("stage"), "n"))
+        .unionAll(buys.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("stage"), "n"))
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t0
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t0
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t0
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, n FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+) ORDER BY stage
+"""
+
+
 QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
+    "funnel": q_funnel,
     "order_count_distribution": q_order_count_distribution,
     "small_qty_part_revenue": q_small_qty_part_revenue,
     "large_volume_customers": q_large_volume_customers,
@@ -476,4 +525,5 @@ ORACLE = {
     "market_share": _MARKET_SHARE_SQL,
     "top_supplier_revenue": _TOP_SUPPLIER_REVENUE_SQL,
     "supplier_diversity": _SUPPLIER_DIVERSITY_SQL,
+    "funnel": _FUNNEL_SQL,
 }
