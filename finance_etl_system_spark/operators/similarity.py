@@ -129,15 +129,24 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band, then
     exact cosine rerank. Recall rises with bands; cost falls with
-    rows-per-band."""
+    rows-per-band.
+
+    Signature path is chosen by plan size: nbits × dim literal
+    expressions up to ~512 compile fine; above that the JVM-literal
+    form spends more time in Catalyst than in execution (measured
+    ~2.5× on 16×64) and the Arrow-batched matmul UDF wins despite the
+    Python hop — it's one BLAS call per batch.
+    """
     assert nbits % bands == 0
     rpb = nbits // bands
     dim = len(corpus.select(vec_col).first()[0])
     planes = _planes(nbits, dim, seed)
+    use_udf = nbits * dim > 512
+    sig_udf = signature_udf(planes) if use_udf else None
 
     def with_bands(df, id_alias):
         v = _as_double(F.col(vec_col))
-        sig = signature_col(v, planes)
+        sig = sig_udf(v) if use_udf else signature_col(v, planes)
         rows = df.select(
             F.col(id_alias[0]).alias(id_alias[1]),
             v.alias(f"{id_alias[1]}_v"),
