@@ -373,10 +373,16 @@ def embedding_cosine_pairs(
         # UDF: constant plan size, BLAS per batch — the JVM-literal
         # signature_col form is O(nbits × dim) plan nodes and stalls
         # codegen at this width.
-        sig = base.withColumn("sig", signature_udf(planes)(F.col("v")))
+        # checkpoint: the signature UDF + normalization run ONCE, not
+        # once per self-join side; candidates then travel as bare
+        # (id, id) and the vectors re-join from this small table —
+        # same narrow-shuffle discipline as minhash_lsh_pairs (the
+        # band join otherwise carries dim-double arrays ×bands rows).
+        sig = base.withColumn(
+            "sig", signature_udf(planes)(F.col("v"))
+        ).localCheckpoint(eager=False)
         band_rows = sig.select(
             "id",
-            "v",
             F.explode(
                 F.array(
                     *[
@@ -390,19 +396,17 @@ def embedding_cosine_pairs(
                     ]
                 )
             ).alias("b"),
-        ).select("id", "v", F.col("b.band").alias("band"), F.col("b.sigb").alias("sigb"))
-        cands = (
+        ).select("id", F.col("b.band").alias("band"), F.col("b.sigb").alias("sigb"))
+        pairs = (
             band_rows.alias("a")
             .join(band_rows.alias("b"), ["band", "sigb"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
-            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        cands = pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     cosine = F.round(_dot(F.col("va"), F.col("vb")), round_dp)
     return (
         cands.withColumn("cosine", cosine)
