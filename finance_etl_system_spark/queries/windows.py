@@ -180,7 +180,53 @@ WINDOW w AS (
 """
 
 
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands: per-user streaks of consecutive ACTIVE DAYS
+    via the row_number-difference idiom (day − rn is constant within
+    a run of consecutive days). Two window-free aggregations plus one
+    window — all keyed on user_id, one hash partitioning end to end.
+    Output: islands per user, longest streak, total active days."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("streak_len").alias("longest_streak"),
+            F.sum("streak_len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_GAP_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM days
+),
+islands AS (
+  SELECT user_id, anchor, COUNT(*) AS streak_len
+  FROM anchored GROUP BY user_id, anchor
+)
+SELECT user_id, COUNT(*) AS n_islands, MAX(streak_len) AS longest_streak,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days
+FROM islands GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "gap_islands": q_gap_islands,
     "window_lag_lead": q_window_lag_lead,
     "window_rank_family": q_window_rank_family,
     "window_range_frame": q_window_range_frame,
@@ -189,6 +235,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gap_islands": _GAP_ISLANDS_SQL,
     "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
     "window_rank_family": _WINDOW_RANK_FAMILY_SQL,
     "window_range_frame": _WINDOW_RANGE_FRAME_SQL,
