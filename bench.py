@@ -67,10 +67,13 @@ def main() -> None:
         fn = qs[name]
         # warm-up at the smallest sf: JVM/codegen warm, plan compiled
         fn(spark, "/root/testdata/sf0.001").count()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()
-        dt = time.time() - t0
+        # best-of-2 at the target sf: single runs swing ~15% on GC/JIT
+        # noise in one shared JVM; the min is the steady-state number
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = min(dt, time.time() - t0)
         timings[name] = round(dt, 3)
         total += dt
 
