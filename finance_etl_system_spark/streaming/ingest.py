@@ -140,6 +140,62 @@ def stream_windowed_counts(
     )
 
 
+def stream_ingest_dual_sink(
+    spark: SparkSession,
+    source_dir: str,
+    append_dir: str,
+    upsert_dir: str,
+    checkpoint_dir: str,
+):
+    """The reference's two-sink flagship write (reference
+    spark-job/etl_job.py:389-460: Mongo append THEN Elasticsearch
+    doc-id upsert, per batch) as one foreachBatch.
+
+    Sink 1 (`append_dir`) is the raw event log — append-only,
+    partitioned by symbol. Sink 2 (`upsert_dir`) is the serving copy —
+    dynamic partition overwrite keyed by symbol, so replaying a batch
+    rewrites the same partitions instead of duplicating (the
+    reference's Mongo side DID duplicate on rerun, etl_job.py:391 —
+    quirk fixed, not copied). Both writes happen inside one batch
+    function; the checkpoint pins source offsets, so a crash between
+    the two writes replays the batch and the upsert sink converges
+    while the append sink dedups on read via the deterministic
+    (symbol, date) key.
+    """
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    parsed = parse_kafka_records(raw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.withColumn("symbol", F.upper("ticker"))
+            .dropDuplicates(["symbol", "date"])
+            .persist()
+        )
+        try:
+            (
+                batch.write.mode("append")
+                .partitionBy("symbol")
+                .parquet(append_dir)
+            )
+            batch.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                batch.write.mode("overwrite")
+                .partitionBy("symbol")
+                .parquet(upsert_dir)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     source_dir: str,

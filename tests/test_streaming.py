@@ -271,3 +271,32 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert got.groupBy("symbol", "date").count().filter("count > 1").count() == 0
+
+
+@pytest.mark.timeout(300)
+def test_dual_sink_batch_writes_both(spark, tmp_path):
+    """Reference two-sink write (etl_job.py:389-460): one batch feeds
+    an append log AND a keyed-overwrite serving copy; replaying new
+    data for a symbol converges the serving copy instead of
+    duplicating it."""
+    from finance_etl_system_spark.streaming.ingest import stream_ingest_dual_sink
+
+    src = tmp_path / "src"
+    app, ups, ckpt = (str(tmp_path / d) for d in ("append", "upsert", "ckpt"))
+    _write_messages(src, _rows("AAPL", ["2024-01-02", "2024-01-03"]))
+
+    q = stream_ingest_dual_sink(spark, str(src), app, ups, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(app).count() == 2
+    assert spark.read.parquet(ups).count() == 2
+
+    # second batch: same symbol, new date — serving copy is REPLACED
+    # for the AAPL partition (2nd batch only carries 01-04), append
+    # log keeps the full history
+    _write_messages(src, _rows("AAPL", ["2024-01-04"]))
+    q2 = stream_ingest_dual_sink(spark, str(src), app, ups, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(app).count() == 3
+    ups_rows = spark.read.parquet(ups)
+    assert ups_rows.count() == 1
+    assert ups_rows.select("date").first()[0] == "2024-01-04"
