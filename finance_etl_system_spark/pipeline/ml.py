@@ -131,6 +131,94 @@ def train_ols_per_group(
     return df.groupBy(group_col).applyInPandas(fit, schema=_OLS_SCHEMA)
 
 
+_RIDGE_SCHEMA = T.StructType(
+    _OLS_SCHEMA.fields
+    + [
+        T.StructField("best_lambda", T.DoubleType()),
+        T.StructField("cv_mse", T.DoubleType()),
+    ]
+)
+
+
+def train_ridge_grid_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    time_col: str,
+    lambdas: tuple[float, ...] = (0.0, 0.1, 1.0, 10.0),
+    n_folds: int = 3,
+    min_rows: int = 30,
+) -> DataFrame:
+    """M6 grid-search parity: per-group ridge regression with the
+    hyperparameter chosen by expanding-window time-series CV — the
+    reference's GridSearchCV(cv=TimeSeriesSplit(3)) (reference
+    ml-service/ml_pipeline.py:182-192), re-expressed as closed-form
+    ridge inside ONE applyInPandas pass (sklearn is not in this
+    environment; (XᵀX + λI)⁻¹Xᵀy with an unpenalized intercept is the
+    same estimator). Each fold trains on rows up to a chronological
+    cut and validates on the next slice; the λ minimizing mean
+    validation MSE is refit on the full group.
+
+    Scale shape: still one shuffle on ``group_col`` — the grid (folds
+    × λ values) runs inside the worker on the group's frame, so
+    hyperparameter search adds zero extra Spark stages.
+    """
+    fcols = list(feature_cols)
+    lams = tuple(float(x) for x in lambdas)
+
+    def _ridge(X: np.ndarray, y: np.ndarray, lam: float) -> np.ndarray:
+        k = X.shape[1]
+        pen = lam * np.eye(k)
+        pen[-1, -1] = 0.0  # never penalize the intercept column
+        return np.linalg.solve(X.T @ X + pen, X.T @ y)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col]).sort_values(time_col)
+        n = len(pdf)
+        key = str(pdf[group_col].iloc[0]) if n else ""
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _RIDGE_SCHEMA.fields])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols] + [np.ones(n)])
+        y = pdf[target_col].to_numpy(float)
+        # expanding-window folds: cut points at (i+1)/(n_folds+1) … —
+        # train on [:cut], validate on [cut:next_cut]
+        cuts = [int(n * (i + 1) / (n_folds + 1)) for i in range(n_folds + 1)]
+        cv: dict[float, list[float]] = {lam: [] for lam in lams}
+        for i in range(n_folds):
+            tr, va = slice(0, cuts[i]), slice(cuts[i], cuts[i + 1])
+            if cuts[i] < len(fcols) + 1 or cuts[i] == cuts[i + 1]:
+                continue
+            for lam in lams:
+                beta = _ridge(X[tr], y[tr], lam)
+                resid = y[va] - X[va] @ beta
+                cv[lam].append(float((resid**2).mean()))
+        mean_cv = {
+            lam: (sum(v) / len(v) if v else float("inf")) for lam, v in cv.items()
+        }
+        best = min(lams, key=lambda lam: (mean_cv[lam], lam))
+        beta = _ridge(X, y, best)
+        pred = X @ beta
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": ["ridge_grid"],
+                "n_rows": [n],
+                "coefficients": [[float(b) for b in beta[:-1]]],
+                "intercept": [float(beta[-1])],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+                "best_lambda": [best],
+                "cv_mse": [mean_cv[best]],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_RIDGE_SCHEMA)
+
+
 def score_ols(
     df: DataFrame,
     models: DataFrame,

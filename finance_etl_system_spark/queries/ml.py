@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..pipeline.ml import chronological_split, train_ols_per_group
+from ..pipeline.ml import (
+    chronological_split,
+    train_ols_per_group,
+    train_ridge_grid_per_group,
+)
 
 _TRAIN_FRAC = 0.8
 
@@ -218,11 +222,45 @@ def q_ml_train_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_train_ridge_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 grid-search parity: per-user ridge with λ chosen by
+    expanding-window time-series CV inside applyInPandas (the
+    reference's GridSearchCV+TimeSeriesSplit, ml_pipeline.py:182-192).
+    Rows-only driver check; estimator properties pinned in
+    tests/test_ml.py::test_ridge_grid_selects_and_shrinks."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("sma5", F.avg("value").over(w.rowsBetween(-4, 0)))
+        .withColumn("t", F.row_number().over(w))
+    )
+    models = train_ridge_grid_per_group(
+        feats,
+        group_col="user_id",
+        feature_cols=["lag1", "lag2", "sma5"],
+        target_col="value",
+        time_col="t",
+        min_rows=30,
+    )
+    return models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "best_lambda",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.round("cv_mse", 6).alias("cv_mse"),
+    ).orderBy("group_key")
+
+
 QUERIES = {
     "ml_chrono_split": q_ml_chrono_split,
     "ml_standardize": q_ml_standardize,
     "ml_linreg_monitoring": q_ml_linreg_monitoring,
     "ml_train_ols_pandas": q_ml_train_ols_pandas,
+    "ml_train_ridge_grid": q_ml_train_ridge_grid,
 }
 
 ORACLE = {

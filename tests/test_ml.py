@@ -120,3 +120,45 @@ def test_monitoring_flags(spark, series):
     # random-walk-ish lag regression on noise → low r2 alerts exist
     assert pdf["alert_low_r2"].any()
     assert (pdf["needs_attention"] == (pdf["alert_low_r2"] | pdf["alert_insufficient_data"])).all()
+
+
+def test_ridge_grid_selects_and_shrinks(spark):
+    """Grid-search parity (reference GridSearchCV+TimeSeriesSplit):
+    clean linear data selects lambda=0 and recovers the coefficients;
+    forcing a large lambda shrinks them toward zero; output is
+    deterministic across runs."""
+    import numpy as np
+
+    from finance_etl_system_spark.pipeline.ml import train_ridge_grid_per_group
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for g in ("A", "B"):
+        for t in range(120):
+            x1, x2 = rng.randn(), rng.randn()
+            y = 3.0 * x1 - 2.0 * x2 + 5.0 + 0.01 * rng.randn()
+            rows.append((g, t, float(x1), float(x2), float(y)))
+    df = spark.createDataFrame(rows, "g STRING, t INT, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
+
+    kw = dict(group_col="g", feature_cols=["x1", "x2"], target_col="y", time_col="t")
+    out = {r["group_key"]: r for r in train_ridge_grid_per_group(df, **kw).collect()}
+    assert set(out) == {"A", "B"}
+    for r in out.values():
+        assert r["best_lambda"] == 0.0  # clean data: OLS wins the grid
+        assert r["coefficients"][0] == pytest.approx(3.0, abs=0.05)
+        assert r["coefficients"][1] == pytest.approx(-2.0, abs=0.05)
+        assert r["intercept"] == pytest.approx(5.0, abs=0.05)
+        assert r["r2"] > 0.99
+
+    # determinism
+    again = {r["group_key"]: r for r in train_ridge_grid_per_group(df, **kw).collect()}
+    assert all(again[k]["coefficients"] == out[k]["coefficients"] for k in out)
+
+    # heavy penalty shrinks coefficients, intercept unpenalized
+    heavy = {
+        r["group_key"]: r
+        for r in train_ridge_grid_per_group(df, lambdas=(1000.0,), **kw).collect()
+    }
+    for k in out:
+        assert abs(heavy[k]["coefficients"][0]) < abs(out[k]["coefficients"][0])
+        assert heavy[k]["intercept"] == pytest.approx(5.0, abs=0.5)
