@@ -1,0 +1,90 @@
+"""Continuous time-bucket rollup (hypertable-style aggregate).
+
+The reference recomputes indicator tables wholesale per 12-hour cycle
+(reference docker/scheduler.py:28-35, spark-job/etl_job.py:548-557);
+a 100 TB pipeline cannot. This operator maintains a materialized
+time-bucket aggregate INCREMENTALLY:
+
+1. find the distinct buckets touched by the new batch (driver sees
+   only the bucket list — a handful of values, never the data),
+2. re-aggregate ONLY those buckets from the source — the bucket-range
+   predicate prunes the scan to affected parquet row groups /
+   partitions,
+3. dynamic-partition-overwrite exactly those bucket partitions in the
+   rollup table.
+
+Late data therefore repairs its own bucket on the next run (the
+recompute-affected-buckets contract — stronger than the reference's
+truncated-window incremental quirk documented in SURVEY §4), and a
+replayed batch rewrites identical partitions: idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_aggregate(source: DataFrame, *, bucket: str = "1 day") -> DataFrame:
+    """The aggregate recomputed per bucket: per (bucket, event_type)
+    counts + value stats over `events`-shaped input. 2dp money policy
+    so replay/compare is hash-stable."""
+    return (
+        source.groupBy(
+            F.window("ts", bucket).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def incremental_time_rollup(
+    source: DataFrame,
+    new_batch: DataFrame,
+    rollup_dir: str,
+    *,
+    bucket: str = "1 day",
+) -> list:
+    """Refresh the continuous aggregate for the buckets `new_batch`
+    touches. `source` is the full event table (scan pruned by the
+    bucket predicate); `new_batch` is the just-ingested slice.
+    Returns the refreshed bucket starts (for logging/tests).
+    """
+    spark = source.sparkSession
+    touched = [
+        r["b"]
+        for r in new_batch.select(
+            F.window("ts", bucket).start.alias("b")
+        ).distinct().collect()
+    ]
+    if not touched:
+        return []
+    lo, hi = min(touched), max(touched)
+    # bucket-range predicate -> parquet min/max pruning on the source;
+    # the IN-list then drops any untouched buckets inside the range
+    refreshed = rollup_aggregate(
+        source.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.date_add(F.lit(hi), 1).cast("timestamp"))
+        ),
+        bucket=bucket,
+    ).filter(F.col("bucket_start").isin(touched))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        refreshed.repartition("bucket_start")
+        .write.mode("overwrite")
+        .partitionBy("bucket_start")
+        .parquet(rollup_dir)
+    )
+    return sorted(touched)
