@@ -225,8 +225,38 @@ FROM islands GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a moving frame. Spark has no
+    COUNT(DISTINCT) OVER — the idiomatic form is
+    ``size(collect_set(...))`` over the same frame (set state is
+    bounded by the frame length × type cardinality, fine at scale);
+    DuckDB oracles it with the native distinct window aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types_20"),
+    )
+
+
+_WINDOW_DISTINCT_COUNT_SQL = """
+SELECT user_id, event_id,
+       COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+       ) AS distinct_types_20
+FROM events
+"""
+
+
 QUERIES = {
     "gap_islands": q_gap_islands,
+    "window_distinct_count": q_window_distinct_count,
     "window_lag_lead": q_window_lag_lead,
     "window_rank_family": q_window_rank_family,
     "window_range_frame": q_window_range_frame,
@@ -236,6 +266,7 @@ QUERIES = {
 
 ORACLE = {
     "gap_islands": _GAP_ISLANDS_SQL,
+    "window_distinct_count": _WINDOW_DISTINCT_COUNT_SQL,
     "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
     "window_rank_family": _WINDOW_RANK_FAMILY_SQL,
     "window_range_frame": _WINDOW_RANGE_FRAME_SQL,
