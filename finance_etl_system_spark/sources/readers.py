@@ -82,6 +82,33 @@ def read_json_records(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_binary_assets(spark: SparkSession, path: str, *, glob: str = "*") -> DataFrame:
+    """X3 ingest edge: raw files -> (path, modificationTime, length,
+    content) via the binaryFile source, mapped onto the multimodal
+    asset layout (`operators/multimodal.py::ASSET_SCHEMA` columns are
+    derived downstream; the deterministic asset_id is a hash of the
+    path, not a counter — stable under re-listing and parallel read).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64("path").alias("asset_id"),
+        F.col("path").alias("source_uri"),
+        F.col("length").alias("content_length"),
+        F.col("content"),
+    )
+
+
+def write_read_orc(df: DataFrame, path: str, spark: SparkSession) -> DataFrame:
+    """ORC interchange (S-family completeness next to parquet/CSV/JSON):
+    columnar sink + scan with the same pushdown/pruning properties."""
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 def discover_tables(
     base_dir: str, pattern: str = r"^([a-z_]+)\.parquet$"
 ) -> list[str]:

@@ -69,3 +69,37 @@ def test_discover_symbols(spark):
         [("AAPL",), ("AAPL",), ("MSFT",)], "symbol STRING"
     )
     assert discover_symbols(df).count() == 2
+
+
+def test_binary_file_ingest(spark, tmp_path):
+    """binaryFile source -> multimodal asset layout; asset_id is a
+    stable hash of the path (re-listing cannot renumber assets)."""
+    from finance_etl_system_spark.sources.readers import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02")
+    (d / "b.bin").write_bytes(b"hello")
+    (d / "skip.txt").write_bytes(b"nope")
+
+    got = read_binary_assets(spark, str(d), glob="*.bin").orderBy("source_uri")
+    rows = got.collect()
+    assert [bytes(r["content"]) for r in rows] == [b"\x00\x01\x02", b"hello"]
+    assert [r["content_length"] for r in rows] == [3, 5]
+    again = read_binary_assets(spark, str(d), glob="*.bin").orderBy("source_uri")
+    assert [r["asset_id"] for r in rows] == [r["asset_id"] for r in again.collect()]
+
+
+def test_orc_roundtrip_preserves_values_and_pushdown(spark, tmp_path):
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.plans import pushed_filters
+    from finance_etl_system_spark.sources.readers import write_read_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    back = write_read_orc(src, str(tmp_path / "nation_orc"), spark)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+    filtered = back.filter(back.n_regionkey == 1)
+    assert any("n_regionkey" in f for f in pushed_filters(filtered))
