@@ -29,7 +29,21 @@ def salted_join(
     becomes (key, salt), splitting each hot key across ``salt``
     shuffle partitions. Right-side replication cost: |right| × salt —
     use for dimension-sized right sides (for big-big skew, prefer AQE).
+
+    ``how`` is restricted to joins where right-side replication cannot
+    change the result: inner/cross match sets are unaffected, left
+    outer/semi/anti see the right side only as a match probe. Right and
+    full outer joins would emit every unmatched right row salt× and are
+    rejected.
     """
+    allowed = {"inner", "cross", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            f"replicated {salt}x, so right/full outer joins would duplicate "
+            "unmatched right rows. Use AQE skew handling for those."
+        )
     non_key_cols = [c for c in left.columns if c != key]
     salt_src = F.xxhash64(*[F.col(c) for c in non_key_cols]) if non_key_cols else F.xxhash64(F.col(key))
     l = left.withColumn("_salt", F.pmod(salt_src, F.lit(salt)).cast("int"))
@@ -53,6 +67,13 @@ def two_phase_agg(
     caller). Catalyst already does map-side partial aggregation; the
     explicit salt additionally splits a hot key across reducers when
     one key's partials still overwhelm a single reduce task.
+
+    The salt is a content hash of the full row — replay-stable even if
+    a shuffle partition is recomputed with a different row order
+    (monotonically_increasing_id would not be: SPARK-23207). Exact
+    duplicate rows share a salt bucket; that skews the split only when
+    one identical row dominates, which the re-aggregation still handles
+    correctly.
     """
     supported = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
@@ -61,7 +82,7 @@ def two_phase_agg(
             raise ValueError(f"unsupported agg {fn!r}; use {sorted(supported)}")
 
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
     phase1 = salted.groupBy(key, "_salt").agg(
         *[supported[fn](c).alias(f"_p_{alias}") for c, fn, alias in aggs]

@@ -92,7 +92,9 @@ def clean_and_prepare(df: DataFrame) -> DataFrame:
     out = (
         out.withColumn("symbol", F.upper("ticker"))
         .withColumn(
-            "event_time", F.to_timestamp(F.col("timestamp"))
+            # try_: a malformed crawl timestamp yields NULL event_time
+            # (ANSI mode would otherwise fail the whole job on one row)
+            "event_time", F.try_to_timestamp(F.col("timestamp"))
         )
         .withColumn(
             "row_key",
@@ -254,8 +256,16 @@ def incremental_etl(
             [(s, t) for s, t in marks.items()],
             "symbol STRING, last_processed_ts TIMESTAMP",
         )
+        # event_time IS NULL (unparseable crawl timestamp) is an explicit
+        # branch: such rows are always treated as new, matching first-run
+        # behavior (which includes them). Without it, `null > mark` is
+        # null and a watermarked symbol would silently drop bad-timestamp
+        # rows that a first run accepts. They re-qualify on every run —
+        # harmless, because the keyed overwrite + (symbol, trading_date)
+        # dedup make reprocessing idempotent.
         new_rows = clean.join(F.broadcast(mark_df), "symbol", "left").filter(
             F.col("last_processed_ts").isNull()
+            | F.col("event_time").isNull()
             | (F.col("event_time") > F.col("last_processed_ts"))
         ).drop("last_processed_ts")
     else:

@@ -72,11 +72,13 @@ def incremental_time_rollup(
         return []
     lo, hi = min(touched), max(touched)
     # bucket-range predicate -> parquet min/max pruning on the source;
-    # the IN-list then drops any untouched buckets inside the range
+    # upper bound is hi + one bucket DURATION (not one day — a '1 week'
+    # bucket must include rows through its whole span); the IN-list
+    # then drops any untouched buckets inside the range
     refreshed = rollup_aggregate(
         source.filter(
             (F.col("ts") >= F.lit(lo))
-            & (F.col("ts") < F.date_add(F.lit(hi), 1).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi) + F.expr(f"INTERVAL {bucket}"))
         ),
         bucket=bucket,
     ).filter(F.col("bucket_start").isin(touched))

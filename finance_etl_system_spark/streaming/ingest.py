@@ -73,9 +73,14 @@ def stream_ingest(
     """File-source stand-in for the Kafka topic: each JSON line is one
     message with ``key``/``value`` fields. Returns the started query.
 
-    foreachBatch writes symbol-partitioned parquet with per-batch
-    dedup on (symbol, date) — idempotent under replay because the
-    checkpoint pins source offsets to batch ids.
+    foreachBatch writes symbol-partitioned parquet with per-batch dedup
+    on (symbol, date). Delivery contract: AT-LEAST-ONCE — a crash
+    between the append write and the checkpoint commit replays the
+    batch and appends the rows again; the deterministic (symbol, date)
+    key makes duplicates removable by dedup-on-read or compaction, but
+    this sink itself does not remove them. For an effectively-once
+    sink use ``stream_ingest_dual_sink``'s keyed dynamic-partition
+    overwrite, which converges under replay.
     """
     raw = (
         spark.readStream.schema("key STRING, value STRING")

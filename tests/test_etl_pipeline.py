@@ -103,6 +103,31 @@ def test_incremental_replay_is_idempotent(spark, raw_df, tmp_path):
     assert dup == 0
 
 
+def test_incremental_keeps_bad_timestamp_rows(spark, tmp_path):
+    """Regression: a row with an unparseable crawl `timestamp` (null
+    event_time) must be ingested by an incremental run on a symbol that
+    already has a watermark — first-run and incremental behavior agree."""
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    base = _make_raw_rows(symbols=("AAPL",), days=30)
+    incremental_etl(spark, spark.createDataFrame(base, RAW_SCHEMA), state, out)
+    assert read_watermarks(spark, state)
+
+    bad_ts_row = {
+        "ticker": "AAPL",
+        "date": "2020-02-15",
+        "open": 10.0, "high": 11.0, "low": 9.0, "close": 10.5,
+        "volume": 1000,
+        "timestamp": "not-a-timestamp",
+        "consumed_at": dt.datetime(2024, 1, 1),
+    }
+    incremental_etl(
+        spark, spark.createDataFrame(base + [bad_ts_row], RAW_SCHEMA), state, out
+    )
+    got = spark.read.parquet(out).filter("trading_date = DATE'2020-02-15'")
+    assert got.count() == 1
+    assert got.first()["close"] == 10.5
+
+
 def test_incremental_matches_full_recompute(spark, tmp_path):
     """Split the feed in two; incremental result must equal one-shot
     recompute (the reference's truncated-window quirk must NOT appear)."""

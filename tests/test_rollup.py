@@ -48,6 +48,30 @@ def test_incremental_equals_full_and_late_repair(spark, tmp_path):
     assert _snap(spark.read.parquet(out)) == _snap(rollup_aggregate(src2))
 
 
+def test_weekly_bucket_includes_full_span(spark, tmp_path):
+    """Regression: with '1 week' buckets the source-scan upper bound
+    must be bucket_start + 1 WEEK, not + 1 day — rows later in the max
+    touched week used to be silently excluded from the re-aggregate."""
+    out = str(tmp_path / "rollup")
+    # Spark week windows anchor to the epoch (a Thursday); the bucket
+    # containing these rows spans 2024-01-04 .. 2024-01-11
+    week_rows = [
+        ("2024-01-04T10:00:00", "view", 1.0),
+        ("2024-01-06T10:00:00", "view", 2.0),   # after first midnight
+        ("2024-01-10T23:00:00", "click", 4.0),  # near the end of the week
+    ]
+    src = _events(spark, week_rows)
+    touched = incremental_time_rollup(src, src, out, bucket="1 week")
+    assert len(touched) == 1
+    assert _snap(spark.read.parquet(out)) == _snap(
+        rollup_aggregate(src, bucket="1 week")
+    )
+    # the view bucket must count BOTH view rows (1.0 + 2.0)
+    got = _snap(spark.read.parquet(out))
+    (view_key,) = [k for k in got if k[1] == "view"]
+    assert got[view_key] == (2, 3.0)
+
+
 def test_empty_batch_is_noop(spark, tmp_path):
     out = str(tmp_path / "rollup")
     src = _events(spark, [("2024-01-01T10:00:00", "view", 1.0)])

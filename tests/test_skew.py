@@ -40,6 +40,33 @@ def test_salted_join_left_outer(spark):
     assert out.filter("tag IS NULL").count() == 100
 
 
+def test_salted_join_rejects_right_replicating_hows(spark):
+    import pytest
+
+    left = spark.createDataFrame([("a", 1.0)], "key STRING, v DOUBLE")
+    right = spark.createDataFrame([("a", "A"), ("b", "B")], "key STRING, tag STRING")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "key", salt=4, how=how)
+
+
+def test_two_phase_agg_stable_under_repartition(spark):
+    """Salts are content-derived, so the result must be identical no
+    matter how the input rows are laid out across partitions."""
+    df = _skewed(spark)
+    base = {
+        r["key"]: (r["n"], r["s"])
+        for r in two_phase_agg(df, "key", [("v", "count", "n"), ("v", "sum", "s")]).collect()
+    }
+    shuffled = {
+        r["key"]: (r["n"], r["s"])
+        for r in two_phase_agg(
+            df.repartition(7, "v"), "key", [("v", "count", "n"), ("v", "sum", "s")]
+        ).collect()
+    }
+    assert base == shuffled
+
+
 def test_two_phase_agg_matches_plain(spark):
     df = _skewed(spark)
     plain = {
