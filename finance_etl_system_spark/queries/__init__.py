@@ -27,6 +27,8 @@ _MODULES: list[str] = [
     "joins",
     "analytics",
     "analytics2",
+    "analytics3",
+    "series",
     "subqueries",
     "aggregates",
     "windows",

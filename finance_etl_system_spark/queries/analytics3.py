@@ -1,0 +1,245 @@
+"""Third tier of classic analytic shapes (TPC-H Q6/Q9/Q12/Q21,
+adapted to the fixture star schema — the fixtures carry no
+l_shipmode/l_commitdate/l_receiptdate or partsupp, so lateness is
+derived from ship-vs-order dates and unit cost from p_retailprice).
+
+Covers the plan families the first two analytics tiers do not:
+- Q6: pure scan-side aggregation — every predicate must reach the
+  parquet scan (PushedFilters), no join, no shuffle beyond the final
+  single-row reduce. The canonical "is pushdown working" probe.
+- Q12: join + conditional two-way counts (sum-of-CASE) bucketed by a
+  derived column.
+- Q21: the hardest shape here — a big-big SELF-join family on the
+  fact table (EXISTS another-supplier row, NOT EXISTS another-late-
+  supplier row). All three scans shuffle on l_orderkey, so Catalyst
+  reuses one exchange layout; the semi/anti sides are projected to
+  (orderkey, suppkey) before the exchange.
+- Q9: profit decomposition over a 5-way join grouped by nation x year.
+
+The reference has no joins at all (SURVEY §2.3); this tier is harness
+coverage proving warehouse-grade planning.
+
+Determinism: money sums rounded 2dp on both engines; date arithmetic
+is done on DATE-cast columns on both engines (timestamp day-boundary
+semantics differ between Spark datediff and DuckDB date_diff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue increase from hypothetically dropping small
+    discounts — one year of lineitem, three scan predicates, one sum.
+    The whole WHERE clause must appear in PushedFilters; the job is a
+    scan + partial agg + single-row final agg (no join, no wide
+    shuffle) at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "forecast_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_ship_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per shipping-speed bucket, how many urgent vs
+    non-urgent orders shipped — join + CASE bucketing + conditional
+    counts. The fixture has no l_shipmode, so the bucket is derived
+    from ship latency (FAST < 30 d <= MEDIUM < 90 d <= SLOW)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lag_days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    speed = (
+        F.when(lag_days < 30, "FAST")
+        .when(lag_days < 90, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("ship_speed", speed)
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_lines"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("normal_lines"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+_SHIP_SPEED_PRIORITY_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_speed,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS normal_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_speed
+ORDER BY ship_speed
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order. Late := shipped > 75 days after
+    the order date (the fixture has no l_receiptdate/l_commitdate).
+
+    Plan: lineitem x orders once, projected to (orderkey, suppkey,
+    late) — then one left_semi (exists another supplier on the order)
+    and one left_anti (not exists another LATE supplier). All three
+    legs hash-partition on l_orderkey, so the exchange is planned once
+    and reused; no row multiplication anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), 75)
+            ).alias("late"),
+        )
+    )
+    l1 = lo.filter(F.col("late"))
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 75 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND o3.o_orderstatus = 'F'
+      AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + INTERVAL 75 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation x order year for one product
+    family. The fixture has no partsupp, so unit cost is proxied as
+    60% of p_retailprice (deterministic, join-shaped like ps_supplycost).
+
+    part is filtered then broadcast; lineitem x orders is the only
+    big-big join (on l_orderkey); nation broadcasts onto supplier.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("order_year").desc())
+    )
+
+
+_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, order_year
+ORDER BY nation, order_year DESC
+"""
+
+
+QUERIES = {
+    "forecast_revenue": q_forecast_revenue,
+    "ship_speed_priority": q_ship_speed_priority,
+    "waiting_suppliers": q_waiting_suppliers,
+    "product_profit": q_product_profit,
+}
+
+ORACLE = {
+    "forecast_revenue": _FORECAST_REVENUE_SQL,
+    "ship_speed_priority": _SHIP_SPEED_PRIORITY_SQL,
+    "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "product_profit": _PRODUCT_PROFIT_SQL,
+}

@@ -1,0 +1,204 @@
+"""Time-series and statistical-aggregate operators.
+
+The reference's analytics are per-symbol time series (SURVEY §2.5) but
+it never densifies them — a missing trading day simply isn't a row.
+A training-data pipeline needs the opposite guarantee: a continuous
+spine with gaps made explicit (and optionally forward-filled), plus
+distribution-shape aggregates. This module adds:
+
+- gap-fill densification: date spine via sequence()/explode, left
+  join, last-observation-carried-forward via last(ignorenulls) over an
+  unbounded-preceding frame — all JVM-side, no UDF.
+- statistical aggregates: corr / covar_samp / stddev_samp per group.
+- ordered list aggregation (array_sort(collect_list)) — deterministic
+  form of LISTAGG/string_agg.
+- fixed-width histogram by pure integer arithmetic (identical floor
+  expression on both engines — width_bucket exists in Spark but not
+  DuckDB, so the shared-arithmetic form is the oracle-safe one).
+
+Scale notes (100 TB posture):
+- The spine is |event_types| x |days| rows — tiny relative to the
+  fact table; it broadcasts onto the daily aggregate. The expensive
+  side (the groupBy to daily grain) shuffles once on (type, day).
+- The forward-fill window partitions by event_type and orders by day:
+  partition count = distinct types; if one type dominates, the DAILY
+  grain (not raw events) is what flows through the window, so state
+  stays |days| rows per type.
+- The histogram is a single scan + 20-key groupBy: map-side partial
+  aggregation collapses everything before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified daily high-value totals per event type: the spine
+    makes missing (type, day) combinations explicit rows, the window
+    forward-fills the last observed total, and is_gap marks fills."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 250)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_total"))
+
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+            F.col("day_total").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_GAPFILL_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS day_total
+  FROM events WHERE value > 250 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+spine AS (
+  SELECT t.event_type, CAST(gs.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events WHERE value > 250) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+  ) gs
+)
+SELECT spine.event_type,
+       strftime(spine.day, '%Y-%m-%d') AS day,
+       LAST_VALUE(daily.day_total IGNORE NULLS) OVER (
+         PARTITION BY spine.event_type ORDER BY spine.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_total,
+       daily.day_total IS NULL AS is_gap
+FROM spine
+LEFT JOIN daily ON spine.event_type = daily.event_type AND spine.day = daily.day
+ORDER BY spine.event_type, spine.day
+"""
+
+
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape aggregates per return flag: Pearson
+    correlation and sample covariance of (quantity, price), plus the
+    discount's sample stddev. One scan, one shuffle on a 3-value key;
+    partial moments combine map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STATS_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       ROUND(STDDEV_SAMP(l_discount), 6) AS discount_stddev,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (LISTAGG/string_agg): nations per
+    region as one sorted comma-joined string. Sorting inside the
+    aggregate (array_sort before join) is what makes collect_list —
+    otherwise order-nondeterministic across partitions — oracle-safe."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_NATION_ROSTER_SQL = """
+SELECT r_name,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price: 20 buckets of 5250,
+    identical floor arithmetic on both engines. The groupBy key space
+    is 20 values, so the shuffle moves only 20 partial rows per task
+    regardless of input size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 5250.0).cast("long"), F.lit(19).cast("long")
+    )
+    return (
+        l.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_revenue"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+_PRICE_HISTOGRAM_SQL = """
+SELECT LEAST(CAST(FLOOR(l_extendedprice / 5250.0) AS BIGINT), 19) AS price_bucket,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS bucket_revenue
+FROM lineitem
+GROUP BY price_bucket
+ORDER BY price_bucket
+"""
+
+
+QUERIES = {
+    "gapfill_daily": q_gapfill_daily,
+    "stats_corr": q_stats_corr,
+    "nation_roster": q_nation_roster,
+    "price_histogram": q_price_histogram,
+}
+
+ORACLE = {
+    "gapfill_daily": _GAPFILL_DAILY_SQL,
+    "stats_corr": _STATS_CORR_SQL,
+    "nation_roster": _NATION_ROSTER_SQL,
+    "price_histogram": _PRICE_HISTOGRAM_SQL,
+}

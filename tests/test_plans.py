@@ -29,6 +29,11 @@ from finance_etl_system_spark.queries.joins import (
     q_join_big_big,
     q_join_broadcast_dims,
 )
+from finance_etl_system_spark.queries.analytics3 import (
+    q_forecast_revenue,
+    q_product_profit,
+    q_waiting_suppliers,
+)
 from finance_etl_system_spark.queries.relational import q_pricing_summary
 from tests.conftest import SF_SMOKE
 
@@ -66,6 +71,42 @@ def test_semi_join_prunes_and_pushes(spark):
     assert any("o_orderdate" in f for f in pushed_filters(df))
     lineitem_scans = [s for s in read_schemas(df) if "l_orderkey" in s]
     assert lineitem_scans and all("l_quantity" not in s for s in lineitem_scans)
+    assert not has_cartesian_product(df)
+
+
+def test_forecast_revenue_is_pure_scan_agg(spark):
+    """Q6 shape: every predicate reaches the parquet scan, the scan
+    reads only the four touched columns, and there is no join."""
+    df = q_forecast_revenue(spark, SF_SMOKE)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters
+    schemas = read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # partial agg + single final exchange only
+    assert exchange_count(df) <= 1
+
+
+def test_waiting_suppliers_projects_self_join_sides(spark):
+    """Q21 shape: the three lineitem legs are projected to
+    (orderkey, suppkey, shipdate) before any exchange; no cartesian
+    product sneaks in via the inequality conjuncts."""
+    df = q_waiting_suppliers(spark, SF_SMOKE)
+    assert not has_cartesian_product(df)
+    lineitem_scans = [s for s in read_schemas(df) if "l_suppkey" in s]
+    assert lineitem_scans
+    assert all("l_extendedprice" not in s for s in lineitem_scans)
+    assert any("EqualTo(o_orderstatus,F)" in f for f in pushed_filters(df))
+
+
+def test_product_profit_broadcasts_all_dims(spark):
+    """Q9 shape: part/supplier/nation broadcast; the only shuffle join
+    is lineitem x orders."""
+    df = q_product_profit(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 3
+    assert shuffle_join_count(df) <= 1
     assert not has_cartesian_product(df)
 
 
