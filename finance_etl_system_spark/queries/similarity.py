@@ -81,12 +81,62 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+_DIM = 64
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long format
+    (label, dim, centroid, n_vectors).
+
+    Scale: computed as _DIM column-wise avg aggregates over the array
+    elements — NOT an explode — so the shuffle carries one 64-slot
+    partial per (task, label) instead of 64x the row count. The melt
+    to long format (stack) runs after aggregation, on |labels| rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    wide = e.groupBy("label").agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"_c{i}")
+            for i in range(_DIM)
+        ],
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    stack_args = ", ".join(f"CAST({i + 1} AS BIGINT), _c{i}" for i in range(_DIM))
+    return (
+        wide.select(
+            "label",
+            F.expr(f"stack({_DIM}, {stack_args}) AS (dim, raw)"),
+            "n_vectors",
+        )
+        .select(
+            "label",
+            "dim",
+            F.round("raw", 6).alias("centroid"),
+            "n_vectors",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_EMBEDDING_CENTROIDS_SQL = f"""
+SELECT label,
+       CAST(i + 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings CROSS JOIN range({_DIM}) t(i)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLE = {
     "knn_bruteforce": _KNN_BRUTEFORCE_SQL,
+    "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
 }

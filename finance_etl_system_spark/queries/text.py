@@ -241,12 +241,56 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency table (top 25): explode the normalized
+    token stream, count occurrences and document frequency.
+
+    Scale: the exploded stream never materializes wholly — map-side
+    partial aggregation collapses each task's tokens to (token, count)
+    partials before the single shuffle on token. Hot tokens (stopwords)
+    are exactly the well-combined keys, so skew is self-limiting;
+    count-distinct on doc_id is the one true per-token state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+_TOKEN_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 25
+"""
+
+
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf": q_text_tfidf,
+    "token_topk": q_token_topk,
 }
 
 ORACLE = {
@@ -255,4 +299,5 @@ ORACLE = {
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_tfidf": _TEXT_TFIDF_SQL,
+    "token_topk": _TOKEN_TOPK_SQL,
 }
