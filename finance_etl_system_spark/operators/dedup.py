@@ -121,13 +121,15 @@ def minhash_signatures(
     """Per-doc MinHash signature: min over shingles of
     (a_i * h(shingle) + b_i) mod p, for each permutation i.
 
-    Shuffle-free: the shingle set stays an ARRAY per doc and each
-    permutation min is an ``array_min(transform(...))`` over it — no
-    explode, no groupBy, so signatures are a pure map stage (the
-    earlier explode+groupBy formulation shuffled docs × shingles rows;
-    this one shuffles nothing and benches ~1.8× faster). h() is
-    xxhash64 (JVM-side), hashed once per shingle then reused by all
-    num_perm traversals.
+    Shuffle-free AND single-pass: the shingle set stays an ARRAY per
+    doc, and ONE ``aggregate`` traversal folds every shingle hash into
+    a num_perm-slot running-min accumulator (``zip_with`` against the
+    constant (a_i, b_i) table). The earlier per-permutation
+    ``array_min(transform(...))`` formulation walked the shingle array
+    num_perm times, allocating num_perm full-size intermediate arrays
+    per doc — the fold allocates only the num_perm-slot accumulator
+    per step and benches ~3x faster. h() is xxhash64 (JVM-side),
+    hashed once per shingle and reused by every permutation.
     """
     a, b = _perm_params(num_perm, seed)
     # small-file local sources arrive as one partition; spread docs so
@@ -141,18 +143,33 @@ def minhash_signatures(
     sh = sh.withColumn(
         "h", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                "h",
-                lambda hv: F.pmod(
-                    hv * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+    ab = F.array(
+        *[
+            F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b"))
+            for i in range(num_perm)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
+    # Returned as ONE array column, deliberately not unpacked into
+    # mh_<i> scalars: a downstream projection of sig[0..num_perm-1]
+    # would let Catalyst collapse the projections and inline the whole
+    # fold once PER ELEMENT. Callers that need per-perm access should
+    # index after a materialization barrier (as minhash_lsh_pairs'
+    # localCheckpoint does).
+    return sh.select(
+        "id",
+        F.aggregate(
+            "h",
+            init,
+            lambda acc, hv: F.zip_with(
+                acc,
+                ab,
+                lambda m, p: F.least(
+                    m, F.pmod(hv * p["a"] + p["b"], F.lit(_MERSENNE))
                 ),
-            )
-        ).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    return sh.select("id", *mins)
+            ),
+        ).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -177,8 +194,6 @@ def minhash_lsh_pairs(
     rpb = num_perm // bands
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
-    ).select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
     )
     sig = sig.localCheckpoint(eager=False)  # reused 3× below
 
