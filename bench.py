@@ -35,6 +35,10 @@ HEADLINE: list[str] = [
     "returned_items",
     "late_shipment_priority",
     "order_count_distribution",
+    "forecast_revenue",
+    "waiting_suppliers",
+    "gapfill_daily",
+    "embedding_centroids",
     "argmax_latest_per_group",
     "rollup",
     "technical_indicators",

@@ -165,6 +165,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
     )
+    # tf feeds BOTH the df aggregation and the score join; Catalyst
+    # plans one shuffle and reuses it (ReusedExchange) — do NOT
+    # checkpoint here, it would break the reuse and double the cost
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
