@@ -129,8 +129,83 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 pair→cluster: connected components over the n-gram-Jaccard
+    near-dup pairs. Each clustered doc gets (cluster_id = min doc id
+    of its component, cluster size, canonical flag). The canonical doc
+    is what a dedup pipeline keeps; the rest are drops."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# transitive closure via recursive CTE: tiny here (the near-dup pair
+# set), and UNION (not UNION ALL) dedups rows so cycles terminate
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+           )
+         ) AS shset
+  FROM tok
+),
+sizes AS (SELECT id, len(shset) AS n_sh FROM sh),
+inv AS (SELECT id, unnest(shset) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+ORDER BY cluster_id, doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -140,6 +215,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
 }

@@ -1,0 +1,47 @@
+"""Connected-components correctness: known component structures,
+cycle termination, convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from finance_etl_system_spark.operators.graph import connected_components
+
+
+def _labels(df):
+    return {r["id"]: r["label"] for r in df.collect()}
+
+
+def test_chains_and_isolated_pairs(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a LONG, id_b LONG",
+    )
+    got = _labels(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cycle_terminates(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5)], "id_a LONG, id_b LONG"
+    )
+    got = _labels(connected_components(edges))
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_star_converges_in_one_round(spark):
+    edges = spark.createDataFrame(
+        [(100, i) for i in range(101, 110)], "id_a LONG, id_b LONG"
+    )
+    got = _labels(connected_components(edges))
+    assert set(got.values()) == {100}
+    assert len(got) == 10
+
+
+def test_nonconvergence_raises(spark):
+    # a 6-node path needs ~5 propagation rounds; max_iters=1 must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
