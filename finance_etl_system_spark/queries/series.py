@@ -189,8 +189,51 @@ ORDER BY price_bucket
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed:
+    each user's purchase events become validity intervals
+    [valid_from, valid_to) with an is_current flag — the warehouse
+    pattern for tracking attribute history without updates-in-place.
+
+    One window family (lead over user_id ordered by event time) = one
+    shuffle on user_id; no self-join. Ties on ts break on event_id so
+    the intervals are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            F.round("value", 2).alias("state_value"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+_SCD2_USER_STATE_SQL = """
+SELECT user_id,
+       event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       ROUND(value, 2) AS state_value,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
+    "scd2_user_state": q_scd2_user_state,
     "stats_corr": q_stats_corr,
     "nation_roster": q_nation_roster,
     "price_histogram": q_price_histogram,
@@ -198,6 +241,7 @@ QUERIES = {
 
 ORACLE = {
     "gapfill_daily": _GAPFILL_DAILY_SQL,
+    "scd2_user_state": _SCD2_USER_STATE_SQL,
     "stats_corr": _STATS_CORR_SQL,
     "nation_roster": _NATION_ROSTER_SQL,
     "price_histogram": _PRICE_HISTOGRAM_SQL,
