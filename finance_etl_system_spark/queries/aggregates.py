@@ -403,8 +403,29 @@ FROM latest l JOIN stats s ON l.o_custkey = s.o_custkey
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier percentiles: ``approx_percentile`` (mergeable
+    KLL-style sketch, accuracy=10000) per group. The 100 TB companion
+    to q_percentiles' exact interpolation — sketches merge map-side,
+    so the shuffle carries one bounded sketch per (task, group) no
+    matter the row count. Engine-specific sketch → rows-only driver
+    check; error vs the exact percentiles pinned in
+    tests/test_properties.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 6
+        ).alias("approx_median_price"),
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 6
+        ).alias("approx_p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "percentiles": q_percentiles,
+    "approx_percentiles": q_approx_percentiles,
     "merge_aggregates": q_merge_aggregates,
     "group_agg_having": q_group_agg_having,
     "count_distinct": q_count_distinct,

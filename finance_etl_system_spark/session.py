@@ -27,9 +27,15 @@ def get_spark(app_name: str = "finance-etl-system-spark") -> SparkSession:
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # local mode runs every executor thread inside the driver JVM, and
+    # pyspark's default driver heap is 1g — 32 concurrent tasks on big
+    # shuffles hit GCLocker thrash/OOM there. Effective only if this
+    # call creates the JVM; a cluster deploy sets its own sizes.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime coalescing, skew-join handling, dynamic join
         # strategy switch — replaces the reference's fixed parallelism=4.
         .config("spark.sql.adaptive.enabled", "true")

@@ -27,6 +27,26 @@ prices = st.lists(
 )
 
 
+def test_approx_percentile_close_to_exact(spark):
+    """Sketch accuracy: approx_percentile at accuracy=10000 must sit
+    within 1% relative error of the exact interpolated percentile on
+    the sf0.01 orders table."""
+    from finance_etl_system_spark.queries.aggregates import (
+        q_approx_percentiles,
+        q_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["o_orderpriority"]: r for r in q_percentiles(spark, sf).collect()}
+    approx = {r["o_orderpriority"]: r for r in q_approx_percentiles(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for key, e in exact.items():
+        a = approx[key]
+        assert abs(a["approx_median_price"] - e["median_price"]) <= 0.01 * e["median_price"]
+        assert abs(a["approx_p90_price"] - e["p90_price"]) <= 0.01 * e["p90_price"]
+        assert a["n"] == e["n"]
+
+
 @given(closes=prices)
 @settings(**_SETTINGS)
 def test_indicator_invariants(spark, closes):

@@ -46,8 +46,11 @@ QUERIES = [
     "join_big_big",
     "shipping_priority",
     "order_count_distribution",
+    "forecast_revenue",
+    "waiting_suppliers",
     "technical_indicators",
     "tumbling_window",
+    "gapfill_daily",
     "text_stats",
     "hash_sample",
 ]
