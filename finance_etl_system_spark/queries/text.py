@@ -287,8 +287,42 @@ LIMIT 25
 """
 
 
+def q_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 binary-column manifest: documents re-ingested as opaque
+    BinaryType content (the multimodal ingest shape — text stands in
+    for image/audio bytes), with the real, non-stub metadata tier:
+    byte length + sha2 content hash + exact-dedup canonical flag.
+    All JVM-side; the hash is the dedup/lineage backbone
+    (operators/multimodal.py::add_content_metadata semantics)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.length(content).alias("n_bytes"),
+            F.sha2(content, 256).alias("content_sha"),
+        )
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .orderBy("doc_id")
+    )
+
+
+_BINARY_MANIFEST_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS is_canonical
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
+    "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
     "text_fingerprint": q_text_fingerprint,
@@ -298,6 +332,7 @@ QUERIES = {
 
 ORACLE = {
     "fuzzy_match": _FUZZY_MATCH_SQL,
+    "binary_manifest": _BINARY_MANIFEST_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
