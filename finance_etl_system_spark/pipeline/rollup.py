@@ -49,6 +49,54 @@ def rollup_aggregate(source: DataFrame, *, bucket: str = "1 day") -> DataFrame:
     )
 
 
+def stream_rollup(
+    spark,
+    source_dir: str,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    *,
+    bucket: str = "1 day",
+):
+    """Continuous-aggregate maintenance as a stream: each micro-batch
+    is appended to the event log, then exactly the buckets it touches
+    are re-aggregated from the log and overwritten in the rollup table
+    (incremental_time_rollup). Late rows repair their own bucket in
+    the same batch that delivers them.
+
+    Replay contract: a crash between the append and the rollup refresh
+    replays the batch — the append sink is at-least-once (dedup on
+    event_id downstream if the source can re-deliver), while the
+    rollup refresh recomputes FROM the log and overwrites, so it
+    converges regardless. Returns the started query (availableNow).
+
+    Scale: the refresh cost per batch is bounded by the touched
+    buckets' row counts in the log — streaming arrival order, not log
+    size, drives the work.
+    """
+    raw = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ).json(source_dir)
+    )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(events_dir)
+            source = batch_df.sparkSession.read.parquet(events_dir)
+            incremental_time_rollup(source, batch_df, rollup_dir, bucket=bucket)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_time_rollup(
     source: DataFrame,
     new_batch: DataFrame,

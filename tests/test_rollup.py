@@ -72,6 +72,41 @@ def test_weekly_bucket_includes_full_span(spark, tmp_path):
     assert got[view_key] == (2, 3.0)
 
 
+def test_stream_rollup_maintains_continuous_aggregate(spark, tmp_path):
+    """Two micro-batches (second delivers late day-1 data) must leave
+    the rollup equal to a full recompute over everything ingested."""
+    import json
+
+    from finance_etl_system_spark.pipeline.rollup import stream_rollup
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    events_dir = str(tmp_path / "events")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        with open(src / name, "w") as fh:
+            for i, (ts, et, v) in rows:
+                fh.write(json.dumps(
+                    {"event_id": i, "ts": ts, "event_type": et, "value": v}
+                ) + "\n")
+
+    emit("b1.json", [
+        (1, ("2024-01-01T10:00:00", "view", 1.0)),
+        (2, ("2024-01-02T09:00:00", "click", 2.0)),
+    ])
+    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt).awaitTermination(120)
+
+    # late day-1 row arrives in batch 2
+    emit("b2.json", [(3, ("2024-01-01T15:00:00", "view", 10.0))])
+    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt).awaitTermination(120)
+
+    full = rollup_aggregate(spark.read.parquet(events_dir))
+    assert _snap(spark.read.parquet(rollup_dir)) == _snap(full)
+    assert spark.read.parquet(events_dir).count() == 3
+
+
 def test_empty_batch_is_noop(spark, tmp_path):
     out = str(tmp_path / "rollup")
     src = _events(spark, [("2024-01-01T10:00:00", "view", 1.0)])
