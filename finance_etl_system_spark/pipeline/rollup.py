@@ -64,15 +64,18 @@ def stream_rollup(
     (incremental_time_rollup). Late rows repair their own bucket in
     the same batch that delivers them.
 
-    Replay contract: a crash between the append and the rollup refresh
-    replays the batch — the append sink is at-least-once (dedup on
-    event_id downstream if the source can re-deliver), while the
-    rollup refresh recomputes FROM the log and overwrites, so it
-    converges regardless. Returns the started query (availableNow).
+    Replay contract: a crash between the append and the checkpoint
+    commit replays the batch. The append is made effectively-once by
+    anti-joining the batch against the log's event_ids FIRST — and
+    because the log is day-partitioned, that existence probe reads
+    only the batch's own days, not the whole log. The rollup refresh
+    then recomputes from the (deduped) log and overwrites its buckets,
+    so both sinks converge under replay. Returns the started query
+    (availableNow trigger).
 
-    Scale: the refresh cost per batch is bounded by the touched
-    buckets' row counts in the log — streaming arrival order, not log
-    size, drives the work.
+    Scale: per batch, the dedup probe reads the touched days and the
+    refresh re-aggregates the touched buckets — streaming arrival
+    pattern, not log size, drives the work.
     """
     raw = (
         spark.readStream.schema(
@@ -81,13 +84,30 @@ def stream_rollup(
     )
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch = batch_df.withColumn("event_date", F.col("ts").cast("date")).persist()
         try:
-            batch_df.write.mode("append").parquet(events_dir)
-            source = batch_df.sparkSession.read.parquet(events_dir)
-            incremental_time_rollup(source, batch_df, rollup_dir, bucket=bucket)
+            days = [r["event_date"] for r in batch.select("event_date").distinct().collect()]
+            try:
+                seen = (
+                    sess.read.parquet(events_dir)
+                    .filter(F.col("event_date").isin(days))
+                    .select("event_id")
+                )
+                fresh = batch.join(seen, "event_id", "left_anti")
+            except Exception:  # noqa: BLE001 — first batch, no log yet
+                fresh = batch
+            (
+                fresh.write.mode("append")
+                .partitionBy("event_date")
+                .parquet(events_dir)
+            )
+            source = sess.read.parquet(events_dir)
+            incremental_time_rollup(source, batch, rollup_dir, bucket=bucket)
         finally:
-            batch_df.unpersist()
+            batch.unpersist()
 
     return (
         raw.writeStream.foreachBatch(refresh)

@@ -106,6 +106,14 @@ def test_stream_rollup_maintains_continuous_aggregate(spark, tmp_path):
     assert _snap(spark.read.parquet(rollup_dir)) == _snap(full)
     assert spark.read.parquet(events_dir).count() == 3
 
+    # replay EVERYTHING with a fresh checkpoint (= crash-recovery
+    # redelivery): the event-id dedup must keep the log exact and the
+    # rollup converged
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt2).awaitTermination(120)
+    assert spark.read.parquet(events_dir).count() == 3
+    assert _snap(spark.read.parquet(rollup_dir)) == _snap(full)
+
 
 def test_empty_batch_is_noop(spark, tmp_path):
     out = str(tmp_path / "rollup")
