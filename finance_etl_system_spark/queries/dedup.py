@@ -203,9 +203,110 @@ ORDER BY cluster_id, doc_id
 """
 
 
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: hash-split documents 25/75 by
+    their dedup CLUSTER id (singletons by their own id), so two
+    near-duplicates can never land on opposite sides — the leakage
+    mode a plain per-doc split has. Composition of
+    connected_components + the deterministic md5 split
+    (operators/sampling.py); output is the per-side summary."""
+    from ..operators.graph import connected_components
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = (
+        d.select("doc_id")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .withColumn(
+            "eff_key", F.coalesce("cluster_id", "doc_id").cast("string")
+        )
+    )
+    # 0.25 * 16^4 = 16384 = 0x4000
+    side = F.when(hash_bucket("eff_key") < F.lit("4000"), "test").otherwise("train")
+    return (
+        docs.withColumn("split_side", side)
+        .groupBy("split_side")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("cluster_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_clustered_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("split_side")
+    )
+
+
+_DEDUP_SAFE_SPLIT_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+           )
+         ) AS shset
+  FROM tok
+),
+sizes AS (SELECT id, len(shset) AS n_sh FROM sh),
+inv AS (SELECT id, unnest(shset) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+docs AS (
+  SELECT d.doc_id, l.cluster_id,
+         CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR) AS eff_key
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+sided AS (
+  SELECT *,
+         CASE WHEN substr(md5(eff_key), 1, 4) < '4000'
+              THEN 'test' ELSE 'train' END AS split_side
+  FROM docs
+)
+SELECT split_side,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters
+FROM sided
+GROUP BY split_side
+ORDER BY split_side
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_safe_split": q_dedup_safe_split,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -216,6 +317,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_safe_split": _DEDUP_SAFE_SPLIT_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
 }

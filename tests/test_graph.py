@@ -38,6 +38,32 @@ def test_star_converges_in_one_round(spark):
     assert len(got) == 10
 
 
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land entirely on one split side."""
+    import pyspark.sql.functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.dedup import ngram_jaccard_pairs
+    from finance_etl_system_spark.operators.sampling import hash_bucket
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sided = cc.withColumn("eff_key", F.col("label").cast("string")).withColumn(
+        "side",
+        F.when(hash_bucket("eff_key") < F.lit("4000"), "test").otherwise("train"),
+    )
+    # a cluster crossing sides would show 2 distinct sides for one label
+    crossing = (
+        sided.groupBy("label")
+        .agg(F.countDistinct("side").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert crossing == 0
+
+
 def test_nonconvergence_raises(spark):
     # a 6-node path needs ~5 propagation rounds; max_iters=1 must raise
     edges = spark.createDataFrame(
