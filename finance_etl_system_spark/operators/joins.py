@@ -105,6 +105,55 @@ def asof_join(
     return result
 
 
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    *,
+    after_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Big-big time-interval join WITHOUT an equi key: every left row
+    matched to right rows with right_ts in [left_ts, left_ts + after].
+
+    A bare interval predicate degenerates to BroadcastNestedLoopJoin —
+    quadratic, and impossible when neither side broadcasts. Banding
+    restores an equi key: time is cut into fixed buckets, the right
+    side keys by its own bucket, the left side EXPLODES to every
+    bucket its interval overlaps (⌈after/bucket⌉+1 rows, a small
+    constant), and the join runs hash-partitioned on the bucket id
+    with the exact interval predicate as a post-filter. Each right row
+    lives in exactly one bucket, so no pair meets twice and no dedup
+    pass is needed. Shuffle volume: |left|·(k+1) + |right| rows — at
+    100 TB this is the only viable shape for keyless interval joins.
+
+    Both timestamp columns must be actual timestamps; sub-second
+    precision is preserved (epoch arithmetic in double only picks
+    candidate buckets — the final predicate compares raw timestamps).
+    """
+    w = int(bucket_seconds or after_seconds)
+    if w <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(l_epoch / w).cast("long"),
+                F.floor((l_epoch + after_seconds) / w).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn("_bucket", F.floor(r_epoch / w).cast("long"))
+    exact = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts)
+        <= F.col(left_ts) + F.expr(f"INTERVAL {after_seconds} SECONDS")
+    )
+    return l.join(r, "_bucket").filter(exact).drop("_bucket")
+
+
 def range_join(
     fact: DataFrame,
     dim: DataFrame,

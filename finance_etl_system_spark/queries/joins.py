@@ -294,7 +294,48 @@ ASOF LEFT JOIN clicks c
 """
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless big-big interval join: each purchase matched to ALL
+    error events (any user) in the 5 minutes after it, via time-bucket
+    banding (operators/joins.py::banded_interval_join) — hash join on
+    the bucket id, never a nested-loop. Aggregated per purchase."""
+    from ..operators.joins import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
+    )
+    joined = banded_interval_join(
+        purchases, errors, "p_ts", "e_ts", after_seconds=300
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.round(F.sum("e_value"), 2).alias("error_value_sum"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_INTERVAL_JOIN_EVENTS_SQL = """
+SELECT p.event_id AS purchase_id,
+       COUNT(*) AS n_errors,
+       ROUND(SUM(e.value), 2) AS error_value_sum
+FROM events p
+JOIN events e
+  ON e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 300 SECOND
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
+    "interval_join_events": q_interval_join_events,
     "join_broadcast_dims": q_join_broadcast_dims,
     "join_big_big": q_join_big_big,
     "join_left_outer": q_join_left_outer,
@@ -306,6 +347,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "interval_join_events": _INTERVAL_JOIN_EVENTS_SQL,
     "join_broadcast_dims": _JOIN_BROADCAST_DIMS_SQL,
     "join_big_big": _JOIN_BIG_BIG_SQL,
     "join_left_outer": _JOIN_LEFT_OUTER_SQL,

@@ -27,6 +27,32 @@ prices = st.lists(
 )
 
 
+def test_banded_interval_join_matches_bruteforce(spark):
+    """The banded formulation must equal the naive theta join
+    (crossJoin + filter) — including interval-boundary rows — on the
+    sf0.001 events table."""
+    import pyspark.sql.functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.joins import banded_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"), F.col("ts").alias("lts")
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("rid"), F.col("ts").alias("rts")
+    )
+    banded = banded_interval_join(left, right, "lts", "rts", after_seconds=600)
+    naive = left.crossJoin(right).filter(
+        (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 600 SECONDS"))
+    )
+    a = {(r["lid"], r["rid"]) for r in banded.select("lid", "rid").collect()}
+    b = {(r["lid"], r["rid"]) for r in naive.select("lid", "rid").collect()}
+    assert a == b and a
+
+
 def test_approx_percentile_close_to_exact(spark):
     """Sketch accuracy: approx_percentile at accuracy=10000 must sit
     within 1% relative error of the exact interpolated percentile on
