@@ -231,9 +231,46 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+def q_tz_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware market-hours filter: UTC event times shifted to
+    exchange-local (America/New_York), kept only within the 09:30-16:00
+    trading session, summarized per local hour. Both engines resolve
+    the IANA zone via tzdata, so offsets (incl. DST rules) agree;
+    the fixture's January window sits entirely in EST."""
+    ev = load_table(spark, sf_dir, "events")
+    lt = F.from_utc_timestamp("ts", "America/New_York")
+    minute_of_day = F.hour(lt) * 60 + F.minute(lt)
+    return (
+        ev.filter((minute_of_day >= 570) & (minute_of_day < 960))
+        .groupBy(F.hour(lt).alias("ny_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("ny_hour")
+    )
+
+
+_TZ_MARKET_HOURS_SQL = """
+WITH local AS (
+  SELECT timezone('America/New_York', timezone('UTC', ts)) AS lt, value
+  FROM events
+)
+SELECT CAST(hour(lt) AS INT) AS ny_hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM local
+WHERE hour(lt) * 60 + minute(lt) >= 570
+  AND hour(lt) * 60 + minute(lt) < 960
+GROUP BY ny_hour
+ORDER BY ny_hour
+"""
+
+
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_user_state": q_scd2_user_state,
+    "tz_market_hours": q_tz_market_hours,
     "stats_corr": q_stats_corr,
     "nation_roster": q_nation_roster,
     "price_histogram": q_price_histogram,
@@ -242,6 +279,7 @@ QUERIES = {
 ORACLE = {
     "gapfill_daily": _GAPFILL_DAILY_SQL,
     "scd2_user_state": _SCD2_USER_STATE_SQL,
+    "tz_market_hours": _TZ_MARKET_HOURS_SQL,
     "stats_corr": _STATS_CORR_SQL,
     "nation_roster": _NATION_ROSTER_SQL,
     "price_histogram": _PRICE_HISTOGRAM_SQL,
