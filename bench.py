@@ -30,6 +30,7 @@ HEADLINE: list[str] = [
     "join_big_big",
     "join_broadcast_dims",
     "join_asof",
+    "interval_join_events",
     "shipping_priority",
     "local_supplier_volume",
     "returned_items",

@@ -47,6 +47,12 @@ def asof_join(
     oracle). Right rows are deduplicated to the last row per
     (by, on) — ties on the timestamp resolve to the right row, like
     ASOF's ``>=``.
+
+    Caveat: a right row whose VALUE column is genuinely NULL is
+    skipped by the carried-forward window (``last(ignorenulls)``) —
+    the previous non-null observation wins, LOCF-style — whereas a
+    true ASOF join would surface that NULL. Pre-filter or sentinel
+    such rows if NULL observations are meaningful.
     """
     by = list(by)
     right_values = list(right_values) or [
