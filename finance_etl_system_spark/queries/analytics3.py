@@ -230,8 +230,91 @@ ORDER BY nation, order_year DESC
 """
 
 
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 25 part pairs most often bought
+    in the same order. Self-join on l_orderkey with p1 < p2 so each
+    unordered pair counts once per order (distinct parts per order
+    first, so duplicate lines don't inflate counts).
+
+    Scale: pair volume is quadratic in PARTS-PER-ORDER (small, bounded
+    by basket size), linear in orders — the safe self-join shape. Both
+    legs share the l_orderkey hash partitioning; the pair groupBy is
+    map-side combinable.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(25)
+    )
+
+
+_PART_COOCCURRENCE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+FROM op a
+JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p1, p2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 25
+"""
+
+
+def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, with
+    the count still ordering 1/3/6+ months later — the two-level
+    aggregate + conditional-count shape every growth dashboard runs.
+
+    Both aggregations key on o_custkey first, so the cohort join rides
+    the same hash partitioning; month arithmetic is integer (yyyy*12+mm)
+    on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    per_cust = o.select(F.col("o_custkey").alias("ck"), mon.alias("mon"))
+    first = per_cust.groupBy("ck").agg(F.min("mon").alias("cohort_mon"))
+    j = per_cust.join(first, "ck")
+    age = F.col("mon") - F.col("cohort_mon")
+    return (
+        j.groupBy("cohort_mon")
+        .agg(
+            F.countDistinct("ck").alias("cohort_size"),
+            F.countDistinct(F.when(age >= 1, F.col("ck"))).alias("active_1mo"),
+            F.countDistinct(F.when(age >= 3, F.col("ck"))).alias("active_3mo"),
+            F.countDistinct(F.when(age >= 6, F.col("ck"))).alias("active_6mo"),
+        )
+        .orderBy("cohort_mon")
+    )
+
+
+_CUSTOMER_RETENTION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS ck,
+         CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS mon
+  FROM orders
+),
+first AS (SELECT ck, MIN(mon) AS cohort_mon FROM per_cust GROUP BY ck)
+SELECT cohort_mon,
+       COUNT(DISTINCT per_cust.ck) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN mon - cohort_mon >= 1 THEN per_cust.ck END) AS active_1mo,
+       COUNT(DISTINCT CASE WHEN mon - cohort_mon >= 3 THEN per_cust.ck END) AS active_3mo,
+       COUNT(DISTINCT CASE WHEN mon - cohort_mon >= 6 THEN per_cust.ck END) AS active_6mo
+FROM per_cust
+JOIN first ON per_cust.ck = first.ck
+GROUP BY cohort_mon
+ORDER BY cohort_mon
+"""
+
+
 QUERIES = {
     "forecast_revenue": q_forecast_revenue,
+    "part_cooccurrence": q_part_cooccurrence,
+    "customer_retention": q_customer_retention,
     "ship_speed_priority": q_ship_speed_priority,
     "waiting_suppliers": q_waiting_suppliers,
     "product_profit": q_product_profit,
@@ -239,6 +322,8 @@ QUERIES = {
 
 ORACLE = {
     "forecast_revenue": _FORECAST_REVENUE_SQL,
+    "part_cooccurrence": _PART_COOCCURRENCE_SQL,
+    "customer_retention": _CUSTOMER_RETENTION_SQL,
     "ship_speed_priority": _SHIP_SPEED_PRIORITY_SQL,
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
     "product_profit": _PRODUCT_PROFIT_SQL,
