@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "analytics",
     "analytics2",
     "analytics3",
+    "analytics4",
     "series",
     "subqueries",
     "aggregates",
