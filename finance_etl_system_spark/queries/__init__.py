@@ -30,6 +30,7 @@ _MODULES: list[str] = [
     "analytics3",
     "analytics4",
     "series",
+    "finance",
     "subqueries",
     "aggregates",
     "windows",

@@ -1,0 +1,91 @@
+"""Finance time-series queries (queries/finance.py): semantic
+properties recomputed independently (pandas) on the smoke fixture."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from finance_etl_system_spark.queries.finance import (
+    q_max_drawdown,
+    q_ohlc_resample,
+    q_sessionize_events,
+    q_symbol_correlation,
+    q_vwap_daily,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _events_pdf() -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf["ts"] = pdf["ts"].dt.floor("us")  # engines truncate ns -> us
+    return pdf
+
+
+def test_ohlc_bar_invariants(spark):
+    rows = q_ohlc_resample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= min(r.open, r.close)
+        assert r.high >= max(r.open, r.close)
+        assert r.n_trades >= 1
+    # bar count = distinct (symbol, week) present in raw data
+    pdf = _events_pdf()
+    weeks = pdf.assign(
+        week=pdf["ts"].dt.to_period("W").dt.start_time
+    ).groupby(["user_id", "week"]).size()
+    assert len(rows) == len(weeks)
+
+
+def test_ohlc_open_close_are_first_last(spark):
+    rows = q_ohlc_resample(spark, SF_SMOKE).collect()
+    pdf = _events_pdf().sort_values("ts")
+    pdf["week"] = pdf["ts"].dt.to_period("W").dt.start_time
+    g = pdf.groupby(["user_id", "week"])["value"]
+    first = g.first()
+    last = g.last()
+    for r in rows:
+        key = (r.symbol, pd.Timestamp(r.week))
+        assert abs(r.open - round(first[key], 2)) < 1e-9
+        assert abs(r.close - round(last[key], 2)) < 1e-9
+
+
+def test_vwap_within_daily_range(spark):
+    rows = q_vwap_daily(spark, SF_SMOKE).collect()
+    pdf = _events_pdf()
+    pdf["d"] = pdf["ts"].dt.date
+    lo = pdf.groupby(["user_id", "d"])["value"].min()
+    hi = pdf.groupby(["user_id", "d"])["value"].max()
+    for r in rows:
+        key = (r.symbol, r.d)
+        assert lo[key] - 1e-6 <= r.vwap <= hi[key] + 1e-6
+
+
+def test_max_drawdown_bounds_and_zero_peak_start(spark):
+    rows = q_max_drawdown(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown < 1.0
+        assert r.peak_price > 0
+
+
+def test_sessionize_gap_property(spark):
+    sessions = q_sessionize_events(spark, SF_SMOKE).collect()
+    pdf = _events_pdf().sort_values(["user_id", "ts"])
+    # recompute sessions in pandas with the same 30-min rule
+    gaps = pdf.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+    pdf["sid"] = gaps.groupby(pdf["user_id"]).cumsum()
+    truth = pdf.groupby(["user_id", "sid"]).agg(
+        n=("event_id", "size"), start=("ts", "min"), end=("ts", "max")
+    )
+    assert len(sessions) == len(truth)
+    got_counts = sorted((s.user_id, s.n_events) for s in sessions)
+    want_counts = sorted((uid, int(n)) for (uid, _), n in truth["n"].items())
+    assert got_counts == want_counts
+
+
+def test_symbol_correlation_is_valid_pearson(spark):
+    rows = q_symbol_correlation(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr_r <= 1.0 + 1e-9
+        assert r.sym_a < r.sym_b
+        assert r.n_days >= 15
