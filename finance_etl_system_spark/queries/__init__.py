@@ -41,6 +41,7 @@ _MODULES: list[str] = [
     "sampling",
     "similarity",
     "text",
+    "quality",
     "ml",
 ]
 

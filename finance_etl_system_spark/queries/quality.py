@@ -1,0 +1,209 @@
+"""Training-data curation operators over the documents table — the
+pieces a 100 TB pretraining pipeline runs between raw crawl and
+tokenization: repetition-based quality filters (Gopher-style rules),
+deterministic corpus rebalancing to a target language mix, and PII
+redaction.
+
+The reference has no document pipeline at all; these extend SURVEY
+§2.10 X4 (text analysis) with the *filter/curate* half. All three are
+fully SQL-expressible and oracle-checked.
+
+Determinism: every ratio is an exact-integer count divided once; flag
+columns are integer predicates (``top*100 > 12*n``), never float
+comparisons; the rebalance hash is pure integer arithmetic (Knuth
+multiplicative), not a engine-specific hash function.
+
+Scale notes:
+- repetition stats are one explode + (doc, token) count + per-doc
+  re-aggregate: two shuffles keyed by doc_id, map-side combinable,
+  no state beyond a token count — the canonical word-count shape.
+- the rebalance is one tiny per-lang count (broadcast back) + one
+  window rank per lang; at 100 TB the rank shuffle is the cost, and
+  it is exactly one pass.
+- PII scrub is a pure per-row projection (whole-stage codegen, no
+  Python) — regexp_replace runs JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# deliberately simple, RE2-and-Java-compatible patterns
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: type/token ratio and
+    top-token mass — the cheap Gopher-style repetition filters.
+
+    ``repetitive`` is the integer predicate ``top*100 > 12*n`` (most
+    frequent token holds > 12 % of the document), exact on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_count",
+            F.round(F.col("n_distinct") / F.col("n_tokens").cast("double"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("top_count") / F.col("n_tokens").cast("double"), 6).alias(
+                "top_token_frac"
+            ),
+            (F.col("top_count") * 100 > F.col("n_tokens") * 12).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM per_tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_count,
+       ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+       ROUND(top_count / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+       top_count * 100 > n_tokens * 12 AS repetitive
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsampling to a uniform language mix: every
+    language keeps exactly ``min(count per lang)`` documents, chosen
+    by a content-independent integer hash (Knuth multiplicative) so
+    the selection is stable across runs, partitionings, and engines.
+
+    Plan: per-lang counts collapse to a broadcast scalar quota; one
+    window rank per lang picks the survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("quota"))
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_DATA_MIX_REBALANCE_SQL = """
+WITH quota AS (
+  SELECT MIN(n) AS quota FROM (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+),
+ranked AS (
+  SELECT lang, doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, source
+FROM ranked CROSS JOIN quota
+WHERE rn <= quota
+ORDER BY lang, doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and US-style phone numbers replaced with
+    typed placeholders, with per-document redaction counts.
+
+    The fixture corpus carries no PII, so a deterministic synthetic
+    contact line is appended to every 7th document first — the query
+    then provably finds and removes exactly those plants (the count
+    columns and the scrubbed text are both oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact john.doe@example.com or 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return (
+        d.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("aug"), F.lit(_EMAIL_RE), F.lit(0)))
+            .cast("int")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PHONE_RE), F.lit(0)))
+            .cast("int")
+            .alias("n_phones"),
+            scrubbed.alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact john.doe@example.com or 555-123-4567'
+              ELSE text END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+FROM aug ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "quality_repetition": q_quality_repetition,
+    "data_mix_rebalance": q_data_mix_rebalance,
+    "pii_scrub": q_pii_scrub,
+}
+
+ORACLE = {
+    "quality_repetition": _QUALITY_REPETITION_SQL,
+    "data_mix_rebalance": _DATA_MIX_REBALANCE_SQL,
+    "pii_scrub": _PII_SCRUB_SQL,
+}
