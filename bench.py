@@ -38,16 +38,20 @@ HEADLINE: list[str] = [
     "order_count_distribution",
     "forecast_revenue",
     "waiting_suppliers",
+    "min_cost_supplier",
     "gapfill_daily",
     "embedding_centroids",
     "argmax_latest_per_group",
     "rollup",
     "technical_indicators",
+    "ohlc_resample",
+    "sessionize_events",
     "window_range_frame",
     "tumbling_window",
     "session_window",
     "text_stats",
     "text_tfidf",
+    "quality_repetition",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "ml_linreg_monitoring",
