@@ -42,6 +42,7 @@ _MODULES: list[str] = [
     "similarity",
     "text",
     "quality",
+    "sqlapi",
     "ml",
 ]
 
