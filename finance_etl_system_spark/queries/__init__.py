@@ -43,6 +43,7 @@ _MODULES: list[str] = [
     "text",
     "quality",
     "sqlapi",
+    "graphq",
     "ml",
 ]
 

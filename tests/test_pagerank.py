@@ -1,0 +1,53 @@
+"""Integer-arithmetic PageRank (operators/pagerank.py): must agree
+with a float power iteration to the truncation tolerance, conserve
+rank mass, and be replay-stable."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from finance_etl_system_spark.operators.pagerank import RANK_SCALE, pagerank
+from finance_etl_system_spark.queries.graphq import _trade_edges, q_nation_pagerank
+from tests.conftest import SF_SMOKE
+
+
+def _float_pagerank(edges, iterations=10, damping=0.85):
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for src, dst, weight in edges:
+        w[idx[src], idx[dst]] += weight
+    out = w.sum(axis=1, keepdims=True)
+    p = np.zeros_like(w)
+    np.divide(w, out, out=p, where=out > 0)
+    dangling = (out[:, 0] == 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dang_mass = r[dangling].sum()
+        r = (1 - damping) / n + damping * (r @ p + dang_mass / n)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_float_power_iteration(spark):
+    edge_rows = [
+        (r.src, r.dst, r.w) for r in _trade_edges(spark, SF_SMOKE).collect()
+    ]
+    truth = _float_pagerank(edge_rows)
+    got = {r.node: r.rank / RANK_SCALE for r in
+           pagerank(_trade_edges(spark, SF_SMOKE)).collect()}
+    assert set(got) == set(truth)
+    for node, want in truth.items():
+        # integer truncation loses < 1e-5 of mass per op at this scale
+        assert abs(got[node] - want) < 1e-4, (node, got[node], want)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    ranks = q_nation_pagerank(spark, SF_SMOKE).collect()
+    total = sum(r.pr_rank for r in ranks)
+    # truncation only ever LOSES mass, and very little of it
+    assert RANK_SCALE * 0.999 <= total <= RANK_SCALE
+    again = q_nation_pagerank(spark, SF_SMOKE).collect()
+    assert [(r.n_name, r.pr_rank) for r in ranks] == [
+        (r.n_name, r.pr_rank) for r in again
+    ]
