@@ -52,6 +52,8 @@ HEADLINE: list[str] = [
     "text_stats",
     "text_tfidf",
     "quality_repetition",
+    "decontaminate_ngrams",
+    "pack_sequences",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "ml_linreg_monitoring",

@@ -44,6 +44,7 @@ _MODULES: list[str] = [
     "quality",
     "sqlapi",
     "graphq",
+    "curation",
     "ml",
 ]
 

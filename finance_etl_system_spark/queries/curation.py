@@ -1,0 +1,247 @@
+"""Tokenization-prep curation operators over the documents table —
+the stage of a pretraining pipeline between quality filtering
+(queries/quality.py) and the trainer: benchmark decontamination,
+sequence packing into fixed token budgets, and overlapping-window
+document chunking.
+
+The reference has no document pipeline (scope stops at OHLCV rows,
+`/root/reference/spark-job/etl_job.py`); these extend the SURVEY
+§2.10 training-data tier. All three are exactly SQL-expressible and
+oracle-checked.
+
+Scale posture (100 TB):
+- decontamination: the eval-benchmark n-gram set is tiny by
+  construction (benchmarks are MBs) → broadcast; the corpus-side
+  explode is never shuffled before the broadcast join cuts it to the
+  hit rows; per-doc gram counts are computed INSIDE the row
+  (size(array_distinct(...))), not via a grams-shaped shuffle.
+- packing: two-phase distributed prefix sum (operators/packing.py) —
+  no single-partition window anywhere on the big side.
+- chunking: pure per-row explode (whole-stage codegen); output is
+  written partitioned by bin/doc downstream.
+
+Determinism: token split and n-gram construction are identical string
+operations on both engines; the pack order key is the same Knuth
+multiplicative hash used by q_data_mix_rebalance; every ratio is
+rounded once, at the end, on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.packing import prefix_pack
+
+NGRAM = 5  # decontamination shingle width (words)
+EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 → held-out "benchmark" doc
+PACK_BUDGET = 512  # tokens per packed context window
+CHUNK_LEN = 32  # chunk width (tokens)
+CHUNK_STRIDE = 24  # chunk stride (tokens; overlap = LEN - STRIDE)
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')"
+
+
+def _toks() -> Column:
+    return F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+
+
+def _grams(toks: Column) -> Column:
+    """All word NGRAM-grams of a token array, as space-joined strings."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)),
+    )
+
+
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    5-gram with the held-out eval slice (doc_id % 23 == 0), with
+    overlap counts — the n-gram-overlap check run before pretraining
+    so eval benchmarks don't leak into the training set.
+
+    Plan shape: eval grams collapse to a broadcast set; the corpus
+    explode meets it in a broadcast hash join, so only HIT grams are
+    ever shuffled (keyed by doc_id, map-side combinable). Per-doc
+    total gram counts come from size(array_distinct(...)) inside the
+    row — no second shuffle over the full gram stream."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        # the scan is cheap rows → expensive expansion: spread the
+        # gram construction across cores BEFORE exploding (explicit
+        # count so AQE can't coalesce the tiny pre-explode exchange;
+        # both branches below reuse this one exchange)
+        .repartition(par, "doc_id")
+        .select("doc_id", _toks().alias("toks"))
+        .filter(F.size("toks") >= NGRAM)
+    )
+    # Two explode traps, both measured at sf0.1:
+    # - explode(transform(...)) feeds a CodegenFallback HOF into
+    #   Generate and the stage drops out of codegen (~9x slower) —
+    #   so explode the INTEGER start positions and build each gram
+    #   string after the explode;
+    # - any expensive projection sharing a select with the explode
+    #   gets collapsed ABOVE the Generate and re-evaluated per
+    #   exploded row — so the per-doc n_grams count lives in its own
+    #   explode-free branch, joined back to the (tiny) hit aggregate.
+    grams = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1))).alias(
+            "i"
+        ),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("i"), NGRAM)).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.array_distinct(_grams(F.col("toks")))).cast("long").alias(
+            "n_grams"
+        ),
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+        # unhinted: AQE broadcasts the hit side when it is small (the
+        # common case), but nothing breaks if half the corpus hits
+        .join(per_doc, "doc_id")
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 6).alias(
+            "hit_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS s FROM documents
+),
+with_grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(s) - {NGRAM - 1}),
+                        i -> array_to_string(list_slice(s, i, i + {NGRAM - 1}), ' ')) AS grams
+  FROM toks WHERE len(s) >= {NGRAM}
+),
+counted AS (
+  SELECT doc_id, grams,
+         CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+  FROM with_grams
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM counted
+  WHERE doc_id % {EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, n_grams, unnest(grams) AS gram FROM counted
+  WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT c.doc_id, c.n_grams,
+       CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hits,
+       ROUND(COUNT(DISTINCT c.gram) / CAST(c.n_grams AS DOUBLE), 6) AS hit_frac
+FROM corpus c JOIN eval_grams e USING (gram)
+GROUP BY c.doc_id, c.n_grams
+ORDER BY c.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents head-to-tail into 512-token context-window bins
+    in deterministic hash order (operators/packing.py two-phase
+    prefix sum — no single-partition window)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    packed = prefix_pack(
+        d,
+        weight_col="n_tokens",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budget=PACK_BUDGET,
+    )
+    return packed.select("doc_id", "n_tokens", "bin_id").orderBy("doc_id")
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token windows (len 32, stride
+    24) — the long-document treatment feeding embedding / context
+    models. Pure per-row explode; the tail chunk may be short and
+    chunks are attributed to their start offset."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    d = d.filter(F.size("toks") >= 1)
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+    chunked = d.select(
+        "doc_id", F.col("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_LEN)
+    return chunked.select(
+        "doc_id",
+        F.expr(f"(start - 1) div {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS s FROM documents
+),
+starts AS (
+  SELECT doc_id, s, unnest(generate_series(1, len(s), {CHUNK_STRIDE})) AS start
+  FROM toks WHERE len(s) >= 1
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(list_slice(s, start, start + {CHUNK_LEN - 1})) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(s, start, start + {CHUNK_LEN - 1}), ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES = {
+    "decontaminate_ngrams": q_decontaminate_ngrams,
+    "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
+}
+
+ORACLE = {
+    "decontaminate_ngrams": _DECONTAMINATE_SQL,
+    "pack_sequences": _PACK_SQL,
+    "chunk_documents": _CHUNK_SQL,
+}

@@ -1,0 +1,117 @@
+"""Tokenization-prep tier (queries/curation.py + operators/packing.py):
+packing must equal the naive global-cumsum formulation and be
+invariant to bucket count; chunks must reconstruct the document;
+decontamination must equal a brute-force set-overlap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.operators.packing import prefix_pack
+from finance_etl_system_spark.queries.curation import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    EVAL_MOD,
+    NGRAM,
+    PACK_BUDGET,
+    q_chunk_documents,
+    q_decontaminate_ngrams,
+    q_pack_sequences,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split(" ") if t]
+
+
+def test_pack_matches_naive_cumsum_and_is_bucket_invariant(spark):
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in q_pack_sequences(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    rows = sorted(
+        (((d.doc_id * 2654435761) % 4294967296), d.doc_id, len(_tokens(d.text)))
+        for d in docs
+    )
+    cum = 0
+    for h, doc_id, n in rows:
+        assert got[doc_id] == (n, cum // PACK_BUDGET), doc_id
+        cum += n
+    # bucket count is a parallelism knob, not a semantics knob
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), " +"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    for buckets in (1, 3):
+        alt = prefix_pack(
+            base,
+            weight_col="n_tokens",
+            order_col="h",
+            tiebreak_col="doc_id",
+            budget=PACK_BUDGET,
+            buckets=buckets,
+        )
+        assert {
+            r.doc_id: (r.n_tokens, r.bin_id) for r in alt.collect()
+        } == got, buckets
+
+
+def test_chunks_reconstruct_documents(spark):
+    chunks = q_chunk_documents(spark, SF_SMOKE).collect()
+    docs = {
+        d.doc_id: _tokens(d.text)
+        for d in load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id]
+        rebuilt: list[str] = []
+        for r in rs:
+            assert r.start_tok == r.chunk_id * CHUNK_STRIDE + 1
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ctoks) == r.n_chunk_tokens <= CHUNK_LEN
+            assert ctoks == toks[r.start_tok - 1 : r.start_tok - 1 + CHUNK_LEN]
+            rebuilt = rebuilt[: r.start_tok - 1] + ctoks
+        assert rebuilt == toks, doc_id
+
+
+def test_decontamination_matches_bruteforce(spark):
+    docs = {
+        d.doc_id: _tokens(d.text)
+        for d in load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    grams = {
+        doc_id: {
+            " ".join(toks[i : i + NGRAM]) for i in range(len(toks) - NGRAM + 1)
+        }
+        for doc_id, toks in docs.items()
+        if len(toks) >= NGRAM
+    }
+    eval_set = set().union(
+        *(g for d, g in grams.items() if d % EVAL_MOD == 0)
+    )
+    want = {
+        d: (len(g), len(g & eval_set))
+        for d, g in grams.items()
+        if d % EVAL_MOD != 0 and g & eval_set
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in q_decontaminate_ngrams(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one contaminated doc"
