@@ -45,6 +45,7 @@ _MODULES: list[str] = [
     "sqlapi",
     "graphq",
     "curation",
+    "cdc",
     "ml",
 ]
 
