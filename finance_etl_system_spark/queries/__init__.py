@@ -46,6 +46,7 @@ _MODULES: list[str] = [
     "graphq",
     "curation",
     "cdc",
+    "layout",
     "ml",
 ]
 
