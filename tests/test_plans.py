@@ -208,3 +208,40 @@ def test_expression_library_determinism(spark):
     again = df.select(row_key("sym", "d").alias("k")).collect()
     assert [r.k for r in out] == [r.k for r in again]
     assert len({r.k for r in out}) == 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Spark's runtime bloom-filter (enabled in get_spark) prunes the
+    fact side of a selective shuffle join before the shuffle. The
+    size thresholds gate it off at local fixture scale, so force them
+    down and assert the rewrite actually fires on our join shape —
+    at 100 TB the default thresholds pass and this is free fact-scan
+    pruning."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders")
+        j = (
+            l.join(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                l.l_orderkey == o.o_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
