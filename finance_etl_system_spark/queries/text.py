@@ -287,6 +287,23 @@ LIMIT 25
 """
 
 
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory scale path for token_topk: mergeable
+    Misra-Gries sketch (operators/sketches.py) over the token stream.
+    Rows-only driver entry — per-partition eviction order makes exact
+    counts run-dependent; the MG guarantees (no false negatives above
+    n/(k+1), count_lo never above truth, error ≤ n/(k+1)) are pinned
+    in tests/test_sketches.py against exact ground truth."""
+    from ..operators.sketches import heavy_hitters
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return heavy_hitters(toks, "token", k=25)
+
+
 def q_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 binary-column manifest: documents re-ingested as opaque
     BinaryType content (the multimodal ingest shape — text stands in
@@ -328,6 +345,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf": q_text_tfidf,
     "token_topk": q_token_topk,
+    "heavy_hitters_sketch": q_heavy_hitters_sketch,
 }
 
 ORACLE = {

@@ -53,6 +53,11 @@ QUERIES = [
     "gapfill_daily",
     "text_stats",
     "hash_sample",
+    "decontaminate_ngrams",
+    "pack_sequences",
+    "cdc_merge",
+    "zorder_stats",
+    "nation_pagerank",
 ]
 
 # stride larger than any base key so copies never collide
