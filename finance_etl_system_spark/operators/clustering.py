@@ -1,0 +1,149 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The engine's second iterative-algorithm template (alongside
+operators/pagerank.py): the driver loop holds only the k×d centroid
+matrix; every per-row step is a Spark job. This is the missing
+trainer for the IVF index in operators/similarity.py (whose
+coarse quantizer previously reused a label column) and the standard
+corpus-partitioning step (cluster-then-sample) in training-data
+curation.
+
+Scale shape per iteration:
+- assignment: one Arrow-batched pandas UDF against a BROADCAST k×d
+  numpy matrix — vectorized argmin, no shuffle, no Python per-row.
+- update: posexplode to (cluster, dim, x) then groupBy(cluster, dim)
+  sum/count — map-side combinable, shuffle carries k·d·partitions
+  rows, not N.
+- the driver collects exactly k×d sums + k counts per iteration
+  (same contract as MLlib's KMeans collectAsMap) — never the data.
+
+Determinism: seeds are the k rows with the smallest
+(xxhash64(id), id) — content-addressed, replay-stable, no rand().
+Ties in assignment break toward the lowest cluster id (np.argmin).
+Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+@dataclass
+class KMeansModel:
+    centroids: np.ndarray  # (k, d) float64
+    n_iter: int
+    inertia: float
+    shifts: list[float] = field(default_factory=list)
+
+
+def _assign_udf(centroids: np.ndarray):
+    """cluster = argmin_c ||x - c||² as a vectorized pandas UDF.
+
+    Expands ||x−c||² = ||x||² − 2x·c + ||c||²; the ||x||² term is
+    constant per row, so argmin needs only −2X·Cᵀ + ||c||² — one
+    matmul per Arrow batch."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())
+        scores = -2.0 * (x @ c.T) + c_norm2  # (n, k)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> KMeansModel:
+    """Fit k-means; returns the model (centroids live on the driver,
+    k×d — broadcast back for assignment)."""
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    seeds = (
+        src.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    centroids = np.array([r["_v"] for r in seeds], dtype=np.float64)
+    if len(centroids) < k:
+        raise ValueError(f"k={k} but only {len(centroids)} rows")
+
+    shifts: list[float] = []
+    inertia = float("nan")
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = src.withColumn("cluster", _assign_udf(centroids)("_v"))
+        # k·d partial sums per partition reach the shuffle; the driver
+        # sees only the k×d reduced matrix
+        stats = (
+            assigned.select(
+                "cluster",
+                F.posexplode("_v").alias("dim", "x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        sums = np.zeros_like(centroids)
+        for r in stats:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        nonempty = counts > 0
+        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        shift = float(np.sqrt(((new_c - centroids) ** 2).sum(axis=1)).max())
+        shifts.append(shift)
+        centroids = new_c
+        if shift <= tol:
+            break
+
+    final = kmeans_assign(src.withColumnRenamed("_v", vec_col), centroids,
+                          vec_col=vec_col)
+    inertia = float(final.agg(F.sum("dist2")).collect()[0][0])
+    return KMeansModel(centroids=centroids, n_iter=it, inertia=inertia,
+                       shifts=shifts)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cluster`` and exact ``dist2`` (squared L2 to the assigned
+    centroid) columns. One pandas-UDF pass, no shuffle."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster: int, dist2: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = -2.0 * (x @ c.T) + c_norm2
+        idx = np.argmin(scores, axis=1)
+        d2 = scores[np.arange(len(idx)), idx] + (x * x).sum(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype(np.int32), "dist2": np.maximum(d2, 0.0)}
+        )
+
+    out = df.withColumn("_a", assign(F.col(vec_col)))
+    return out.withColumn("cluster", F.col("_a.cluster")).withColumn(
+        "dist2", F.col("_a.dist2")
+    ).drop("_a")

@@ -44,6 +44,8 @@ _MODULES: list[str] = [
     "quality",
     "sqlapi",
     "graphq",
+    "retrieval",
+    "anomaly",
     "curation",
     "cdc",
     "layout",

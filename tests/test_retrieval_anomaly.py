@@ -1,0 +1,98 @@
+"""BM25 retrieval (queries/retrieval.py) and robust-outlier /
+binning queries (queries/anomaly.py): semantics recomputed
+independently in pure Python/pandas on the smoke fixture."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from finance_etl_system_spark.queries.anomaly import (
+    MAD_SCALE,
+    N_BINS,
+    Z_CUT,
+    q_anomaly_mad,
+    q_feature_binning,
+)
+from finance_etl_system_spark.queries.retrieval import (
+    B,
+    K1,
+    QUERY_TERMS,
+    q_bm25_search,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _bm25_reference(docs: pd.DataFrame) -> dict[int, float]:
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in docs.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = Counter(
+        term for ts in toks.values() for term in set(ts) if term in QUERY_TERMS
+    )
+    scores: dict[int, float] = {}
+    for doc_id, ts in toks.items():
+        tf = Counter(t for t in ts if t in QUERY_TERMS)
+        if not tf:
+            continue
+        s = 0.0
+        for term, f in tf.items():
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * f * (K1 + 1.0) / (
+                f + K1 * (1.0 - B + B * len(ts) / avgdl)
+            )
+        scores[doc_id] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_pure_python(spark):
+    out = q_bm25_search(spark, SF_SMOKE).collect()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    ref = _bm25_reference(docs)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[: len(out)]
+    got = [(r.doc_id, r.bm25) for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == want
+    # ranks are 1..k with no gaps
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == list(
+        range(1, len(out) + 1)
+    )
+
+
+def test_anomaly_mad_matches_numpy(spark):
+    out = q_anomaly_mad(spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["value"])
+    want: set[int] = set()
+    for etype, g in ev.groupby("event_type"):
+        med = np.percentile(g["value"], 50, method="linear")
+        absdev = np.abs(g["value"] - med)
+        mad = np.percentile(absdev, 50, method="linear")
+        if mad > 0:
+            want |= set(g.loc[absdev > Z_CUT * MAD_SCALE * mad, "event_id"])
+    assert {r.event_id for r in out} == want
+    for r in out:
+        assert r.robust_z > Z_CUT  # the flag is exactly the z threshold
+
+
+def test_feature_binning_equal_frequency(spark):
+    rows = sorted(q_feature_binning(spark, SF_SMOKE).collect(), key=lambda r: r.bin)
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    n = len(orders)
+    assert [r.bin for r in rows] == list(range(1, N_BINS + 1))
+    assert sum(r.n for r in rows) == n
+    # ntile sizes differ by at most 1 and bins are ordered, non-overlapping
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    assert math.isclose(
+        rows[0].lo, round(orders["o_totalprice"].min(), 2), abs_tol=1e-9
+    )
+    assert math.isclose(
+        rows[-1].hi, round(orders["o_totalprice"].max(), 2), abs_tol=1e-9
+    )
