@@ -44,6 +44,9 @@ _MODULES: list[str] = [
     "quality",
     "sqlapi",
     "graphq",
+    "recursive",
+    "variantq",
+    "udtfq",
     "retrieval",
     "anomaly",
     "curation",

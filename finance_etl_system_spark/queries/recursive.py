@@ -1,0 +1,136 @@
+"""Recursive-CTE graph traversal — Spark 4 ``WITH RECURSIVE`` as the
+engine's iterative-SQL front door (SPARK-24497), portable to DuckDB.
+
+The reference has no graph traversal at all; its only "iteration" is
+the Python retry loop around crawls (reference crawler/crawler.py:36-40).
+These queries prove the engine can express BFS reachability and bounded
+transitive closure DECLARATIVELY — one ANSI string, no driver-side loop
+— complementing the materialized-iteration template in
+operators/pagerank.py (which owns convergence-style algorithms where
+each step must be checkpointed).
+
+Both queries run the SAME string on Spark and the DuckDB oracle.
+
+Graph: nation→nation trade edges (supplier nation ships to customer
+nation), sparsified to each source's top-3 destinations by lineitem
+count (ROW_NUMBER, dst-name tiebreak). The top-k sparsification is
+scale-invariant: out-degree is exactly 3 at any SF, so recursion depth
+bounds path counts (≤ 3^depth per root) regardless of data size.
+
+Scale: the ONLY data-sized step is the raw_edges aggregation — one
+shuffle of the fact join keyed (src, dst), dims broadcast. The
+recursion itself iterates a ≤75-row edge list; its cost is independent
+of fact-table size. At 100 TB the same plan holds: heavy agg once,
+tiny loop after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+# Shared edge derivation: aggregate the fact join once, then keep each
+# source's top-3 destinations. Integer counts + name tiebreak = exact
+# and deterministic on both engines.
+_EDGES_CTE = """
+raw_edges AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+  GROUP BY sn.n_name, cn.n_name
+)
+"""
+
+# BFS from a seed nation: minimum hop distance and number of distinct
+# bounded walks reaching each node. The recursive member may not
+# aggregate (ANSI + both engines), so MIN(dist) folds in the outer
+# query over the enumerated walks.
+_BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+    FROM raw_edges
+  ) t WHERE rk <= 3
+),
+reach(node, dist) AS (
+  SELECT 'NATION_7' AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 4
+)
+SELECT node AS n_name, CAST(MIN(dist) AS INT) AS hop_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM reach
+GROUP BY node
+ORDER BY hop_dist, n_name
+"""
+
+# Bounded transitive closure over an ACYCLIC restriction of the same
+# graph (numeric-name order on top of the top-3 sparsification), with
+# lexicographic witness paths built by string accumulation in the
+# recursive member — the classic path-enumeration shape cycles forbid.
+_DAG_PATHS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+dag AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+    FROM raw_edges
+    WHERE LENGTH(src) < LENGTH(dst)
+       OR (LENGTH(src) = LENGTH(dst) AND src < dst)
+  ) t WHERE rk <= 3
+),
+paths(root, node, depth, path) AS (
+  SELECT src AS root, dst AS node, 1 AS depth, src || '>' || dst AS path
+  FROM dag
+  UNION ALL
+  SELECT p.root, d.dst, p.depth + 1, p.path || '>' || d.dst
+  FROM paths p JOIN dag d ON d.src = p.node
+  WHERE p.depth < 4
+)
+SELECT root, node, CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(MIN(depth) AS INT) AS min_depth, MIN(path) AS lex_first_path
+FROM paths
+GROUP BY root, node
+ORDER BY root, node
+"""
+
+_TABLES = ["lineitem", "orders", "supplier", "customer", "nation"]
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for t in _TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS over the top-3 trade graph via WITH RECURSIVE
+    (the oracle runs the SAME string)."""
+    return _run_sql(spark, sf_dir, _BFS_SQL)
+
+
+def q_recursive_dag_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded transitive closure with witness paths over the
+    acyclic trade subgraph (the oracle runs the SAME string)."""
+    return _run_sql(spark, sf_dir, _DAG_PATHS_SQL)
+
+
+QUERIES = {
+    "recursive_bfs": q_recursive_bfs,
+    "recursive_dag_paths": q_recursive_dag_paths,
+}
+
+ORACLE = {
+    "recursive_bfs": _BFS_SQL,
+    "recursive_dag_paths": _DAG_PATHS_SQL,
+}

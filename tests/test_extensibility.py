@@ -1,0 +1,62 @@
+"""VARIANT + Python-UDTF surface (queries/variantq.py, queries/udtfq.py,
+functions/udtfs.py): typed extraction must agree with the string-path
+extraction already proven, and UDTF chunks must reconstruct the source
+text exactly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.queries.udtfq import _CHUNK, q_udtf_chunk_text
+from finance_etl_system_spark.queries.variantq import q_variant_agg
+from tests.conftest import SF_SMOKE
+
+
+def test_variant_agg_matches_get_json_object(spark):
+    got = {r.event_type: r for r in q_variant_agg(spark, SF_SMOKE).collect()}
+    want = {
+        r.event_type: r
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("props").isNotNull())
+            .select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.max("k").alias("max_k"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_events, g.sum_k, g.max_k) == (w.n_events, w.sum_k, w.max_k)
+        # '$.missing' is absent from every props payload
+        assert g.n_missing == g.n_events
+
+
+def test_udtf_chunks_reconstruct_text(spark):
+    chunks = q_udtf_chunk_text(spark, SF_SMOKE).collect()
+    assert chunks
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") % 20 == 0) & (F.length("text") > 0))
+        .collect()
+    }
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.idx)
+        assert [r.idx for r in rows] == list(range(len(rows)))
+        assert "".join(r.chunk for r in rows) == texts[doc_id]
+        assert all(r.chunk_len == len(r.chunk) for r in rows)
+        assert all(r.chunk_len == _CHUNK for r in rows[:-1])
