@@ -47,6 +47,7 @@ _MODULES: list[str] = [
     "recursive",
     "variantq",
     "udtfq",
+    "hllq",
     "retrieval",
     "anomaly",
     "curation",

@@ -41,6 +41,37 @@ def test_variant_agg_matches_get_json_object(spark):
         assert g.n_missing == g.n_events
 
 
+def test_hll_rollup_accuracy_and_parquet_mergeability(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from finance_etl_system_spark.queries.hllq import (
+        daily_user_sketches,
+        q_hll_rollup,
+    )
+
+    rows = q_hll_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        # lg_k=12 → ~1.6% RSE; allow 5% at these cardinalities
+        assert abs(r.est_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+
+    # the partial layer must survive a parquet round-trip and re-union
+    # to the same estimates (mergeable-rollup contract)
+    path = str(tmp_path / "sketches")
+    daily_user_sketches(spark, SF_SMOKE).write.parquet(path)
+    reread = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F2.hll_sketch_estimate(F2.hll_union_agg("sketch")).alias("est_users")
+        )
+    )
+    got = {r.event_type: r.est_users for r in reread.collect()}
+    want = {r.event_type: r.est_users for r in rows}
+    assert got == want
+
+
 def test_udtf_chunks_reconstruct_text(spark):
     chunks = q_udtf_chunk_text(spark, SF_SMOKE).collect()
     assert chunks
