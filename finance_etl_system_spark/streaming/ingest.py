@@ -300,6 +300,53 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    dim_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream-static broadcast enrichment: each micro-batch of the
+    live stream left-joins a dimension table read from parquet
+    (symbol → sector/region metadata).
+
+    The reference enriches per message with a Python dict lookup
+    inside the consumer loop (reference kafka-consumer/consumer.py);
+    Spark-first that's a broadcast hash join per micro-batch — the
+    dim ships once per executor, the stream side never shuffles, and
+    rows without dim coverage survive (left join) with NULL metadata.
+
+    Static-side semantics: Spark re-plans the static side per
+    micro-batch, so a dim REWRITTEN between batches is picked up; for
+    guaranteed-fresh dims at scale, point dim_path at a
+    dynamic-partition-overwrite table (pipeline/etl.py's idempotent
+    writer). State: none — unlike stream-stream joins this buffers
+    nothing, so it scales with batch size only. Returns the started
+    query (availableNow trigger, append parquet sink).
+    """
+    dim = F.broadcast(spark.read.parquet(dim_path))
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    enriched = (
+        parse_kafka_records(raw)
+        .select(
+            F.upper("ticker").alias("symbol"),
+            "event_time",
+            "close",
+            "volume",
+        )
+        .join(dim, "symbol", "left")
+    )
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_stream_agg(
     parsed: DataFrame,
     *,

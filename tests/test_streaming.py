@@ -300,3 +300,40 @@ def test_dual_sink_batch_writes_both(spark, tmp_path):
     ups_rows = spark.read.parquet(ups)
     assert ups_rows.count() == 1
     assert ups_rows.select("date").first()[0] == "2024-01-04"
+
+
+@pytest.mark.timeout(300)
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Each micro-batch left-joins the broadcast dim: covered symbols
+    get metadata, uncovered ones survive with NULLs."""
+    from finance_etl_system_spark.streaming.ingest import stream_static_enrich
+
+    def msg(ticker, ts, close):
+        value = {"ticker": ticker, "date": ts[:10], "open": close, "high": close,
+                 "low": close, "close": close, "volume": 7, "timestamp": ts}
+        return json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        msg("AAPL", "2024-01-02T10:00:00", 100.0)
+        + msg("MSFT", "2024-01-02T10:05:00", 200.0)
+        + msg("ZZZZ", "2024-01-02T10:10:00", 1.0)  # not in dim
+    )
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("AAPL", "tech", "US"), ("MSFT", "tech", "US"), ("XOM", "energy", "US")],
+        "symbol STRING, sector STRING, region STRING",
+    ).write.parquet(dim_path)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_static_enrich(spark, str(src), dim_path, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["symbol"]: (r["sector"], r["region"], r["close"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        "AAPL": ("tech", "US", 100.0),
+        "MSFT": ("tech", "US", 200.0),
+        "ZZZZ": (None, None, 1.0),
+    }
