@@ -57,6 +57,9 @@ HEADLINE: list[str] = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "ml_linreg_monitoring",
+    "recursive_bfs",
+    "variant_agg",
+    "hll_rollup",
 ]
 
 

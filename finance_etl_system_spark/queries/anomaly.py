@@ -137,11 +137,85 @@ FROM (
 GROUP BY bin
 """
 
+_ROLL_FRAME = 10  # current row + 10 preceding
+
+
+def q_rolling_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol ROLLING median/IQR outlier flag — the windowed
+    complement to anomaly_mad's global per-type rule: a price is
+    anomalous relative to its own recent history (Tukey fence,
+    1.5×IQR around the rolling median), not the whole distribution.
+
+    One shuffle (hashpartitioning symbol); the sliding 11-row frame
+    recomputes exact percentiles per row — O(frame) per row, constant
+    state, survives any scale-out. Integer ticks keep the
+    interpolated quantiles dyadic-exact (multiples of 1/4), so the
+    unrounded Tukey comparison is bit-identical on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    s = e.select(
+        F.col("user_id").alias("symbol"),
+        F.unix_micros(F.col("ts")).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("ticks"),
+    )
+    win = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("k").asc())
+        .rowsBetween(-_ROLL_FRAME, 0)
+    )
+    med = F.percentile("ticks", F.lit(0.5)).over(win)
+    q1 = F.percentile("ticks", F.lit(0.25)).over(win)
+    q3 = F.percentile("ticks", F.lit(0.75)).over(win)
+    # quantiles are multiples of ¼ tick; ×4 returns them to EXACT
+    # integers (quarter-ticks) — no float rounding, no half-case
+    # divergence between engines (SCALE.md integer-tick policy)
+    return s.select(
+        "symbol",
+        "k",
+        F.round(F.col("ticks") / 100.0, 2).alias("price"),
+        (med * 4).cast("long").alias("med_qticks"),
+        ((q3 - q1) * 4).cast("long").alias("iqr_qticks"),
+        F.when(
+            F.abs(F.col("ticks") - med) > 1.5 * (q3 - q1), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("is_outlier"),
+    )
+
+
+_ROLLING_ROBUST_SQL = f"""
+WITH s AS (
+  SELECT user_id AS symbol,
+         epoch_us(ts) AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS ticks
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+w AS (
+  SELECT symbol, k, ticks,
+         quantile_cont(ticks, 0.5) OVER win AS med,
+         quantile_cont(ticks, 0.25) OVER win AS q1,
+         quantile_cont(ticks, 0.75) OVER win AS q3
+  FROM s
+  WINDOW win AS (PARTITION BY symbol ORDER BY k ASC
+                 ROWS BETWEEN {_ROLL_FRAME} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, k,
+       ROUND(ticks / 100.0, 2) AS price,
+       CAST(med * 4 AS BIGINT) AS med_qticks,
+       CAST((q3 - q1) * 4 AS BIGINT) AS iqr_qticks,
+       CAST(CASE WHEN abs(ticks - med) > 1.5 * (q3 - q1)
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM w
+"""
+
 QUERIES = {
     "anomaly_mad": q_anomaly_mad,
     "feature_binning": q_feature_binning,
+    "rolling_robust_outliers": q_rolling_robust_outliers,
 }
 ORACLE = {
     "anomaly_mad": _ANOMALY_MAD_SQL,
     "feature_binning": _FEATURE_BINNING_SQL,
+    "rolling_robust_outliers": _ROLLING_ROBUST_SQL,
 }

@@ -22,6 +22,14 @@ shuffle of the fact join keyed (src, dst), dims broadcast. The
 recursion itself iterates a ≤75-row edge list; its cost is independent
 of fact-table size. At 100 TB the same plan holds: heavy agg once,
 tiny loop after.
+
+Execution split: Spark's UnionLoop re-evaluates the recursive member
+each iteration, and an inlined edges CTE would re-run the fact join
+5×. The Spark path therefore MATERIALIZES the sparsified edge frame
+once (localCheckpoint — exactly how a production job would stage a
+derived graph) and recurses over the checkpointed view; the DuckDB
+oracle runs the single portable string below (DuckDB materializes
+non-recursive CTEs referenced from a recursive one on its own).
 """
 
 from __future__ import annotations
@@ -106,23 +114,79 @@ ORDER BY root, node
 
 _TABLES = ["lineitem", "orders", "supplier", "customer", "nation"]
 
+# Spark-side recursion over the PRE-MATERIALIZED edge views — same
+# semantics as the portable strings, without re-running the fact join
+# per loop iteration.
+_BFS_OVER_VIEW_SQL = """
+WITH RECURSIVE reach(node, dist) AS (
+  SELECT 'NATION_7' AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN bfs_edges e ON e.src = r.node
+  WHERE r.dist < 4
+)
+SELECT node AS n_name, CAST(MIN(dist) AS INT) AS hop_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM reach
+GROUP BY node
+ORDER BY hop_dist, n_name
+"""
 
-def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+_DAG_OVER_VIEW_SQL = """
+WITH RECURSIVE paths(root, node, depth, path) AS (
+  SELECT src AS root, dst AS node, 1 AS depth, src || '>' || dst AS path
+  FROM dag_edges
+  UNION ALL
+  SELECT p.root, d.dst, p.depth + 1, p.path || '>' || d.dst
+  FROM paths p JOIN dag_edges d ON d.src = p.node
+  WHERE p.depth < 4
+)
+SELECT root, node, CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(MIN(depth) AS INT) AS min_depth, MIN(path) AS lex_first_path
+FROM paths
+GROUP BY root, node
+ORDER BY root, node
+"""
+
+
+def _materialize_edges(
+    spark: SparkSession, sf_dir: str, *, dag: bool, view: str
+) -> None:
     for t in _TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(sql)
+    dag_filter = (
+        """WHERE LENGTH(src) < LENGTH(dst)
+       OR (LENGTH(src) = LENGTH(dst) AND src < dst)"""
+        if dag
+        else ""
+    )
+    edges = spark.sql(
+        f"""
+        WITH {_EDGES_CTE}
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+          FROM raw_edges {dag_filter}
+        ) t WHERE rk <= 3
+        """
+    )
+    edges.localCheckpoint(eager=True).createOrReplaceTempView(view)
 
 
 def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS over the top-3 trade graph via WITH RECURSIVE
-    (the oracle runs the SAME string)."""
-    return _run_sql(spark, sf_dir, _BFS_SQL)
+    (edge frame materialized once; the oracle runs the equivalent
+    single portable string)."""
+    _materialize_edges(spark, sf_dir, dag=False, view="bfs_edges")
+    return spark.sql(_BFS_OVER_VIEW_SQL)
 
 
 def q_recursive_dag_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-bounded transitive closure with witness paths over the
-    acyclic trade subgraph (the oracle runs the SAME string)."""
-    return _run_sql(spark, sf_dir, _DAG_PATHS_SQL)
+    acyclic trade subgraph (edge frame materialized once; the oracle
+    runs the equivalent single portable string)."""
+    _materialize_edges(spark, sf_dir, dag=True, view="dag_edges")
+    return spark.sql(_DAG_OVER_VIEW_SQL)
 
 
 QUERIES = {

@@ -96,3 +96,39 @@ def test_feature_binning_equal_frequency(spark):
     assert math.isclose(
         rows[-1].hi, round(orders["o_totalprice"].max(), 2), abs_tol=1e-9
     )
+
+
+def test_rolling_robust_outliers_match_pandas_windows(spark):
+    from finance_etl_system_spark.queries.anomaly import (
+        _ROLL_FRAME,
+        q_rolling_robust_outliers,
+    )
+
+    out = q_rolling_robust_outliers(spark, SF_SMOKE).collect()
+    ev = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .dropna(subset=["value"])
+        .loc[lambda d: ~np.isnan(d["value"])]
+    )
+    ev["ticks"] = np.round(ev["value"] * 100).astype("int64")
+    got = {(r.symbol, r.k): r for r in out}
+    n_checked = n_outliers = 0
+    for sym, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        ticks = g["ticks"].to_numpy()
+        ks = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()  # µs
+        for i in range(len(ticks)):
+            lo = max(0, i - _ROLL_FRAME)
+            frame = ticks[lo : i + 1]
+            med = np.percentile(frame, 50, method="linear")
+            q1 = np.percentile(frame, 25, method="linear")
+            q3 = np.percentile(frame, 75, method="linear")
+            r = got[(sym, ks[i])]
+            assert r.med_qticks == round(med * 4)
+            assert r.iqr_qticks == round((q3 - q1) * 4)
+            want_flag = int(abs(ticks[i] - med) > 1.5 * (q3 - q1))
+            assert r.is_outlier == want_flag
+            n_checked += 1
+            n_outliers += want_flag
+    assert n_checked == len(out)
+    assert 0 < n_outliers < n_checked  # the rule actually fires, not everywhere
