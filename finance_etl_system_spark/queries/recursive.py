@@ -9,7 +9,9 @@ transitive closure DECLARATIVELY — one ANSI string, no driver-side loop
 operators/pagerank.py (which owns convergence-style algorithms where
 each step must be checkpointed).
 
-Both queries run the SAME string on Spark and the DuckDB oracle.
+Both recursions are expressible as ONE portable string (the ORACLE
+entries below run unmodified on DuckDB); the Spark path splits out the
+edge materialization for the execution reason explained at the end.
 
 Graph: nation→nation trade edges (supplier nation ships to customer
 nation), sparsified to each source's top-3 destinations by lineitem
@@ -27,7 +29,10 @@ Execution split: Spark's UnionLoop re-evaluates the recursive member
 each iteration, and an inlined edges CTE would re-run the fact join
 5×. The Spark path therefore MATERIALIZES the sparsified edge frame
 once (localCheckpoint — exactly how a production job would stage a
-derived graph) and recurses over the checkpointed view; the DuckDB
+derived graph) and recurses over the checkpointed view with an
+explicit BROADCAST hint on the edge side: the checkpointed RDD has no
+stats, so without the hint every iteration plans a 32-partition
+sort-merge join of a ≤75-row frame (~3x slower measured). The DuckDB
 oracle runs the single portable string below (DuckDB materializes
 non-recursive CTEs referenced from a recursive one on its own).
 """
@@ -121,7 +126,7 @@ _BFS_OVER_VIEW_SQL = """
 WITH RECURSIVE reach(node, dist) AS (
   SELECT 'NATION_7' AS node, 0 AS dist
   UNION ALL
-  SELECT e.dst, r.dist + 1
+  SELECT /*+ BROADCAST(e) */ e.dst, r.dist + 1
   FROM reach r JOIN bfs_edges e ON e.src = r.node
   WHERE r.dist < 4
 )
@@ -137,7 +142,7 @@ WITH RECURSIVE paths(root, node, depth, path) AS (
   SELECT src AS root, dst AS node, 1 AS depth, src || '>' || dst AS path
   FROM dag_edges
   UNION ALL
-  SELECT p.root, d.dst, p.depth + 1, p.path || '>' || d.dst
+  SELECT /*+ BROADCAST(d) */ p.root, d.dst, p.depth + 1, p.path || '>' || d.dst
   FROM paths p JOIN dag_edges d ON d.src = p.node
   WHERE p.depth < 4
 )

@@ -131,3 +131,35 @@ def discover_symbols(df: DataFrame, *, symbol_col: str = "symbol") -> DataFrame:
     """S12 variant: symbol universe from data itself (distinct keys) —
     replaces collection-name scraping with a metadata-cheap distinct."""
     return df.select(F.col(symbol_col)).distinct()
+
+
+def read_with_schema_evolution(
+    spark: SparkSession,
+    path: str,
+    *,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet
+    generation under ``path`` (``mergeSchema``) and backfill columns
+    absent from older files.
+
+    The reference handles drift defensively at runtime — it re-checks
+    ``actual_columns`` per batch and silently drops what's missing
+    (reference spark-job/etl_job.py:218-221). Spark-first, drift is a
+    METADATA property: footer merge unions all generations' schemas,
+    old files yield NULL for later columns, and ``defaults`` turns
+    those NULLs into declared values (coalesce — never touching rows
+    that carry real data).
+
+    Scale: mergeSchema reads footers, not data — cost scales with file
+    COUNT. At 100 TB with many small generations, pair it with
+    pipeline/etl.py::compact_partitions so footer listing stays cheap,
+    or persist the merged schema to the catalog and pass it explicitly.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+        else:
+            df = df.withColumn(col, F.lit(default))
+    return df

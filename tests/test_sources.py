@@ -103,3 +103,33 @@ def test_orc_roundtrip_preserves_values_and_pushdown(spark, tmp_path):
     )
     filtered = back.filter(back.n_regionkey == 1)
     assert any("n_regionkey" in f for f in pushed_filters(filtered))
+
+
+def test_schema_evolution_merge_and_backfill(spark, tmp_path):
+    """Old-generation files must surface NULL for later columns, the
+    declared default must backfill exactly those rows, and pushdown on
+    a common column must still reach the scan."""
+    from finance_etl_system_spark.sources.readers import read_with_schema_evolution
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [("AAPL", 100.0), ("MSFT", 200.0)], "symbol STRING, close DOUBLE"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [("GOOG", 150.0, "tech")], "symbol STRING, close DOUBLE, sector STRING"
+    ).write.mode("append").parquet(path)
+
+    df = read_with_schema_evolution(
+        spark, path, defaults={"sector": "unknown", "exchange": "NYSE"}
+    )
+    rows = {r.symbol: r for r in df.collect()}
+    assert rows["AAPL"].sector == "unknown"      # old gen, backfilled
+    assert rows["GOOG"].sector == "tech"         # new gen, untouched
+    assert all(r.exchange == "NYSE" for r in rows.values())  # never-present col
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.plans import pushed_filters
+
+    pushed = pushed_filters(df.filter(F.col("close") > 120.0))
+    assert any("close" in f for f in pushed)
