@@ -47,6 +47,7 @@ _MODULES: list[str] = [
     "recursive",
     "variantq",
     "udtfq",
+    "udafq",
     "hllq",
     "retrieval",
     "anomaly",

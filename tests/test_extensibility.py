@@ -91,3 +91,24 @@ def test_udtf_chunks_reconstruct_text(spark):
         assert "".join(r.chunk for r in rows) == texts[doc_id]
         assert all(r.chunk_len == len(r.chunk) for r in rows)
         assert all(r.chunk_len == _CHUNK for r in rows[:-1])
+
+
+def test_weighted_median_udaf_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.queries.udafq import q_weighted_median
+
+    got = {r.event_type: r for r in q_weighted_median(spark, SF_SMOKE).collect()}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["value"])
+    ev = ev[~np.isnan(ev["value"])]
+    ev["ticks"] = np.round(ev["value"] * 100).astype("int64")
+    ev["w"] = (ev["event_id"] % 97 + 1).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values("ticks", kind="stable")
+        cum = g["w"].cumsum()
+        total = int(g["w"].sum())
+        want = int(g["ticks"].to_numpy()[int((cum * 2 >= total).values.argmax())])
+        assert got[et].wmed_ticks == want, et
+        assert got[et].total_w == total
+        assert got[et].n == len(g)
