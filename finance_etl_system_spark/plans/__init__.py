@@ -6,7 +6,9 @@ from .inspect import (
     exchange_count,
     explain_text,
     has_cartesian_product,
+    has_dynamic_partition_pruning,
     has_take_ordered,
+    partition_filters,
     pushed_filters,
     read_schemas,
     shuffle_join_count,
@@ -18,7 +20,9 @@ __all__ = [
     "exchange_count",
     "explain_text",
     "has_cartesian_product",
+    "has_dynamic_partition_pruning",
     "has_take_ordered",
+    "partition_filters",
     "pushed_filters",
     "read_schemas",
     "shuffle_join_count",

@@ -85,3 +85,22 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     pre-execution plan hides codegen ids — disable AQE around the call
     when asserting (tests/test_plans.py does)."""
     return len(set(re.findall(r"codegen id : (\d+)", explain_text(df))))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters per scan — the predicates resolved at FILE
+    LISTING time (static partition pruning, plus
+    ``dynamicpruningexpression`` entries injected by DPP). A
+    partitioned-table join without a dynamicpruning entry scans every
+    partition however selective the dim side is."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_text(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in re.split(r",(?![^(]*\))", body))
+    return out
+
+
+def has_dynamic_partition_pruning(df: DataFrame) -> bool:
+    """True when some scan carries a runtime DPP subquery filter."""
+    return any("dynamicpruning" in f.lower() for f in partition_filters(df))

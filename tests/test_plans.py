@@ -245,3 +245,48 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim
+    must scan only the dim's surviving dates: the fact scan carries a
+    dynamicpruningexpression PartitionFilter, and the result equals
+    the unpartitioned twin."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.plans import (
+        has_dynamic_partition_pruning,
+        partition_filters,
+    )
+
+    fact_path = str(tmp_path / "events_by_date")
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    e.write.partitionBy("event_date").parquet(fact_path)
+
+    dates = (
+        e.select("event_date").distinct().orderBy("event_date").limit(3)
+        .withColumn("tag", F.lit("picked"))
+    )
+    dim_path = str(tmp_path / "dates_dim")
+    dates.write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "picked")
+    joined = fact.join(dim, "event_date").groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    assert has_dynamic_partition_pruning(joined), partition_filters(joined)
+
+    got = {str(r.event_date): r.n for r in joined.collect()}
+    want = {
+        str(r.event_date): r.n
+        for r in e.join(dates, "event_date")
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
