@@ -75,7 +75,10 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
 
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
     timings: dict[str, float] = {}
+    io: dict[str, dict] = {}
     total = 0.0
     for name in names:
         fn = qs[name]
@@ -84,12 +87,25 @@ def main() -> None:
         # best-of-2 at the target sf: single runs swing ~15% on GC/JIT
         # noise in one shared JVM; the min is the steady-state number
         dt = float("inf")
+        df = None
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            df.count()
             dt = min(dt, time.time() - t0)
         timings[name] = round(dt, 3)
         total += dt
+        try:
+            # one untimed plan execution per query: the timed count()
+            # compiles its own plan, so IO counters live here
+            m = executed_metrics(df, execute=True)
+            io[name] = {
+                "files_size": m["files_size"],
+                "scan_rows": m["scan_rows"],
+                "shuffle_write_bytes": m["shuffle_write_bytes"],
+            }
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            pass
 
     print(
         json.dumps(
@@ -98,6 +114,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "io": io,
                 "sf": sf,
             }
         )

@@ -290,3 +290,27 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_executed_metrics_report_scan_and_shuffle(spark):
+    """The runtime metrics must reflect pruning: a 2-column aggregate
+    reads less than the full table and shuffles only group partials."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    m = executed_metrics(df, execute=True)
+    assert m["scans"] and m["scan_rows"] > 0
+    assert 0 < m["files_size"]
+    import os
+
+    full = os.path.getsize(f"{SF_SMOKE}/lineitem.parquet")
+    assert m["files_size"] <= full  # column pruning ⇒ never above file size
+    # map-side combine: shuffled rows ≲ groups × partitions, far below scan
+    assert 0 < m["shuffle_write_rows"] < m["scan_rows"] / 10
