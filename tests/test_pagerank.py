@@ -51,3 +51,29 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     assert [(r.n_name, r.pr_rank) for r in ranks] == [
         (r.n_name, r.pr_rank) for r in again
     ]
+
+
+def test_trade_triangles_match_python_enumeration(spark):
+    """Triangle participation counts must equal a brute-force cycle
+    enumeration over the same top-3 edge list."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.queries.graphq import q_trade_triangles
+    from finance_etl_system_spark.queries.recursive import _EDGES_CTE, _TABLES
+    for t in _TABLES:
+        load_table(spark, SF_SMOKE, t).createOrReplaceTempView(t)
+    rows = spark.sql(f"WITH {_EDGES_CTE} SELECT * FROM raw_edges").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append((-r.w, r.dst))
+    adj = {s: {d for _, d in sorted(p)[:3]} for s, p in by_src.items()}
+
+    from collections import Counter
+    want = Counter()
+    for a in adj:
+        for b in adj[a]:
+            for c in adj.get(b, ()):
+                if a in adj.get(c, ()) and a < b and a < c:
+                    want[a] += 1; want[b] += 1; want[c] += 1
+
+    got = {r.n_name: r.n_triangles for r in q_trade_triangles(spark, SF_SMOKE).collect()}
+    assert got == dict(want)

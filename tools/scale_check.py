@@ -58,6 +58,11 @@ QUERIES = [
     "cdc_merge",
     "zorder_stats",
     "nation_pagerank",
+    "recursive_bfs",
+    "variant_agg",
+    "hll_rollup",
+    "weighted_median",
+    "rolling_robust_outliers",
 ]
 
 # stride larger than any base key so copies never collide
