@@ -234,10 +234,25 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curated-corpus build (pipeline/corpus.py): exact +
+    near-dup dedup, quality gate, 5-gram decontamination vs the
+    doc_id%23 eval slice, hash split, token packing. Rows-only driver
+    entry (MinHash banding is probabilistic by design); the pipeline
+    invariants are pinned in tests/test_corpus.py."""
+    from ..pipeline.corpus import build_training_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return build_training_corpus(corpus, eval_slice).orderBy("doc_id")
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 ORACLE = {

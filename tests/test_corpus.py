@@ -1,0 +1,82 @@
+"""End-to-end corpus pipeline (pipeline/corpus.py): dedup, quality,
+decontamination, split, and packing invariants over the fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.operators.text import normalized, tokens
+from finance_etl_system_spark.pipeline.corpus import (
+    MIN_TOKENS,
+    MIN_TTR,
+    NGRAM,
+    PACK_BUDGET,
+    build_training_corpus,
+)
+from finance_etl_system_spark.queries.curation import EVAL_MOD
+from tests.conftest import SF_SMOKE
+
+
+def _inputs(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    return (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % EVAL_MOD == 0),
+    )
+
+
+def test_corpus_pipeline_invariants(spark):
+    corpus, eval_slice = _inputs(spark)
+    out = build_training_corpus(corpus, eval_slice)
+    rows = out.collect()
+    assert rows, "pipeline must keep some documents"
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "one row per surviving doc"
+
+    surviving = corpus.join(out.select("doc_id"), "doc_id", "left_semi")
+
+    # no two survivors share identical normalized text
+    n_docs = surviving.count()
+    n_distinct = (
+        surviving.select(normalized(F.col("text")).alias("t")).distinct().count()
+    )
+    assert n_docs == n_distinct == len(ids)
+
+    # quality gate held
+    for r in rows:
+        assert r.n_tokens >= MIN_TOKENS
+        assert r.ttr >= MIN_TTR
+        assert r.split in ("train", "test")
+        assert r.bin_id >= 0
+
+    # decontamination: no survivor shares a 5-gram with the eval slice
+    from finance_etl_system_spark.operators.dedup import shingles
+
+    surv_grams = surviving.select(
+        F.explode(shingles(F.col("text"), NGRAM)).alias("g")
+    ).distinct()
+    eval_grams = eval_slice.select(
+        F.explode(shingles(F.col("text"), NGRAM)).alias("g")
+    ).distinct()
+    assert surv_grams.join(eval_grams, "g").count() == 0
+
+    # both splits populated at fixture scale; split is deterministic
+    splits = {r.split for r in rows}
+    assert splits == {"train", "test"}
+    again = {(r.doc_id, r.split) for r in build_training_corpus(corpus, eval_slice).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_corpus_packing_respects_budget_per_split(spark):
+    corpus, eval_slice = _inputs(spark)
+    out = build_training_corpus(corpus, eval_slice).collect()
+    for split in ("train", "test"):
+        rows = sorted(
+            (r for r in out if r.split == split), key=lambda r: r.doc_id
+        )
+        # prefix-sum packing: bin_id == floor(prefix/budget), monotone
+        prefix = 0
+        for r in rows:
+            assert r.bin_id == prefix // PACK_BUDGET
+            prefix += r.n_tokens
