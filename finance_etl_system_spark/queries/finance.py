@@ -386,11 +386,85 @@ SELECT n_name, yr, ROUND(ticks / 100.0, 2) AS revenue,
        ROUND(100.0 * (ticks - prev) / prev, 6) AS yoy_pct
 FROM lagged ORDER BY n_name, yr
 """
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TIME-weighted average price per symbol — VWAP's twin for
+    irregularly-spaced observations: each price holds until the next
+    tick, weight = holding duration (integer SECONDS; µs products
+    would overflow long day-sums at real tick rates, seconds keep the
+    worst case ~1e15 with the same cross-engine exactness). The final
+    division reuses the exact half-up integer rounding of vwap_daily.
+
+    One window (symbol-partitioned lead) + one groupBy — both on the
+    symbol shuffle, map-side combinable."""
+    s = _series(spark, sf_dir)
+    # lead within the same (symbol, day)
+    dur = (
+        s.withColumn("d", F.to_date("ts"))
+        .withColumn(
+            "dur_s",
+            (
+                (F.lead("k").over(
+                    Window.partitionBy("symbol", "d").orderBy("k")
+                ) - F.col("k")) / F.lit(1_000_000)
+            ).cast("long"),
+        )
+        .filter(F.col("dur_s").isNotNull())
+    )
+    g = dur.groupBy("symbol", "d").agg(
+        F.sum(F.col("ticks") * F.col("dur_s")).alias("td"),
+        F.sum("dur_s").alias("tot_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return (
+        g.filter(F.col("tot_s") > 0)
+        .select(
+            "symbol",
+            "d",
+            (F.expr("(td * 20000 + tot_s) div (2 * tot_s)") / 1000000.0).alias(
+                "twap"
+            ),
+            F.col("tot_s").alias("span_seconds"),
+            "n_intervals",
+        )
+        .orderBy("symbol", "d")
+    )
+
+
+_TWAP_DAILY_SQL = """
+WITH s AS (
+  SELECT user_id AS symbol, CAST(ts AS DATE) AS d,
+         epoch_us(ts) AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS ticks
+  FROM events
+),
+dur AS (
+  SELECT symbol, d, ticks,
+         CAST((LEAD(k) OVER (PARTITION BY symbol, d ORDER BY k) - k)
+              // 1000000 AS BIGINT) AS dur_s
+  FROM s
+),
+g AS (
+  SELECT symbol, d,
+         CAST(SUM(ticks * dur_s) AS BIGINT) AS td,
+         CAST(SUM(dur_s) AS BIGINT) AS tot_s,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM dur WHERE dur_s IS NOT NULL
+  GROUP BY symbol, d
+)
+SELECT symbol, d,
+       ((td * 20000 + tot_s) // (2 * tot_s)) / 1000000.0 AS twap,
+       tot_s AS span_seconds,
+       n_intervals
+FROM g
+WHERE tot_s > 0
+ORDER BY symbol, d
+"""
 
 
 QUERIES = {
     "ohlc_resample": q_ohlc_resample,
     "vwap_daily": q_vwap_daily,
+    "twap_daily": q_twap_daily,
     "max_drawdown": q_max_drawdown,
     "symbol_correlation": q_symbol_correlation,
     "sessionize_events": q_sessionize_events,
@@ -400,6 +474,7 @@ QUERIES = {
 ORACLE = {
     "ohlc_resample": _OHLC_RESAMPLE_SQL,
     "vwap_daily": _VWAP_DAILY_SQL,
+    "twap_daily": _TWAP_DAILY_SQL,
     "max_drawdown": _MAX_DRAWDOWN_SQL,
     "symbol_correlation": _SYMBOL_CORRELATION_SQL,
     "sessionize_events": _SESSIONIZE_EVENTS_SQL,

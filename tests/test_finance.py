@@ -89,3 +89,31 @@ def test_symbol_correlation_is_valid_pearson(spark):
         assert -1.0 - 1e-9 <= r.corr_r <= 1.0 + 1e-9
         assert r.sym_a < r.sym_b
         assert r.n_days >= 15
+
+
+def test_twap_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.queries.finance import q_twap_daily
+
+    got = {
+        (r.symbol, str(r.d)): (r.twap, r.span_seconds, r.n_intervals)
+        for r in q_twap_daily(spark, SF_SMOKE).collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ticks"] = np.round(ev["value"] * 100).astype("int64")
+    ev["k"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["d"] = ev["ts"].astype("datetime64[us]").dt.date
+    want = {}
+    for (sym, d), g in ev.groupby(["user_id", "d"]):
+        g = g.sort_values("k")
+        ks, ticks = g["k"].to_numpy(), g["ticks"].to_numpy()
+        durs = (ks[1:] - ks[:-1]) // 1_000_000
+        tot = int(durs.sum())
+        if len(g) < 2 or tot <= 0:
+            continue
+        td = int((ticks[:-1] * durs).sum())
+        twap = ((td * 20000 + tot) // (2 * tot)) / 1e6
+        want[(sym, str(d))] = (twap, tot, len(g) - 1)
+    assert got == want
