@@ -337,3 +337,41 @@ def test_stream_static_broadcast_enrich(spark, tmp_path):
         "MSFT": ("tech", "US", 200.0),
         "ZZZZ": (None, None, 1.0),
     }
+
+
+@pytest.mark.timeout(300)
+def test_stream_scoring_matches_batch_score(spark, tmp_path):
+    """The streaming scorer must produce exactly batch score_ols
+    predictions for covered symbols and NULL for uncovered ones."""
+    from finance_etl_system_spark.streaming.scoring import stream_score
+
+    def msg(ticker, ts, close, volume):
+        value = {"ticker": ticker, "date": ts[:10], "open": close, "high": close,
+                 "low": close, "close": close, "volume": volume, "timestamp": ts}
+        return json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        msg("AAPL", "2024-01-02T10:00:00", 100.0, 5)
+        + msg("AAPL", "2024-01-02T11:00:00", 102.0, 7)
+        + msg("ZZZZ", "2024-01-02T10:30:00", 1.0, 1)
+    )
+    registry = str(tmp_path / "registry")
+    spark.createDataFrame(
+        [("AAPL", [2.0, 0.5], 10.0, "ols", 0.9)],
+        "group_key STRING, coefficients ARRAY<DOUBLE>, intercept DOUBLE,"
+        " model_name STRING, r2 DOUBLE",
+    ).write.parquet(registry)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_score(spark, str(src), registry, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r.symbol, r.close): r.prediction for r in spark.read.parquet(out).collect()}
+    # prediction = intercept + 2*close + 0.5*volume
+    assert got == {
+        ("AAPL", 100.0): round(10.0 + 2.0 * 100.0 + 0.5 * 5, 6),
+        ("AAPL", 102.0): round(10.0 + 2.0 * 102.0 + 0.5 * 7, 6),
+        ("ZZZZ", 1.0): None,
+    }
