@@ -60,6 +60,10 @@ HEADLINE: list[str] = [
     "recursive_bfs",
     "variant_agg",
     "hll_rollup",
+    "weighted_median",
+    "rolling_robust_outliers",
+    "twap_daily",
+    "trade_triangles",
 ]
 
 

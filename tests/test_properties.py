@@ -130,3 +130,40 @@ def test_asof_join_matches_bruteforce(spark, left_ts, right_ts):
         eligible = [rt for rt in right_vals if rt <= t]
         expect = right_vals[max(eligible)] if eligible else None
         assert got.get(i) == expect, (t, sorted(right_vals), got.get(i), expect)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-10_000, max_value=10_000),  # ticks
+            st.integers(min_value=1, max_value=50),            # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_weighted_median_kernel_properties(data):
+    """The UDAF kernel must return an existing tick whose cumulative
+    weight first reaches half the total, for ANY multiset."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.functions.udafs import weighted_median_ticks
+
+    ticks = pd.Series([t for t, _ in data])
+    w = pd.Series([wt for _, wt in data])
+    got = weighted_median_ticks.func(ticks, w)
+
+    assert got in set(ticks)
+    total = int(w.sum())
+    below = int(w[ticks < got].sum())
+    upto = int(w[ticks <= got].sum())
+    # lower weighted median: strictly-below mass < half, mass up to
+    # (and including) the median reaches half
+    assert 2 * below < total <= 2 * upto
+    # expansion-invariance: equals the plain median of the expanded multiset
+    expanded = np.repeat(ticks.to_numpy(), w.to_numpy())
+    expanded.sort()
+    k = int(np.searchsorted(np.cumsum(np.ones_like(expanded)) * 2, len(expanded), side="left"))
+    assert got == expanded[k]
