@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, shingles
 from ..operators.graph import connected_components
 from ..operators.packing import prefix_pack
-from ..operators.sampling import hash_bucket, train_test_split_by_key
+from ..operators.sampling import train_test_split_by_key
 from ..operators.text import tokens
 
 NGRAM = 5
@@ -57,7 +57,8 @@ def build_training_corpus(
     """docs + held-out eval_docs → curated, split, packed corpus.
 
     Returns one row per surviving document:
-    (doc_id, n_tokens, ttr, split, bin_id)."""
+    (doc_id, n_tokens, ttr, split, bin_id) — bin_id is per-split,
+    so the packed-bin key is (split, bin_id)."""
     # 1. exact dedup on normalized content
     d = exact_dedup(docs, text_col=text_col, id_col=id_col)
 
@@ -85,6 +86,7 @@ def build_training_corpus(
             ),
         )
         .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
+        .drop("_toks")  # token arrays must not ride the later shuffles
     )
 
     # 4. decontamination: drop docs sharing any word-5-gram with eval
@@ -107,8 +109,8 @@ def build_training_corpus(
     # 5. leakage-safe deterministic split (near-dup-safe via step 2)
     train, test = train_test_split_by_key(d, [id_col], test_fraction)
 
-    # 6. pack each split into fixed token-budget bins; test bins are
-    #    offset past the train range so bin_id is globally unique
+    # 6. pack each split into fixed token-budget bins; bin_id counts
+    #    from 0 WITHIN each split — (split, bin_id) is the bin key
     def pack(split_df: DataFrame, name: str) -> DataFrame:
         packed = prefix_pack(
             split_df.select(id_col, "n_tokens", "ttr"),

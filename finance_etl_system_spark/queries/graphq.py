@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.pagerank import RANK_SCALE, W_SCALE, pagerank
+from .recursive import _EDGES_CTE
+from .recursive import _TABLES as _REC_TABLES
 
 _ITERATIONS = 10
 
@@ -120,18 +122,8 @@ ORDER BY pr_rank DESC, n_name
 # portable string: the triple self-join runs ONCE (no recursion, so
 # no loop-replan concern), the data-sized step is still only the
 # raw_edges fact aggregate.
-_TRIANGLES_SQL = """
-WITH raw_edges AS (
-  SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation sn ON s_nationkey = sn.n_nationkey
-  JOIN nation cn ON c_nationkey = cn.n_nationkey
-  WHERE sn.n_name <> cn.n_name
-  GROUP BY sn.n_name, cn.n_name
-),
+_TRIANGLES_SQL = f"""
+WITH {_EDGES_CTE},
 edges AS (
   SELECT src, dst FROM (
     SELECT src, dst,
@@ -157,9 +149,6 @@ GROUP BY node
 ORDER BY n_triangles DESC, n_name
 """
 
-_TRI_TABLES = ["lineitem", "orders", "supplier", "customer", "nation"]
-
-
 def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-triangle census (the oracle runs the SAME string).
 
@@ -167,7 +156,7 @@ def q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering/community detection; on the 75-edge sparsified frame
     the triple join is trivially broadcast, and at 100 TB the cost
     profile is unchanged: one fact aggregate, then node-scale work."""
-    for t in _TRI_TABLES:
+    for t in _REC_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TRIANGLES_SQL)
 

@@ -317,11 +317,11 @@ def stream_static_enrich(
     dim ships once per executor, the stream side never shuffles, and
     rows without dim coverage survive (left join) with NULL metadata.
 
-    Static-side semantics: Spark re-plans the static side per
-    micro-batch, so a dim REWRITTEN between batches is picked up; for
-    guaranteed-fresh dims at scale, point dim_path at a
-    dynamic-partition-overwrite table (pipeline/etl.py's idempotent
-    writer). State: none — unlike stream-stream joins this buffers
+    Static-side semantics: the dim's FILE LISTING is fixed when the
+    frame is planned (InMemoryFileIndex) — a dim rewritten while a
+    continuous query runs is NOT picked up (and deleted files fail
+    the next batch). For refreshing dims, re-read the dim inside a
+    foreachBatch join or restart the query on publish. State: none — unlike stream-stream joins this buffers
     nothing, so it scales with batch size only. Returns the started
     query (availableNow trigger, append parquet sink).
     """

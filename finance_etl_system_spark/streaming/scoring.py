@@ -11,9 +11,10 @@ fallback, mirroring the API's 404 branch).
 
 Scale: the registry is |groups| rows and broadcasts; the stream side
 never shuffles and holds no state — throughput is bounded by the sink,
-not the scorer. Model refresh = rewrite the registry parquet; the
-static side is re-planned per micro-batch (same semantics as
-stream_static_enrich).
+not the scorer. Model refresh requires a query
+restart (or a foreachBatch re-read): the registry's file listing is
+fixed at planning time — same static-side semantics as
+stream_static_enrich.
 """
 
 from __future__ import annotations
