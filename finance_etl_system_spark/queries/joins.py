@@ -334,6 +334,51 @@ ORDER BY purchase_id
 """
 
 
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics reconciliation
+    jobs need when the join key is itself optional. Spark still plans a
+    hash join (the null bucket is one key), unlike an OR-isnull rewrite
+    which degenerates to nested-loop.
+
+    Key = order priority with one value nulled out (NULLIF), so the
+    null bucket is big enough to prove the match behavior."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.groupBy(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    right = o.filter(F.col("o_totalprice") > 100000).groupBy(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio")
+    ).agg(F.count(F.lit(1)).alias("n_big"))
+    return (
+        left.join(right, left["prio"].eqNullSafe(right["prio"]), "left")
+        .select(
+            left["prio"].alias("priority_key"),
+            "n_orders",
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        )
+        .orderBy(F.col("priority_key").asc_nulls_first())
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+WITH l AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n_big
+  FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+)
+SELECT l.prio AS priority_key, l.n_orders,
+       CAST(COALESCE(r.n_big, 0) AS BIGINT) AS n_big
+FROM l LEFT JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+ORDER BY priority_key ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "interval_join_events": q_interval_join_events,
     "join_broadcast_dims": q_join_broadcast_dims,
@@ -344,6 +389,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_range": q_join_range,
     "join_asof": q_join_asof,
+    "join_null_safe": q_join_null_safe,
 }
 
 ORACLE = {
@@ -356,4 +402,5 @@ ORACLE = {
     "join_anti": _JOIN_ANTI_SQL,
     "join_range": _JOIN_RANGE_SQL,
     "join_asof": _JOIN_ASOF_SQL,
+    "join_null_safe": _JOIN_NULL_SAFE_SQL,
 }

@@ -408,6 +408,52 @@ WHERE vec_id < 200
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed columns (§1.3): per order status, build a
+    priority→count map (map_from_entries over sorted entries), then
+    project SCALARS out of it — cardinality, a point lookup
+    (element_at), and the ordered key list. The map itself never
+    leaves the plan: cross-engine comparison is on values, and the
+    DuckDB oracle derives the same scalars relationally (DuckDB's MAP
+    representation differs; its semantics don't).
+
+    Scale: two map-side-combinable aggregates; the map lives on
+    |status| rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = g.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.size("m").alias("n_priorities"),
+        F.coalesce(F.element_at("m", "2-HIGH"), F.lit(0)).cast("long").alias(
+            "n_high"
+        ),
+        F.array_join(F.map_keys("m"), ",").alias("priority_keys"),
+    ).orderBy("o_orderstatus")
+
+
+_MAP_FUNCTIONS_SQL = """
+WITH g AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS INT) AS n_priorities,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN cnt END), 0)
+            AS BIGINT) AS n_high,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priority_keys
+FROM g
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "nested_types": q_nested_types,
     "pivot": q_pivot,
@@ -419,6 +465,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "null_nan_handling": q_null_nan_handling,
     "deterministic_row_key": q_deterministic_row_key,
+    "map_functions": q_map_functions,
 }
 
 ORACLE = {
@@ -432,4 +479,5 @@ ORACLE = {
     "json_extract": _JSON_EXTRACT_SQL,
     "null_nan_handling": _NULL_NAN_HANDLING_SQL,
     "deterministic_row_key": _DETERMINISTIC_ROW_KEY_SQL,
+    "map_functions": _MAP_FUNCTIONS_SQL,
 }
