@@ -64,6 +64,8 @@ HEADLINE: list[str] = [
     "rolling_robust_outliers",
     "twap_daily",
     "trade_triangles",
+    "join_null_safe",
+    "map_functions",
 ]
 
 
