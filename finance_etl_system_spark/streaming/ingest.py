@@ -300,6 +300,56 @@ def stream_stream_join(
     )
 
 
+def stream_session_agg(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+):
+    """LIVE gap-based sessionization (T6): ``session_window`` merges
+    events per symbol into sessions that close after ``gap`` of
+    silence; append mode emits a session only once the watermark
+    guarantees no more members can arrive.
+
+    The batch twin (q: session_window, queries/windows.py) defines the
+    oracle semantics; this is the streaming deployment of the same
+    operator. State per key = the OPEN sessions only — the watermark
+    expires closed ones, so state is bounded by activity, not history.
+    Returns the started query (availableNow trigger).
+    """
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    parsed = parse_kafka_records(raw)
+    sess = (
+        parsed.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.session_window("event_time", gap).alias("win"),
+            F.upper("ticker").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("close"), 6).alias("avg_close"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "symbol",
+            "n_rows",
+            "avg_close",
+        )
+    )
+    return (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_enrich(
     spark: SparkSession,
     source_dir: str,

@@ -27,3 +27,30 @@ def test_every_registered_query_runs(spark):
         except Exception as exc:  # noqa: BLE001 — collect all failures
             failures[name] = repr(exc)[:200]
     assert not failures, failures
+
+
+def test_oracle_column_names_match_spark(spark):
+    """The driver's compare sorts columns by name before hashing — an
+    alias mismatch fails every value check. Verify name parity for
+    EVERY oracle entry without executing either engine: Spark gives
+    the schema from the unexecuted plan, DuckDB from DESCRIBE."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    qs, oracle = entry.queries(), entry.oracle_sql()
+    mismatches = {}
+    for name, sql in oracle.items():
+        spark_cols = sorted(qs[name](spark, SF_SMOKE).columns)
+        duck_cols = sorted(r[0] for r in con.sql(f"DESCRIBE {sql}").fetchall())
+        if spark_cols != duck_cols:
+            mismatches[name] = (spark_cols, duck_cols)
+    assert not mismatches, mismatches

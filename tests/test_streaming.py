@@ -375,3 +375,40 @@ def test_stream_scoring_matches_batch_score(spark, tmp_path):
         ("AAPL", 102.0): round(10.0 + 2.0 * 102.0 + 0.5 * 7, 6),
         ("ZZZZ", 1.0): None,
     }
+
+
+@pytest.mark.timeout(300)
+def test_stream_session_windows_merge_and_close(spark, tmp_path):
+    """Events within the gap merge into one session; a quiet period
+    starts a new one; only watermark-closed sessions are emitted."""
+    from finance_etl_system_spark.streaming.ingest import stream_session_agg
+
+    def msg(ticker, ts, close):
+        value = {"ticker": ticker, "date": ts[:10], "open": close, "high": close,
+                 "low": close, "close": close, "volume": 1, "timestamp": ts}
+        return json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        # session 1: 10:00, 10:10 (within 30m gap)
+        msg("AAPL", "2024-01-02T10:00:00", 100.0)
+        + msg("AAPL", "2024-01-02T10:10:00", 102.0)
+        # session 2: 12:00 (gap > 30m)
+        + msg("AAPL", "2024-01-02T12:00:00", 104.0)
+        # advance the watermark far past both sessions
+        + msg("AAPL", "2024-01-03T09:00:00", 110.0)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_session_agg(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    rows = {
+        (str(r.session_start), r.n_rows, r.avg_close)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("2024-01-02 10:00:00", 2, 101.0) in rows
+    assert ("2024-01-02 12:00:00", 1, 104.0) in rows
+    # the 01-03 event's session is still open (watermark at max-1h) →
+    # not emitted in append mode
+    assert not any(s.startswith("2024-01-03") for s, _, _ in rows)
