@@ -133,3 +133,32 @@ def test_schema_evolution_merge_and_backfill(spark, tmp_path):
 
     pushed = pushed_filters(df.filter(F.col("close") > 120.0))
     assert any("close" in f for f in pushed)
+
+
+def test_python_datasource_crawler(spark):
+    """The ohlcv_crawler source must partition per symbol, type rows at
+    the source, and replay deterministically."""
+    from finance_etl_system_spark.sources.pydatasource import _quote, register
+
+    register(spark)
+    df = (
+        spark.read.format("ohlcv_crawler")
+        .option("symbols", "AAPL,msft,GOOG")
+        .option("days", "5")
+        .option("seed", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per symbol
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r.symbol for r in rows} == {"AAPL", "MSFT", "GOOG"}
+    for r in rows:
+        o, hi, lo, c, vol = _quote(r.symbol, r.day_index, 7)
+        assert (r.open, r.high, r.low, r.close, r.volume) == (o, hi, lo, c, vol)
+        assert r.low <= min(r.open, r.close) <= max(r.open, r.close) <= r.high
+        assert str(r.trading_date) >= "2024-01-02"
+    # deterministic replay
+    again = spark.read.format("ohlcv_crawler").option(
+        "symbols", "AAPL,msft,GOOG"
+    ).option("days", "5").option("seed", "7").load().collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
