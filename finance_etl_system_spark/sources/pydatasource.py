@@ -23,7 +23,12 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "symbol string, day_index int, trading_date date, open double,"
@@ -60,6 +65,9 @@ class CrawlerDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:  # noqa: ARG002
         return _CrawlerReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: ARG002
+        return _CrawlerStreamReader(self.options)
+
 
 class _CrawlerReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -94,6 +102,66 @@ class _CrawlerReader(DataSourceReader):
                 c,
                 vol,
             )
+
+
+class _CrawlerStreamReader(SimpleDataSourceStreamReader):
+    """The crawler's polling cycle as a STREAMING source: the offset
+    is the day index, each micro-batch 'fetches' the next
+    ``batch_days`` for every symbol. Offsets live in the query
+    checkpoint, so a restarted query resumes exactly where the last
+    committed batch ended — the reference tracks the same cursor by
+    hand in its scheduler (reference docker/scheduler.py:28-35).
+
+    ``read`` runs on the DRIVER by design (SimpleStreamReader): fine
+    for cursor-advance planning plus modest per-cycle row counts; a
+    huge universe would use the partitioned streaming API instead."""
+
+    def __init__(self, options) -> None:
+        self.symbols = [
+            s.strip().upper()
+            for s in options.get("symbols", "AAPL,MSFT").split(",")
+            if s.strip()
+        ]
+        self.batch_days = int(options.get("batch_days", 1))
+        self.start = options.get("start", "2024-01-02")
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def _rows(self, d0: int, d1: int) -> list[tuple]:
+        # a LIST, not a generator: the stream runner pickles the
+        # returned iterator for prefetch/recovery
+        import datetime as dt
+
+        start = dt.date.fromisoformat(self.start)
+        out = []
+        for day in range(d0, d1):
+            for symbol in self.symbols:
+                o, hi, lo, c, vol = _quote(symbol, day, self.seed)
+                out.append(
+                    (
+                        symbol,
+                        day,
+                        start + dt.timedelta(days=day),
+                        o,
+                        hi,
+                        lo,
+                        c,
+                        vol,
+                    )
+                )
+        return out
+
+    def read(self, start: dict):
+        d0 = start["day"]
+        d1 = d0 + self.batch_days
+        return iter(self._rows(d0, d1)), {"day": d1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed range (exactly the
+        # recovery contract _quote's determinism exists for)
+        return iter(self._rows(start["day"], end["day"]))
 
 
 def register(spark) -> None:

@@ -162,3 +162,37 @@ def test_python_datasource_crawler(spark):
         "symbols", "AAPL,msft,GOOG"
     ).option("days", "5").option("seed", "7").load().collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_python_datasource_streaming_offsets_resume(spark, tmp_path):
+    """The streaming crawler must advance its day-cursor through the
+    checkpoint: a restarted query continues from the committed offset
+    instead of re-fetching day 0."""
+    from finance_etl_system_spark.sources.pydatasource import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("ohlcv_crawler")
+            .option("symbols", "AAPL,MSFT")
+            .option("batch_days", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(
+        (r.symbol, r.day_index) for r in spark.read.parquet(out).collect()
+    )
+    assert first == [("AAPL", 0), ("AAPL", 1), ("MSFT", 0), ("MSFT", 1)]
+
+    run_once()  # restart: resumes at day 2
+    days = {r.day_index for r in spark.read.parquet(out).collect()}
+    assert days == {0, 1, 2, 3}
