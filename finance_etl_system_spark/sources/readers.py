@@ -163,3 +163,16 @@ def read_with_schema_evolution(
         else:
             df = df.withColumn(col, F.lit(default))
     return df
+
+
+def write_read_xml(df: DataFrame, path: str, spark: SparkSession, *, row_tag: str = "row") -> DataFrame:
+    """XML interchange (Spark 4 native XML source — S-family
+    completeness next to parquet/ORC/CSV/JSON): columnar engines meet
+    XML at ingest edges (vendor feeds, regulatory filings); read it
+    once with an explicit rowTag, then persist to parquet. Schema is
+    inferred per-tag here; production feeds should pass an explicit
+    schema the same way catalog.load_table does for parquet."""
+    df.write.option("rootTag", "rows").option("rowTag", row_tag).format(
+        "xml"
+    ).mode("overwrite").save(path)
+    return spark.read.option("rowTag", row_tag).format("xml").load(path)

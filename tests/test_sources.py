@@ -196,3 +196,23 @@ def test_python_datasource_streaming_offsets_resume(spark, tmp_path):
     run_once()  # restart: resumes at day 2
     days = {r.day_index for r in spark.read.parquet(out).collect()}
     assert days == {0, 1, 2, 3}
+
+
+def test_xml_roundtrip_preserves_values(spark, tmp_path):
+    from finance_etl_system_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    from finance_etl_system_spark.sources.readers import write_read_xml
+
+    src = (
+        load_table(spark, SF_SMOKE, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    back = write_read_xml(src, str(tmp_path / "xml"), spark, row_tag="nation")
+    got = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in back.select("n_nationkey", "n_name", "n_regionkey").collect()
+    )
+    want = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in src.collect()
+    )
+    assert got == want
