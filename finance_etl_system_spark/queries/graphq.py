@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.pagerank import RANK_SCALE, W_SCALE, pagerank
 from .recursive import _EDGES_CTE
-from .recursive import _TABLES as _REC_TABLES
 
 _ITERATIONS = 10
 
@@ -122,20 +121,16 @@ ORDER BY pr_rank DESC, n_name
 # portable string: the triple self-join runs ONCE (no recursion, so
 # no loop-replan concern), the data-sized step is still only the
 # raw_edges fact aggregate.
-_TRIANGLES_SQL = f"""
-WITH {_EDGES_CTE},
-edges AS (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
-    FROM raw_edges
-  ) t WHERE rk <= 3
-),
+def _triangle_body(edge_rel: str, hint: str = "") -> str:
+    """The tri/member/aggregate body, shared by the portable oracle
+    string and the Spark materialized-view variant so the
+    canonicalization can never drift between the twins."""
+    return f"""
 tri AS (
-  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-  FROM edges e1
-  JOIN edges e2 ON e2.src = e1.dst
-  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  SELECT {hint}e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {edge_rel} e1
+  JOIN {edge_rel} e2 ON e2.src = e1.dst
+  JOIN {edge_rel} e3 ON e3.src = e2.dst AND e3.dst = e1.src
   WHERE e1.src < e2.src AND e1.src < e3.src
 ),
 member AS (
@@ -149,24 +144,21 @@ GROUP BY node
 ORDER BY n_triangles DESC, n_name
 """
 
-_TRI_OVER_VIEW_SQL = """
-WITH tri AS (
-  SELECT /*+ BROADCAST(e2), BROADCAST(e3) */
-         e1.src AS a, e1.dst AS b, e2.dst AS c
-  FROM tri_edges e1
-  JOIN tri_edges e2 ON e2.src = e1.dst
-  JOIN tri_edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
-  WHERE e1.src < e2.src AND e1.src < e3.src
+
+_TRIANGLES_SQL = f"""
+WITH {_EDGES_CTE},
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+    FROM raw_edges
+  ) t WHERE rk <= 3
 ),
-member AS (
-  SELECT a AS node FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri
-)
-SELECT node AS n_name, CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM member
-GROUP BY node
-ORDER BY n_triangles DESC, n_name
+{_triangle_body("edges")}
+"""
+
+_TRI_OVER_VIEW_SQL = f"""
+WITH {_triangle_body("tri_edges", hint="/*+ BROADCAST(e2), BROADCAST(e3) */ ")}
 """
 
 

@@ -36,6 +36,15 @@ SCHEMA = (
 )
 
 
+def _parse_common_options(options) -> tuple[list[str], str, int]:
+    symbols = [
+        s.strip().upper()
+        for s in options.get("symbols", "AAPL,MSFT").split(",")
+        if s.strip()
+    ]
+    return symbols, options.get("start", "2024-01-02"), int(options.get("seed", 42))
+
+
 def _quote(symbol: str, day: int, seed: int) -> tuple[float, float, float, float, int]:
     """Deterministic synthetic OHLCV: crc32-keyed so any (symbol, day)
     yields the same row on every executor, attempt, and replay."""
@@ -71,14 +80,8 @@ class CrawlerDataSource(DataSource):
 
 class _CrawlerReader(DataSourceReader):
     def __init__(self, options) -> None:
-        self.symbols = [
-            s.strip().upper()
-            for s in options.get("symbols", "AAPL,MSFT").split(",")
-            if s.strip()
-        ]
+        self.symbols, self.start, self.seed = _parse_common_options(options)
         self.days = int(options.get("days", 30))
-        self.start = options.get("start", "2024-01-02")
-        self.seed = int(options.get("seed", 42))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per symbol: the crawler's per-symbol worker,
@@ -117,14 +120,8 @@ class _CrawlerStreamReader(SimpleDataSourceStreamReader):
     huge universe would use the partitioned streaming API instead."""
 
     def __init__(self, options) -> None:
-        self.symbols = [
-            s.strip().upper()
-            for s in options.get("symbols", "AAPL,MSFT").split(",")
-            if s.strip()
-        ]
+        self.symbols, self.start, self.seed = _parse_common_options(options)
         self.batch_days = int(options.get("batch_days", 1))
-        self.start = options.get("start", "2024-01-02")
-        self.seed = int(options.get("seed", 42))
 
     def initialOffset(self) -> dict:
         return {"day": 0}
