@@ -175,3 +175,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    min_max_cols: list[str] | None = None,
+) -> dict:
+    """Metadata-cheap table profile: COUNT(*) plus MIN/MAX of numeric
+    columns answered from PARQUET FOOTERS (aggregate pushdown,
+    `PushedAggregation` in the scan) — no row is decoded.
+
+    At 100 TB this is the difference between a statistics probe that
+    reads footers (seconds) and one that scans the table (hours); use
+    it for freshness checks, partition sanity, and join-side sizing
+    before picking a broadcast. Requires the v2 parquet source, so the
+    two confs are flipped for the duration of the call and restored
+    (the rest of the engine keeps the session's defaults).
+    """
+    if name not in STAR_SCHEMA:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    # restore-or-unset: a conf the session never SET explicitly must be
+    # unset afterwards (re-setting its default would pin it explicitly)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in min_max_cols or []:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        return row.asDict()
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -314,3 +314,50 @@ def test_executed_metrics_report_scan_and_shuffle(spark):
     assert m["files_size"] <= full  # column pruning ⇒ never above file size
     # map-side combine: shuffled rows ≲ groups × partitions, far below scan
     assert 0 < m["shuffle_write_rows"] < m["scan_rows"] / 10
+
+
+def test_table_stats_answers_from_footers(spark):
+    """table_stats must plan a PushedAggregation scan (no row decode)
+    and agree with the full-scan answers; session confs must be
+    restored afterwards."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table, table_stats
+
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    stats = table_stats(
+        spark, SF_SMOKE, "lineitem", min_max_cols=["l_orderkey", "l_quantity"]
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min("l_orderkey").alias("min_l_orderkey"),
+            F.max("l_orderkey").alias("max_l_orderkey"),
+            F.min("l_quantity").alias("min_l_quantity"),
+            F.max("l_quantity").alias("max_l_quantity"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert stats == want
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == prev
+
+    # the pushed plan really is footer-level: re-run with the confs
+    # flipped and assert PushedAggregation appears
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("lo")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey)]" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
