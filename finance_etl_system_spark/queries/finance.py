@@ -461,10 +461,98 @@ ORDER BY symbol, d
 """
 
 
+_ROLL_CORR_WIN = 30
+_ROLL_CORR_MIN = 10
+
+
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day ROLLING Pearson correlation between two symbols'
+    daily closing ticks (symbol_correlation's windowed twin: regime
+    shifts show up as the rolling series decaying, not as one global
+    number).
+
+    All five sufficient statistics are integer-exact window sums of
+    longs (ticks ≤ ~10^5, 30-row frames — products stay ~10^12,
+    far inside long range); the one float expression (corr formula)
+    is identical on both engines, so 6dp rounding agrees bitwise.
+    One broadcast-size join (two daily series) + one unpartitioned
+    window over |days| rows — calendar-sized, never data-sized."""
+    s = _series(spark, sf_dir)
+    daily = (
+        s.filter(F.col("symbol").isin(1, 2))
+        .groupBy("symbol", F.to_date("ts").alias("d"))
+        .agg(F.max_by("ticks", "k").alias("ticks"))
+    )
+    x = daily.filter(F.col("symbol") == 1).select("d", F.col("ticks").alias("x"))
+    y = daily.filter(F.col("symbol") == 2).select("d", F.col("ticks").alias("y"))
+    j = x.join(y, "d")
+    w = Window.orderBy("d").rowsBetween(-(_ROLL_CORR_WIN - 1), 0)
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    out = (
+        j.select(
+            "d",
+            n.alias("n_days"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+            ).alias("roll_corr"),
+        )
+        .filter(F.col("n_days") >= _ROLL_CORR_MIN)
+    )
+    return out.orderBy("d")
+
+
+_ROLLING_CORRELATION_SQL = f"""
+WITH s AS (
+  SELECT user_id AS symbol, CAST(ts AS DATE) AS d, epoch_us(ts) AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS ticks
+  FROM events WHERE user_id IN (1, 2)
+),
+daily AS (
+  SELECT symbol, d, max_by(ticks, k) AS ticks
+  FROM s GROUP BY symbol, d
+),
+j AS (
+  SELECT x.d, x.ticks AS x, y.ticks AS y
+  FROM (SELECT d, ticks FROM daily WHERE symbol = 1) x
+  JOIN (SELECT d, ticks FROM daily WHERE symbol = 2) y USING (d)
+),
+wsum AS (
+  SELECT d,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(x) OVER win AS BIGINT) AS sx,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+  FROM j
+  WINDOW win AS (ORDER BY d ROWS BETWEEN {_ROLL_CORR_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT d, n AS n_days,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS roll_corr
+FROM wsum
+WHERE n >= {_ROLL_CORR_MIN}
+ORDER BY d
+"""
+
+
 QUERIES = {
     "ohlc_resample": q_ohlc_resample,
     "vwap_daily": q_vwap_daily,
     "twap_daily": q_twap_daily,
+    "rolling_correlation": q_rolling_correlation,
     "max_drawdown": q_max_drawdown,
     "symbol_correlation": q_symbol_correlation,
     "sessionize_events": q_sessionize_events,
@@ -475,6 +563,7 @@ ORACLE = {
     "ohlc_resample": _OHLC_RESAMPLE_SQL,
     "vwap_daily": _VWAP_DAILY_SQL,
     "twap_daily": _TWAP_DAILY_SQL,
+    "rolling_correlation": _ROLLING_CORRELATION_SQL,
     "max_drawdown": _MAX_DRAWDOWN_SQL,
     "symbol_correlation": _SYMBOL_CORRELATION_SQL,
     "sessionize_events": _SESSIONIZE_EVENTS_SQL,

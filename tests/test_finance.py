@@ -117,3 +117,42 @@ def test_twap_matches_bruteforce(spark):
         twap = ((td * 20000 + tot) // (2 * tot)) / 1e6
         want[(sym, str(d))] = (twap, tot, len(g) - 1)
     assert got == want
+
+
+def test_rolling_correlation_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.queries.finance import (
+        _ROLL_CORR_MIN,
+        _ROLL_CORR_WIN,
+        q_rolling_correlation,
+    )
+
+    got = {str(r.d): (r.n_days, r.roll_corr)
+           for r in q_rolling_correlation(spark, SF_SMOKE).collect()}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev["user_id"].isin([1, 2])].copy()
+    ev["ticks"] = np.round(ev["value"] * 100).astype("int64")
+    ev["k"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["d"] = ev["ts"].astype("datetime64[us]").dt.date
+    daily = (
+        ev.sort_values("k").groupby(["user_id", "d"]).last()["ticks"].unstack(0)
+    )
+    j = daily.dropna().astype("int64")
+    xs, ys = j[1].to_numpy(), j[2].to_numpy()
+    days = [str(d) for d in j.index]
+    want = {}
+    for i in range(len(days)):
+        lo = max(0, i - (_ROLL_CORR_WIN - 1))
+        x, y = xs[lo:i + 1], ys[lo:i + 1]
+        n = len(x)
+        if n < _ROLL_CORR_MIN:
+            continue
+        vx = n * int((x * x).sum()) - int(x.sum()) ** 2
+        vy = n * int((y * y).sum()) - int(y.sum()) ** 2
+        cov = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        corr = round(cov / np.sqrt(float(vx) * float(vy)), 6) if vx > 0 and vy > 0 else None
+        want[days[i]] = (n, corr)
+    assert got == want
+    assert any(c is not None for _, c in got.values())
