@@ -66,6 +66,7 @@ HEADLINE: list[str] = [
     "trade_triangles",
     "join_null_safe",
     "map_functions",
+    "rolling_correlation",
 ]
 
 
