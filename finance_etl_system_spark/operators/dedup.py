@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import spread_for_expansion
 from .similarity import _as_double, _dot, _norm, _planes, signature_col, signature_udf
 from .text import normalized, tokens
 
@@ -70,11 +71,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets, via an
-    inverted-index self-join (docs only meet on shared shingles)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par, F.col(id_col)).select(
+    inverted-index self-join (docs only meet on shared shingles).
+
+    ``spread`` gates the pre-shingle repartition (see
+    operators/partitioning.py): auto by default — small local inputs
+    are spread across cores, already-parallel scans are never
+    reshuffled."""
+    sh = spread_for_expansion(df, id_col, spread=spread).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     sizes = sh.select("id", F.array_size("sh").alias("n_sh"))
@@ -117,6 +123,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 32,
     seed: int = 42,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of
     (a_i * h(shingle) + b_i) mod p, for each permutation i.
@@ -132,12 +139,10 @@ def minhash_signatures(
     hashed once per shingle and reused by every permutation.
     """
     a, b = _perm_params(num_perm, seed)
-    # small-file local sources arrive as one partition; spread docs so
-    # the per-row hashing parallelizes. At real scale the scan's file
-    # splits already provide parallelism and this repartition should
-    # be dropped — it reshuffles the raw text.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par, F.col(id_col)).select(
+    # conditional spread: small-file local sources arrive as one
+    # partition and need the hashing parallelized; already-parallel
+    # scans pass through with NO reshuffle of the raw text.
+    sh = spread_for_expansion(df, id_col, spread=spread).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     sh = sh.withColumn(
@@ -182,6 +187,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     verify_threshold: float = 0.0,
+    spread: bool | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs ->
     verified with estimated Jaccard (fraction of matching perms).
@@ -193,7 +199,13 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rpb = num_perm // bands
     sig = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_perm=num_perm,
+        seed=seed,
+        spread=spread,
     )
     sig = sig.localCheckpoint(eager=False)  # reused 3× below
 

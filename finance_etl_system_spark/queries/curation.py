@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.packing import prefix_pack
+from ..operators.partitioning import spread_for_expansion
 
 NGRAM = 5  # decontamination shingle width (words)
 EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 → held-out "benchmark" doc
@@ -66,14 +67,15 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever shuffled (keyed by doc_id, map-side combinable). Per-doc
     total gram counts come from size(array_distinct(...)) inside the
     row — no second shuffle over the full gram stream."""
-    par = spark.sparkContext.defaultParallelism
     d = (
-        load_table(spark, sf_dir, "documents")
-        # the scan is cheap rows → expensive expansion: spread the
-        # gram construction across cores BEFORE exploding (explicit
-        # count so AQE can't coalesce the tiny pre-explode exchange;
-        # both branches below reuse this one exchange)
-        .repartition(par, "doc_id")
+        # cheap rows → expensive expansion: spread the gram
+        # construction across cores BEFORE exploding — but only when
+        # the source arrives under-parallel (small local files); an
+        # already-parallel scan is never reshuffled (the raw-text
+        # repartition was round 2's one flagged scale killer)
+        spread_for_expansion(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
         .select("doc_id", _toks().alias("toks"))
         .filter(F.size("toks") >= NGRAM)
     )

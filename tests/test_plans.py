@@ -361,3 +361,26 @@ def test_table_stats_answers_from_footers(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_spread_gate_adds_no_exchange_on_parallel_input(spark):
+    """The pre-expansion repartition (operators/partitioning.py) must
+    NOT fire on an already-parallel input — at 100 TB that reshuffle
+    of the raw text was round 2's one flagged scale-killer. It must
+    still fire (exactly once) for an under-parallel local source."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.dedup import minhash_signatures
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # stands in for a real multi-split scan: >= defaultParallelism parts
+    wide = docs.repartition(par).localCheckpoint()
+    assert "Exchange" not in _plan(minhash_signatures(wide))
+
+    # small local source (1 partition): spread fires exactly once
+    narrow = docs.coalesce(1).localCheckpoint()
+    assert _plan(minhash_signatures(narrow)).count("Exchange") == 1
+
+    # explicit opt-out beats the auto-probe even on a narrow input
+    assert "Exchange" not in _plan(minhash_signatures(narrow, spread=False))
