@@ -1,0 +1,317 @@
+"""Nonlinear (tree) model tier: per-group gradient-boosted regression
+trees via Arrow-batched ``applyInPandas``, with opaque binary model
+blobs in the registry.
+
+The reference's ML service trains RandomForest/LightGBM per symbol
+with GridSearchCV (reference ml-service/ml_pipeline.py:90-104,
+182-192) and stores pickled model blobs in GridFS
+(ml_pipeline.py:223-227, 266-270). Spark-first re-expression:
+
+- the per-key many-small-models structure is ONE ``groupBy(key)
+  .applyInPandas`` job — same shuffle contract as the linear tier
+  (pipeline/ml.py), so at 100 TB the tree family adds zero extra
+  stages over OLS;
+- sklearn/LightGBM are not in this environment, so the estimator is
+  a self-contained numpy histogram-GBT (quantile-binned candidate
+  splits, variance-reduction greedy trees on residuals). Math is the
+  standard least-squares boosting recipe; it is fully deterministic
+  (no feature/row subsampling, ties break toward the lowest bin), so
+  rows-only driver checks and replay both reproduce bit-identical
+  metrics;
+- the trained ensemble is serialized to a ``BinaryType`` blob column
+  — the registry (pipeline/ml.py:save_model_registry) persists it in
+  parquet just like GridFS held the reference's pickles, and scoring
+  reloads from the blob alone (roundtrip pinned in tests/test_ml.py).
+
+Scoring broadcasts the dim-sized model table (one row per group —
+same driver-side budget as the k-means centroid matrix) and predicts
+inside a grouped Arrow pass.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# flat-array tree: node i is a leaf iff feature[i] < 0 (value[i] is
+# the prediction); otherwise x[feature[i]] <= threshold[i] -> left[i]
+_TreeArrays = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+def _prebin(X: np.ndarray, n_bins: int) -> tuple[list[np.ndarray], np.ndarray]:
+    """LightGBM-style global pre-binning: per-feature interior quantile
+    edges over the whole group, plus the per-row bin index. Computed
+    ONCE per group — every node of every tree reuses the bin ids, so
+    split search is O(n_bins) bincounts, not O(n·bins) rescans.
+
+    Bin id is the count of edges strictly below x, so
+    ``bin <= j  ⇔  x <= edges[j]`` — the same "<=" the predictor uses.
+    """
+    edges: list[np.ndarray] = []
+    binned = np.empty(X.shape, dtype=np.int64)
+    for f in range(X.shape[1]):
+        e = np.unique(np.quantile(X[:, f], np.linspace(0, 1, n_bins + 1)[1:-1]))
+        edges.append(e)
+        binned[:, f] = np.searchsorted(e, X[:, f], side="left")
+    return edges, binned
+
+
+def _fit_tree(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    max_depth: int,
+    min_leaf: int,
+    edges: list[np.ndarray],
+    binned: np.ndarray,
+) -> _TreeArrays:
+    """Greedy variance-reduction CART over pre-binned features.
+
+    Per node and feature, ONE bincount triple (count, Σy, Σy²) gives
+    every candidate threshold's SSE via cumulative sums — all cuts are
+    scored vectorized; ties break toward the lowest feature then the
+    lowest cut (np.argmax picks the first maximum), so the tree is
+    deterministic.
+    """
+    feature: list[int] = []
+    threshold: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    value: list[float] = []
+
+    def new_node() -> int:
+        feature.append(-1)
+        threshold.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        value.append(0.0)
+        return len(feature) - 1
+
+    def build(idx: np.ndarray, depth: int) -> int:
+        node = new_node()
+        yv = y[idx]
+        n = len(idx)
+        s = float(yv.sum())
+        sq = float((yv * yv).sum())
+        value[node] = s / n
+        if depth >= max_depth or n < 2 * min_leaf:
+            return node
+        base_sse = sq - s * s / n
+        best_gain, best_f, best_cut = 1e-12, -1, -1
+        for f in range(X.shape[1]):
+            ncuts = len(edges[f])
+            if ncuts == 0:
+                continue
+            b = binned[idx, f]
+            cnt = np.bincount(b, minlength=ncuts + 1)
+            sy = np.bincount(b, weights=yv, minlength=ncuts + 1)
+            syy = np.bincount(b, weights=yv * yv, minlength=ncuts + 1)
+            cl = cnt.cumsum()[:-1]
+            sl = sy.cumsum()[:-1]
+            sql = syy.cumsum()[:-1]
+            cr, sr, sqr = n - cl, s - sl, sq - sql
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sse = (sql - sl * sl / np.maximum(cl, 1)) + (
+                    sqr - sr * sr / np.maximum(cr, 1)
+                )
+            gain = base_sse - sse
+            gain[(cl < min_leaf) | (cr < min_leaf)] = -np.inf
+            j = int(np.argmax(gain))
+            if gain[j] > best_gain:
+                best_gain, best_f, best_cut = float(gain[j]), f, j
+        if best_f < 0:
+            return node
+        thr = float(edges[best_f][best_cut])
+        m = binned[idx, best_f] <= best_cut
+        feature[node] = best_f
+        threshold[node] = thr
+        left[node] = build(idx[m], depth + 1)
+        right[node] = build(idx[~m], depth + 1)
+        return node
+
+    build(np.arange(len(y)), 0)
+    return (
+        np.asarray(feature, dtype=np.int32),
+        np.asarray(threshold, dtype=np.float64),
+        np.asarray(left, dtype=np.int32),
+        np.asarray(right, dtype=np.int32),
+        np.asarray(value, dtype=np.float64),
+    )
+
+
+def _tree_predict(tree: _TreeArrays, X: np.ndarray) -> np.ndarray:
+    """Vectorized descent: all rows advance one level per iteration
+    (≤ max_depth iterations total, no per-row Python loop)."""
+    feature, threshold, left, right, value = tree
+    node = np.zeros(len(X), dtype=np.int32)
+    rows = np.nonzero(feature[node] >= 0)[0]
+    while len(rows):
+        cur = node[rows]
+        goleft = X[rows, feature[cur]] <= threshold[cur]
+        node[rows] = np.where(goleft, left[cur], right[cur])
+        rows = rows[feature[node[rows]] >= 0]
+    return value[node]
+
+
+def gbt_fit(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    n_trees: int = 25,
+    learning_rate: float = 0.1,
+    max_depth: int = 3,
+    min_leaf: int = 5,
+    n_bins: int = 16,
+) -> dict:
+    """Least-squares gradient boosting: each tree fits the residual."""
+    base = float(y.mean())
+    pred = np.full(len(y), base)
+    edges, binned = _prebin(X, n_bins)
+    trees: list[_TreeArrays] = []
+    for _ in range(n_trees):
+        tree = _fit_tree(
+            X,
+            y - pred,
+            max_depth=max_depth,
+            min_leaf=min_leaf,
+            edges=edges,
+            binned=binned,
+        )
+        pred = pred + learning_rate * _tree_predict(tree, X)
+        trees.append(tree)
+    return {"base": base, "lr": learning_rate, "trees": trees}
+
+
+def gbt_predict(model: dict, X: np.ndarray) -> np.ndarray:
+    pred = np.full(len(X), model["base"])
+    for tree in model["trees"]:
+        pred = pred + model["lr"] * _tree_predict(tree, X)
+    return pred
+
+
+def blob_dumps(model: dict, feature_cols: list[str]) -> bytes:
+    """Serialize an ensemble to the registry's opaque blob format
+    (the engine's GridFS stand-in: reference ml_pipeline.py:223-227)."""
+    return pickle.dumps(
+        {"format": "gbt-v1", "feature_cols": list(feature_cols), **model},
+        protocol=4,
+    )
+
+
+def blob_loads(blob: bytes) -> dict:
+    model = pickle.loads(bytes(blob))
+    if model.get("format") != "gbt-v1":
+        raise ValueError(f"unknown model blob format {model.get('format')!r}")
+    return model
+
+
+_GBT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("model_name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_trees", T.IntegerType()),
+        T.StructField("r2", T.DoubleType()),
+        T.StructField("mse", T.DoubleType()),
+        T.StructField("model_blob", T.BinaryType()),
+    ]
+)
+
+
+def train_gbt_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    time_col: str | None = None,
+    n_trees: int = 25,
+    learning_rate: float = 0.1,
+    max_depth: int = 3,
+    min_leaf: int = 5,
+    n_bins: int = 16,
+    min_rows: int = 30,
+) -> DataFrame:
+    """M6 nonlinear family: per-group histogram-GBT, one
+    ``applyInPandas`` shuffle on ``group_col`` (reference RF/LightGBM
+    per symbol, ml_pipeline.py:90-104). Emits train-set R²/MSE and the
+    serialized ensemble blob."""
+    fcols = list(feature_cols)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col])
+        if time_col is not None:
+            pdf = pdf.sort_values(time_col)
+        n = len(pdf)
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _GBT_SCHEMA.fields])
+        key = str(pdf[group_col].iloc[0])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
+        y = pdf[target_col].to_numpy(float)
+        model = gbt_fit(
+            X,
+            y,
+            n_trees=n_trees,
+            learning_rate=learning_rate,
+            max_depth=max_depth,
+            min_leaf=min_leaf,
+            n_bins=n_bins,
+        )
+        pred = gbt_predict(model, X)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": ["gbt_histogram"],
+                "n_rows": [n],
+                "n_trees": [int(n_trees)],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+                "model_blob": [blob_dumps(model, fcols)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_SCHEMA)
+
+
+def score_from_blob(
+    df: DataFrame,
+    models: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """M8 scoring straight from registry blobs: the model table is
+    dim-sized (one row per group — the same driver budget as k-means
+    centroids), broadcast to executors, and each group's frame is
+    scored in one Arrow batch. Rows whose group has no model are
+    dropped (inner-join semantics, matching score_ols)."""
+    rows = models.select("group_key", "model_blob").collect()
+    blobs = {r["group_key"]: bytes(r["model_blob"]) for r in rows}
+    bc = df.sparkSession.sparkContext.broadcast(blobs)
+    fcols = list(feature_cols)
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(prediction_col, T.DoubleType())]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[group_col].iloc[0]) if len(pdf) else ""
+        blob = bc.value.get(key)
+        if blob is None:
+            return pdf.iloc[0:0].assign(**{prediction_col: np.float64()})
+        model = blob_loads(blob)
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
+        ok = ~np.isnan(X).any(axis=1)
+        pred = np.full(len(pdf), np.nan)
+        if ok.any():
+            pred[ok] = gbt_predict(model, X[ok])
+        return pdf.assign(**{prediction_col: pred})
+
+    return df.groupBy(group_col).applyInPandas(score, schema=schema)

@@ -19,6 +19,7 @@ from ..pipeline.ml import (
     train_ols_per_group,
     train_ridge_grid_per_group,
 )
+from ..pipeline.trees import train_gbt_per_group
 
 _TRAIN_FRAC = 0.8
 
@@ -255,12 +256,53 @@ def q_ml_train_ridge_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 nonlinear family: per-user histogram gradient-boosted trees
+    via applyInPandas (pipeline/trees.py) — the reference's
+    RandomForest/LightGBM tier (ml-service/ml_pipeline.py:90-104)
+    re-expressed without sklearn. Rows-only driver check (tree fitting
+    is not SQL-expressible); accuracy vs the linear baseline and the
+    registry blob roundtrip are pinned in tests/test_ml.py.
+
+    The trainer is fully deterministic (quantile-binned splits, no
+    subsampling, groups sorted by time before fitting), so the metric
+    columns reproduce bit-identically across runs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("sma5", F.avg("value").over(w.rowsBetween(-4, 0)))
+        .withColumn("t", F.row_number().over(w))
+    )
+    models = train_gbt_per_group(
+        feats,
+        group_col="user_id",
+        feature_cols=["lag1", "lag2", "sma5"],
+        target_col="value",
+        time_col="t",
+        n_trees=10,
+        max_depth=3,
+        min_rows=30,
+    )
+    return models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "n_trees",
+        F.round("r2", 6).alias("r2"),
+        F.round("mse", 6).alias("mse"),
+        F.length("model_blob").alias("blob_bytes"),
+    ).orderBy("group_key")
+
+
 QUERIES = {
     "ml_chrono_split": q_ml_chrono_split,
     "ml_standardize": q_ml_standardize,
     "ml_linreg_monitoring": q_ml_linreg_monitoring,
     "ml_train_ols_pandas": q_ml_train_ols_pandas,
     "ml_train_ridge_grid": q_ml_train_ridge_grid,
+    "ml_train_tree": q_ml_train_tree,
 }
 
 ORACLE = {

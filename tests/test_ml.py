@@ -162,3 +162,112 @@ def test_ridge_grid_selects_and_shrinks(spark):
     for k in out:
         assert abs(heavy[k]["coefficients"][0]) < abs(out[k]["coefficients"][0])
         assert heavy[k]["intercept"] == pytest.approx(5.0, abs=0.5)
+
+
+@pytest.fixture(scope="module")
+def nonlinear_df(spark):
+    """Two groups with a strongly nonlinear response — a linear model
+    cannot fit it, a depth-3 GBT can."""
+    import numpy as np
+
+    rows = []
+    for g, shift in (("g1", 0.0), ("g2", 0.5)):
+        xs = np.linspace(-2.0, 2.0, 200)
+        for t, x in enumerate(xs):
+            y = float(np.sin(3.0 * x) + (x + shift) ** 2)
+            rows.append((g, t, float(x), y))
+    return spark.createDataFrame(rows, "g string, t int, x double, y double")
+
+
+def test_gbt_beats_ols_on_nonlinear_series(spark, nonlinear_df):
+    from finance_etl_system_spark.pipeline.trees import train_gbt_per_group
+
+    gbt = {
+        r["group_key"]: r["r2"]
+        for r in train_gbt_per_group(
+            nonlinear_df,
+            group_col="g",
+            feature_cols=["x"],
+            target_col="y",
+            time_col="t",
+        ).collect()
+    }
+    ols = {
+        r["group_key"]: r["r2"]
+        for r in train_ols_per_group(
+            nonlinear_df, group_col="g", feature_cols=["x"], target_col="y"
+        ).collect()
+    }
+    assert set(gbt) == {"g1", "g2"}
+    for g in gbt:
+        assert gbt[g] > 0.9  # trees capture the curvature
+        assert gbt[g] > ols[g] + 0.2  # and clearly beat the linear fit
+
+
+def test_gbt_blob_registry_roundtrip(spark, nonlinear_df, tmp_path):
+    """Score from a RELOADED parquet blob — the GridFS-equivalent
+    contract: the blob alone reconstructs the model."""
+    from finance_etl_system_spark.pipeline.trees import (
+        score_from_blob,
+        train_gbt_per_group,
+    )
+
+    models = train_gbt_per_group(
+        nonlinear_df, group_col="g", feature_cols=["x"], target_col="y",
+        time_col="t",
+    )
+    path = str(tmp_path / "registry")
+    save_model_registry(models, path)
+    reloaded = spark.read.parquet(path)
+    assert dict(reloaded.dtypes)["model_blob"] == "binary"
+
+    scored = score_from_blob(
+        nonlinear_df, reloaded, group_col="g", feature_cols=["x"]
+    )
+    out = scored.toPandas()
+    assert len(out) == nonlinear_df.count()
+    # the train-set MSE recomputed from reloaded-blob predictions must
+    # equal the MSE the trainer reported — bit-for-bit model recovery
+    reported = {r["group_key"]: r["mse"] for r in models.collect()}
+    for g, grp in out.groupby("g"):
+        mse = float(((grp["y"] - grp["prediction"]) ** 2).mean())
+        assert abs(mse - reported[g]) < 1e-12
+    # unmodeled groups are dropped (inner-join semantics)
+    extra = spark.createDataFrame([("zz", 0, 0.1, 0.2)], nonlinear_df.schema)
+    scored2 = score_from_blob(
+        nonlinear_df.union(extra), reloaded, group_col="g", feature_cols=["x"]
+    )
+    assert scored2.filter("g = 'zz'").count() == 0
+
+
+def test_gbt_metrics_deterministic_across_runs(spark, nonlinear_df):
+    from finance_etl_system_spark.pipeline.trees import train_gbt_per_group
+
+    def run():
+        return sorted(
+            (r["group_key"], r["r2"], r["mse"], len(r["model_blob"]))
+            for r in train_gbt_per_group(
+                nonlinear_df.repartition(7),  # partitioning must not matter
+                group_col="g",
+                feature_cols=["x"],
+                target_col="y",
+                time_col="t",
+            ).collect()
+        )
+
+    assert run() == run()
+
+
+def test_gbt_monitoring_composes_with_tree_models(spark, nonlinear_df):
+    """The tree tier plugs into the same registry helpers as the
+    linear tier (shared r2/mse/n_rows contract)."""
+    from finance_etl_system_spark.pipeline.trees import train_gbt_per_group
+
+    models = train_gbt_per_group(
+        nonlinear_df, group_col="g", feature_cols=["x"], target_col="y",
+        time_col="t",
+    )
+    flagged = monitoring_rules(models).collect()
+    assert all(not r["alert_low_r2"] for r in flagged)
+    best = best_model_per_group(models.union(models)).collect()
+    assert len(best) == 2
