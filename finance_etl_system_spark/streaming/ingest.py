@@ -73,14 +73,16 @@ def stream_ingest(
     """File-source stand-in for the Kafka topic: each JSON line is one
     message with ``key``/``value`` fields. Returns the started query.
 
-    foreachBatch writes symbol-partitioned parquet with per-batch dedup
-    on (symbol, date). Delivery contract: AT-LEAST-ONCE — a crash
-    between the append write and the checkpoint commit replays the
-    batch and appends the rows again; the deterministic (symbol, date)
-    key makes duplicates removable by dedup-on-read or compaction, but
-    this sink itself does not remove them. For an effectively-once
-    sink use ``stream_ingest_dual_sink``'s keyed dynamic-partition
-    overwrite, which converges under replay.
+    Delivery contract: EFFECTIVELY-ONCE. foreachBatch writes parquet
+    partitioned by the deterministic record key (symbol, date) in
+    dynamic-partition-overwrite mode — a replayed batch (crash between
+    the write and the checkpoint commit, or a fresh checkpoint over
+    the same source) rewrites the same key partitions with identical
+    content instead of appending duplicates, so the sink CONVERGES
+    under replay (the reference's ES doc-id upsert semantics,
+    spark-job/etl_job.py:457; its Mongo side duplicated on rerun —
+    quirk fixed, not copied). Later batches carrying an existing key
+    upsert it (last writer wins); new keys land in new partitions.
     """
     raw = (
         spark.readStream.schema("key STRING, value STRING")
@@ -89,11 +91,14 @@ def stream_ingest(
     parsed = parse_kafka_records(raw)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         (
             batch_df.withColumn("symbol", F.upper("ticker"))
             .dropDuplicates(["symbol", "date"])
-            .write.mode("append")
-            .partitionBy("symbol")
+            .write.mode("overwrite")
+            .partitionBy("symbol", "date")
             .parquet(out_dir)
         )
 
@@ -106,6 +111,90 @@ def stream_ingest(
     else:
         writer = writer.trigger(processingTime="10 seconds")
     return writer.start()
+
+
+def stream_ingest_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    starting_offsets: str = "earliest",
+    available_now: bool = True,
+):
+    """The REAL Kafka source path (reference
+    kafka-consumer/consumer.py:62-73 subscribe/poll/commit):
+    ``readStream.format("kafka")`` → the same parse + effectively-once
+    keyed-overwrite sink as ``stream_ingest`` — the two differ ONLY in
+    the source line, which is the whole point of the wire-format twin
+    (tests drive the file twin; a broker run needs just this entry).
+
+    Requires a reachable broker and the spark-sql-kafka package on the
+    classpath; integration tests gate on $SPARK_GRAFT_KAFKA_BOOTSTRAP
+    and skip cleanly when absent. Offsets live in the checkpoint (not
+    broker-side commits), so replay semantics are identical to the
+    file twin's.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = parse_kafka_records(raw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.withColumn("symbol", F.upper("ticker"))
+            .dropDuplicates(["symbol", "date"])
+            .write.mode("overwrite")
+            .partitionBy("symbol", "date")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def stream_to_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "ticker",
+    value_cols: list[str] | None = None,
+):
+    """The REAL Kafka producer path (reference crawler/crawler.py:
+    126-133 produce): shape rows into the exact wire format via
+    ``to_kafka_frame`` (sources/readers.py) and publish with
+    ``writeStream.format("kafka")``. Works on a streaming frame;
+    for a batch frame use ``to_kafka_frame(df).write.format("kafka")``
+    with the same options. Broker-gated like ``stream_ingest_kafka``.
+    """
+    from ..sources.readers import to_kafka_frame
+
+    wire = to_kafka_frame(df, key_col=key_col, value_cols=value_cols)
+    return (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_windowed_counts(

@@ -412,3 +412,92 @@ def test_stream_session_windows_merge_and_close(spark, tmp_path):
     # the 01-03 event's session is still open (watermark at max-1h) →
     # not emitted in append mode
     assert not any(s.startswith("2024-01-03") for s, _, _ in rows)
+
+
+@pytest.mark.timeout(300)
+def test_stream_ingest_full_replay_converges(spark, tmp_path):
+    """Effectively-once as the DEFAULT sink contract: a full replay
+    (fresh checkpoint over the same source) rewrites the same
+    (symbol, date) partitions instead of appending — row count and
+    content converge. An append sink would double the rows here."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    _write_messages(src, _rows("AAPL", ["2024-01-02", "2024-01-03"]))
+    _write_messages(src, _rows("MSFT", ["2024-01-02"]))
+
+    q = stream_ingest(spark, str(src), out, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    first = sorted(
+        (r["symbol"], str(r["date"]), r["close"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 3
+
+    # fresh checkpoint = the whole source replays from offset zero
+    q2 = stream_ingest(spark, str(src), out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    second = sorted(
+        (r["symbol"], str(r["date"]), r["close"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert second == first  # converged, not duplicated
+
+
+@pytest.mark.timeout(300)
+def test_stream_ingest_upserts_rewritten_key(spark, tmp_path):
+    """A later message for an existing (symbol, date) key REPLACES the
+    stored row (the reference's ES doc-id upsert, etl_job.py:457)."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(src, _rows("AAPL", ["2024-01-02"], price=100.0))
+    q = stream_ingest(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    _write_messages(src, _rows("AAPL", ["2024-01-02"], price=200.0))
+    q2 = stream_ingest(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["close"] == 200.0 * 1.02
+
+
+@pytest.mark.timeout(300)
+def test_kafka_ingest_against_real_broker(spark, tmp_path):
+    """Broker-gated integration for the real Kafka source/sink pair
+    (stream_ingest_kafka / stream_to_kafka). The wire format and the
+    sink logic are fully covered by the file-source twins above; this
+    exercises only the broker hop, so it skips cleanly unless
+    $SPARK_GRAFT_KAFKA_BOOTSTRAP points at a reachable broker AND the
+    spark-sql-kafka package is on the classpath."""
+    import os
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no Kafka broker configured (SPARK_GRAFT_KAFKA_BOOTSTRAP unset)")
+    from finance_etl_system_spark.streaming.ingest import (
+        stream_ingest_kafka,
+        stream_to_kafka,
+    )
+
+    topic = "spark_graft_it"
+    src_df = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 100.0, 101.0, 99.0, 102.0, 1000, "2024-01-02T16:00:00")],
+        "ticker STRING, date STRING, open DOUBLE, high DOUBLE, low DOUBLE, "
+        "close DOUBLE, volume LONG, timestamp STRING",
+    )
+    from finance_etl_system_spark.sources.readers import to_kafka_frame
+
+    (
+        to_kafka_frame(src_df)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    out = str(tmp_path / "out")
+    q = stream_ingest_kafka(spark, bootstrap, topic, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert any(r["symbol"] == "AAPL" for r in got)
