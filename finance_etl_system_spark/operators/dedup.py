@@ -361,6 +361,7 @@ def embedding_cosine_pairs(
     bands: int = 4,
     seed: int = 7,
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
     ``round(cosine, round_dp) >= threshold``.
@@ -394,7 +395,10 @@ def embedding_cosine_pairs(
     else:
         assert lsh_nbits % bands == 0
         rpb = lsh_nbits // bands
-        dim = len(df.select(vec_col).first()[0])
+        # dim is a query-build parameter; the one-row probe fallback
+        # costs an extra Spark job (see cosine_topk_lsh docstring)
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         planes = _planes(lsh_nbits, dim, seed)
         # wide signatures (64 bits here) via the Arrow-batched matmul
         # UDF: constant plan size, BLAS per batch — the JVM-literal

@@ -126,6 +126,7 @@ def cosine_topk_lsh(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band, then
     exact cosine rerank. Recall rises with bands; cost falls with
@@ -136,10 +137,17 @@ def cosine_topk_lsh(
     form spends more time in Catalyst than in execution (measured
     ~2.5× on 16×64) and the Arrow-batched matmul UDF wins despite the
     Python hop — it's one BLAS call per batch.
+
+    Pass ``dim`` (the embedding dimensionality) explicitly — array
+    columns don't carry their length in the schema, so when omitted
+    the operator falls back to probing one row, which is an extra
+    Spark job (a cold one-row scan of the corpus at 100 TB) on the
+    query-BUILD path.
     """
     assert nbits % bands == 0
     rpb = nbits // bands
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _planes(nbits, dim, seed)
     use_udf = nbits * dim > 512
     sig_udf = signature_udf(planes) if use_udf else None

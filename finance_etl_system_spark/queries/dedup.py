@@ -125,7 +125,7 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune orders of magnitude harder at the same band shape."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(
-        e, threshold=0.4, lsh_nbits=64, bands=16
+        e, threshold=0.4, lsh_nbits=64, bands=16, dim=64
     ).orderBy("id_a", "id_b")
 
 

@@ -21,6 +21,7 @@ from ..operators.similarity import (
 
 _N_QUERIES = 5
 _K = 10
+_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +69,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate → rows-only; recall vs brute force pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
-        _queries_df(spark, sf_dir), e, k=_K, nbits=16, bands=4
+        _queries_df(spark, sf_dir), e, k=_K, nbits=16, bands=4, dim=_DIM
     ).orderBy("qid", "rnk")
 
 
@@ -79,9 +80,6 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _queries_df(spark, sf_dir), e, k=_K, nprobe=2
     ).orderBy("qid", "rnk")
-
-
-_DIM = 64
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

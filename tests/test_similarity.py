@@ -83,3 +83,29 @@ def test_ivf_on_fixture_covers_probed_fraction(spark, queries, corpus):
     corpus — sanity-check it returns full k and beats zero."""
     approx = _topk_sets(cosine_topk_ivf(queries, corpus, k=10, nprobe=2))
     assert all(len(s) == 10 for s in approx.values())
+
+def test_lsh_query_build_spawns_no_spark_job(spark):
+    """dim= is a build-time parameter: constructing the LSH frames
+    must not probe the corpus (no extra Spark job before execution —
+    at 100 TB the probe is a cold one-row scan on the hot path).
+    Tables are pre-loaded so the parquet schema-read job every query
+    pays is excluded; the probe fallback (dim omitted) is the
+    contrast case."""
+    from finance_etl_system_spark.operators.dedup import embedding_cosine_pairs
+    from finance_etl_system_spark.operators.similarity import cosine_topk_lsh
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None))
+
+    before = n_jobs()
+    cosine_topk_lsh(q, e, k=5, nbits=16, bands=4, dim=64)
+    embedding_cosine_pairs(e, threshold=0.4, lsh_nbits=64, bands=16, dim=64)
+    assert n_jobs() == before  # build is plan-only
+
+    # contrast: omitting dim falls back to the one-row probe = a job
+    cosine_topk_lsh(q, e, k=5, nbits=16, bands=4)
+    assert n_jobs() > before
