@@ -238,3 +238,77 @@ def _exact_ema(
         return pdf
 
     return df.groupBy(symbol_col).applyInPandas(compute, schema=schema)
+
+
+def exact_indicator_suite(
+    df: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    date_col: str = "trading_date",
+    close_col: str = "close",
+    order_tiebreak: str | None = None,
+    ema_fast: int = 12,
+    ema_slow: int = 26,
+    signal_span: int = 9,
+    rsi_n: int = 14,
+) -> DataFrame:
+    """The EXACT recursive-indicator family the reference's ``ta``
+    library pin gestured at (reference spark-job/requirements.txt:9,
+    ta==0.10.2) but its own code approximated with rolling means
+    (etl_job.py:294-295): true EMA fast/slow, true-EMA MACD (signal =
+    EMA-9 of the MACD line, not its rolling mean), and Wilder-smoothed
+    RSI (gains/losses under the recursive α=1/n smoothing — pandas
+    ``ewm(alpha=1/n, adjust=False, min_periods=n)``, the ``ta``
+    RSIIndicator formula; avg_loss==0 → RSI=100 by convention).
+
+    All recursions are inherently sequential per symbol, so the whole
+    family is computed in ONE ``applyInPandas`` pass — one shuffle on
+    ``symbol_col``, bounded per-group state, identical scale shape to
+    ``_exact_ema``. Parity with independently-computed pandas
+    formulas is pinned in tests/test_indicators.py.
+    """
+    import pandas as pd  # noqa: F401 — worker-side import
+
+    from pyspark.sql import types as T
+
+    added = [
+        f"ema_{ema_fast}",
+        f"ema_{ema_slow}",
+        "macd",
+        "signal_line",
+        "macd_histogram",
+        "rsi_wilder",
+    ]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in added]
+    )
+    sort_cols = [date_col] + ([order_tiebreak] if order_tiebreak else [])
+
+    def compute(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        close = pdf[close_col].astype("float64")
+        fast = close.ewm(span=ema_fast, adjust=False).mean()
+        slow = close.ewm(span=ema_slow, adjust=False).mean()
+        macd = fast - slow
+        signal = macd.ewm(span=signal_span, adjust=False).mean()
+        delta = close.diff()
+        gain = delta.clip(lower=0.0).fillna(0.0)
+        loss = (-delta).clip(lower=0.0).fillna(0.0)
+        avg_gain = gain.ewm(
+            alpha=1.0 / rsi_n, adjust=False, min_periods=rsi_n
+        ).mean()
+        avg_loss = loss.ewm(
+            alpha=1.0 / rsi_n, adjust=False, min_periods=rsi_n
+        ).mean()
+        rsi = 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+        rsi[avg_loss == 0.0] = 100.0
+        pdf[f"ema_{ema_fast}"] = fast
+        pdf[f"ema_{ema_slow}"] = slow
+        pdf["macd"] = macd
+        pdf["signal_line"] = signal
+        pdf["macd_histogram"] = macd - signal
+        pdf["rsi_wilder"] = rsi
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(compute, schema=schema)

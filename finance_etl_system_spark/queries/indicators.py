@@ -176,9 +176,43 @@ def q_technical_indicators_exact_ema(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_technical_indicators_exact_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full exact-recursion family (pipeline/indicators.py::
+    exact_indicator_suite): true EMA 12/26, true-EMA MACD with an
+    EMA-9 signal line, and Wilder-smoothed RSI-14 — the formulas the
+    reference's ta==0.10.2 pin implements. Recursive smoothing is not
+    SQL-expressible → rows-only driver check; parity with
+    independently-computed pandas formulas pinned in
+    tests/test_indicators.py."""
+    from ..pipeline.indicators import exact_indicator_suite
+
+    series = _events_as_series(spark, sf_dir)
+    out = exact_indicator_suite(
+        series,
+        symbol_col="symbol",
+        date_col="trading_date",
+        close_col="close",
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "symbol",
+        "event_id",
+        F.round("close", 4).alias("close"),
+        F.round("ema_12", 6).alias("ema_12"),
+        F.round("ema_26", 6).alias("ema_26"),
+        F.round("macd", 6).alias("macd"),
+        F.round("signal_line", 6).alias("signal_line"),
+        F.round("macd_histogram", 6).alias("macd_histogram"),
+        F.round("rsi_wilder", 6).alias("rsi_wilder"),
+    )
+
+
 QUERIES = {
     "technical_indicators": q_technical_indicators,
     "technical_indicators_exact_ema": q_technical_indicators_exact_ema,
+    "technical_indicators_exact_suite": q_technical_indicators_exact_suite,
 }
 
 ORACLE = {

@@ -129,3 +129,75 @@ def test_decimal_exact_matches_float_mode(spark):
     b = _run(spark, closes, decimal_exact=False)
     for col in ("sma_5", "ema_12", "bb_middle", "rsi", "obv"):
         pd.testing.assert_series_equal(a[col], b[col], check_names=False, atol=1e-9)
+
+
+def test_exact_suite_matches_loop_reference(spark):
+    """Wilder RSI + true-EMA MACD vs explicit Python-loop recursions
+    (independent of the engine's pandas calls)."""
+    import math
+
+    from finance_etl_system_spark.pipeline.indicators import (
+        exact_indicator_suite,
+    )
+
+    closes = [
+        100.0, 101.5, 99.8, 102.2, 103.0, 101.1, 104.5, 105.2, 103.9,
+        106.0, 107.3, 106.1, 108.0, 109.5, 108.2, 110.0, 109.1, 111.4,
+        112.0, 110.8, 113.5, 114.2, 112.9, 115.0, 116.3,
+    ]
+    df = _series_df(spark, closes)
+    out = (
+        exact_indicator_suite(df)
+        .orderBy("trading_date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    def ema_loop(xs, span):
+        a = 2.0 / (span + 1.0)
+        y = [xs[0]]
+        for x in xs[1:]:
+            y.append((1 - a) * y[-1] + a * x)
+        return y
+
+    fast = ema_loop(closes, 12)
+    slow = ema_loop(closes, 26)
+    macd = [f - s for f, s in zip(fast, slow)]
+    signal = ema_loop(macd, 9)
+    n = 14
+    gains = [0.0] + [max(c2 - c1, 0.0) for c1, c2 in zip(closes, closes[1:])]
+    losses = [0.0] + [max(c1 - c2, 0.0) for c1, c2 in zip(closes, closes[1:])]
+
+    def wilder(xs):
+        # ewm(alpha=1/n, adjust=False): recursive from the first value
+        y = [xs[0]]
+        for x in xs[1:]:
+            y.append(y[-1] * (n - 1) / n + x / n)
+        return y
+
+    ag, al = wilder(gains), wilder(losses)
+    for i in range(len(closes)):
+        assert out.loc[i, "ema_12"] == pytest.approx(fast[i], abs=1e-9)
+        assert out.loc[i, "macd"] == pytest.approx(macd[i], abs=1e-9)
+        assert out.loc[i, "signal_line"] == pytest.approx(signal[i], abs=1e-9)
+        assert out.loc[i, "macd_histogram"] == pytest.approx(
+            macd[i] - signal[i], abs=1e-9
+        )
+        if i < n - 1:
+            assert math.isnan(out.loc[i, "rsi_wilder"])  # min_periods warm-up
+        else:
+            want = (
+                100.0
+                if al[i] == 0
+                else 100.0 - 100.0 / (1.0 + ag[i] / al[i])
+            )
+            assert out.loc[i, "rsi_wilder"] == pytest.approx(want, abs=1e-9)
+    # RSI stays in (0, 100] and is 100 on a strictly rising tail
+    rising = [100.0 + i for i in range(20)]
+    out2 = (
+        exact_indicator_suite(_series_df(spark, rising))
+        .orderBy("trading_date")
+        .toPandas()
+    )
+    tail = out2["rsi_wilder"].dropna()
+    assert (tail == 100.0).all()
