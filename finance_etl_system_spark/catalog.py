@@ -202,8 +202,14 @@ def table_stats(
         "spark.sql.sources.useV1SourceList": "",
     }
     # restore-or-unset: a conf the session never SET explicitly must be
-    # unset afterwards (re-setting its default would pin it explicitly)
-    prev = {k: spark.conf.get(k, None) for k in confs}
+    # unset afterwards (re-setting its default would pin it explicitly).
+    # conf.get() returns the BUILT-IN default for registered confs, so
+    # it can't detect "never set" — probe the session's explicit
+    # settings map via the JVM RuntimeConfig instead.
+    jconf = spark._jsparkSession.conf()
+    prev = {
+        k: (spark.conf.get(k) if jconf.contains(k) else None) for k in confs
+    }
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:

@@ -30,7 +30,13 @@ def weighted_median_ticks(ticks: pd.Series, w: pd.Series) -> int:
 
     All-integer arithmetic (2*cum >= total avoids the float half) —
     bit-deterministic for any row order, so the aggregate is safe
-    under shuffle-partition recomputation."""
+    under shuffle-partition recomputation. NULL/NaN ticks or weights
+    are dropped pairwise (an int64 cast of NaN would otherwise crash
+    executor-side); an all-null group aggregates to NULL."""
+    mask = ticks.notna() & w.notna()
+    if not mask.any():
+        return None
+    ticks, w = ticks[mask], w[mask]
     t = np.asarray(ticks, dtype=np.int64)
     wt = np.asarray(w, dtype=np.int64)
     order = np.argsort(t, kind="stable")

@@ -58,6 +58,7 @@ def executed_metrics(df: DataFrame, *, execute: bool = False) -> dict[str, Any]:
         df._jdf.queryExecution().executedPlan().execute().count()
     scans: list[dict[str, int]] = []
     shuffle_bytes = shuffle_rows = 0
+    broadcast_bytes = 0
     peak_memory = 0
     for name, m in _walk(df._jdf.queryExecution().executedPlan()):
         if name.startswith("Scan"):
@@ -68,9 +69,22 @@ def executed_metrics(df: DataFrame, *, execute: bool = False) -> dict[str, Any]:
                     "scan_rows": int(m.get("numOutputRows", 0)),
                 }
             )
-        elif name == "Exchange":
-            shuffle_bytes += int(m.get("shuffleBytesWritten", m.get("dataSize", 0)))
-            shuffle_rows += int(m.get("shuffleRecordsWritten", 0))
+        elif name == "BroadcastExchange":
+            broadcast_bytes += int(m.get("dataSize", 0))
+        elif name in ("Exchange", "ReusedExchange"):
+            # ReusedExchange delegates to the original exchange's
+            # metrics, so each reuse re-counts that write once per
+            # consumer: the totals measure exchange volume CONSUMED by
+            # the plan, not bytes physically written (reuse means the
+            # write happened once). A reused BROADCAST exchange has no
+            # shuffle counters — route it to broadcast_bytes.
+            if name == "ReusedExchange" and "shuffleBytesWritten" not in m:
+                broadcast_bytes += int(m.get("dataSize", 0))
+            else:
+                shuffle_bytes += int(
+                    m.get("shuffleBytesWritten", m.get("dataSize", 0))
+                )
+                shuffle_rows += int(m.get("shuffleRecordsWritten", 0))
         peak_memory = max(peak_memory, int(m.get("peakMemory", 0)))
     return {
         "scans": scans,
@@ -78,5 +92,6 @@ def executed_metrics(df: DataFrame, *, execute: bool = False) -> dict[str, Any]:
         "scan_rows": sum(s["scan_rows"] for s in scans),
         "shuffle_write_bytes": shuffle_bytes,
         "shuffle_write_rows": shuffle_rows,
+        "broadcast_bytes": broadcast_bytes,
         "peak_memory": peak_memory,
     }

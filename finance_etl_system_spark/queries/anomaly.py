@@ -158,11 +158,16 @@ def q_rolling_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.select(
         F.col("user_id").alias("symbol"),
         F.unix_micros(F.col("ts")).alias("k"),
+        F.col("event_id"),
         F.round(F.col("value") * 100).cast("long").alias("ticks"),
     )
+    # event_id is a unique final tiebreak: (symbol, k) is unique in
+    # the fixtures, but the frame contents must stay deterministic
+    # even if duplicate timestamps ever appear (both engines order
+    # identically)
     win = (
         Window.partitionBy("symbol")
-        .orderBy(F.col("k").asc())
+        .orderBy(F.col("k").asc(), F.col("event_id").asc())
         .rowsBetween(-_ROLL_FRAME, 0)
     )
     med = F.percentile("ticks", F.lit(0.5)).over(win)
@@ -187,6 +192,7 @@ _ROLLING_ROBUST_SQL = f"""
 WITH s AS (
   SELECT user_id AS symbol,
          epoch_us(ts) AS k,
+         event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS ticks
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)
@@ -197,7 +203,7 @@ w AS (
          quantile_cont(ticks, 0.25) OVER win AS q1,
          quantile_cont(ticks, 0.75) OVER win AS q3
   FROM s
-  WINDOW win AS (PARTITION BY symbol ORDER BY k ASC
+  WINDOW win AS (PARTITION BY symbol ORDER BY k ASC, event_id ASC
                  ROWS BETWEEN {_ROLL_FRAME} PRECEDING AND CURRENT ROW)
 )
 SELECT symbol, k,
