@@ -51,6 +51,7 @@ _MODULES: list[str] = [
     "hllq",
     "retrieval",
     "anomaly",
+    "unsupervised",
     "curation",
     "cdc",
     "layout",
