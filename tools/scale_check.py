@@ -39,31 +39,21 @@ TABLES: list[tuple[str, list[str]]] = [
     ("embeddings", ["vec_id"]),
 ]
 
-# headline subset spanning the big operator families; the rest of the
-# HEADLINE list hits the same tables/shapes
-QUERIES = [
-    "pricing_summary",
-    "join_big_big",
-    "shipping_priority",
-    "order_count_distribution",
-    "forecast_revenue",
-    "waiting_suppliers",
-    "technical_indicators",
-    "tumbling_window",
-    "gapfill_daily",
-    "text_stats",
+# the FULL bench headline set (bench.py is the single source of
+# truth), plus the sampling/CDC/layout/graph queries the headline
+# doesn't carry — so the 10× table covers every headline query
+_EXTRA = [
     "hash_sample",
-    "decontaminate_ngrams",
-    "pack_sequences",
     "cdc_merge",
     "zorder_stats",
     "nation_pagerank",
-    "recursive_bfs",
-    "variant_agg",
-    "hll_rollup",
-    "weighted_median",
-    "rolling_robust_outliers",
 ]
+
+
+def _query_names() -> list[str]:
+    from bench import HEADLINE
+
+    return list(HEADLINE) + _EXTRA
 
 # stride larger than any base key so copies never collide
 STRIDE = 10_000_000
@@ -117,7 +107,7 @@ def main() -> None:
 
     print(f"| query | sf0.1 (s) | {mult}× (s) | ratio |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in _query_names():
         fn = qs[name]
         t1 = best_of_2(fn, BASE_SF)
         tn = best_of_2(fn, scaled_dir)
