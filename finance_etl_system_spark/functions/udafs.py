@@ -21,9 +21,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 
-@F.pandas_udf("long")
+# LongType() (not the DDL string "long"): parsing a DDL string needs an
+# active SparkSession, which would make importing this module fail when
+# the registry is enumerated before the driver creates one.
+@F.pandas_udf(LongType())
 def weighted_median_ticks(ticks: pd.Series, w: pd.Series) -> int:
     """Lower weighted median: smallest tick t whose cumulative weight
     (over ticks sorted ascending) reaches half the total.

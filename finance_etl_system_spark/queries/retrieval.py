@@ -1,4 +1,5 @@
-"""Full-text retrieval scoring over the documents table: BM25.
+"""Full-text retrieval over the documents table: BM25, boolean-AND,
+and hybrid keyword⊕vector Reciprocal Rank Fusion.
 
 Extends SURVEY §2.10 X4 (the reference indexes documents into
 Elasticsearch and queries by relevance — reference
@@ -25,16 +26,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.similarity import cosine_topk_bruteforce
 
 K1 = 1.2
 B = 0.75
 QUERY_TERMS = ["stream", "merge", "partition"]
+# conjunctive query uses terms that actually co-occur in the corpus
+# ('partition' never appears in the fixture docs, so an AND over
+# QUERY_TERMS would be vacuously empty at every sf)
+BOOL_TERMS = ["stream", "merge", "query"]
 TOP_K = 20
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents for a fixed keyword query, BM25-ranked."""
-    d = load_table(spark, sf_dir, "documents")
+def _bm25_scored(d: DataFrame, terms: list[str] = QUERY_TERMS) -> DataFrame:
+    """Per-document BM25 score frame (doc_id, bm25, n_terms_hit) for
+    the given query terms — shared by the plain, boolean-AND and
+    hybrid rankers so all three reuse the same two doc-keyed
+    shuffles."""
     toks = d.select(
         "doc_id",
         F.explode(
@@ -47,7 +55,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     tf = (
-        toks.filter(F.col("term").isin(QUERY_TERMS))
+        toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -82,16 +90,40 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    return scored
+
+
+def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
         .select("rnk", "doc_id", "bm25", "n_terms_hit")
     )
 
 
-_BM25_SQL = f"""
-WITH toks AS (
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed keyword query, BM25-ranked."""
+    d = load_table(spark, sf_dir, "documents")
+    return _rank_topk(_bm25_scored(d))
+
+
+def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval: only documents containing EVERY query
+    term qualify, then BM25-ranked. The conjunctive filter is a
+    predicate on the per-doc aggregate (n_terms_hit = |Q|), so it
+    costs nothing beyond the plain ranker — no second corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return _rank_topk(
+        _bm25_scored(d, BOOL_TERMS).filter(
+            F.col("n_terms_hit") == len(BOOL_TERMS)
+        )
+    )
+
+
+def _bm25_ctes(terms: list[str]) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""toks AS (
   SELECT doc_id, t.term
   FROM documents,
        LATERAL unnest(string_split_regex(lower(text), ' +')) AS t(term)
@@ -102,7 +134,7 @@ corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM toks
-  WHERE term IN ('stream', 'merge', 'partition')
+  WHERE term IN ({term_list})
   GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -120,13 +152,130 @@ scored AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN corpus
   GROUP BY tf.doc_id
-)
+)"""
+
+
+_RANK_TOPK_SQL = f"""
 SELECT * FROM (
   SELECT ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk,
          doc_id, bm25, n_terms_hit
-  FROM scored
+  FROM {{rel}}
 ) WHERE rnk <= {TOP_K}
 """
 
-QUERIES = {"bm25_search": q_bm25_search}
-ORACLE = {"bm25_search": _BM25_SQL}
+_BM25_SQL = f"WITH {_bm25_ctes(QUERY_TERMS)}" + _RANK_TOPK_SQL.format(
+    rel="scored"
+)
+
+_BOOLEAN_AND_SQL = (
+    f"WITH {_bm25_ctes(BOOL_TERMS)},\n"
+    f"conj AS (SELECT * FROM scored WHERE n_terms_hit = {len(BOOL_TERMS)})"
+    + _RANK_TOPK_SQL.format(rel="conj")
+)
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ embedding-cosine, fused by Reciprocal Rank
+# Fusion — rrf(d) = Σ_modality 1 / (RRF_K + rank_modality(d)).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+_QUERY_VEC_ID = 0
+_BRANCH_K = 50
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: top-20 documents by Reciprocal Rank Fusion of
+    (a) the BM25 keyword ranking and (b) exact-cosine ranking against
+    the embedding of vector _QUERY_VEC_ID — the dual-modality
+    retrieval a RAG corpus pipeline serves.
+
+    Scale shape: each branch is the already-audited scalable operator
+    (BM25: two doc-keyed map-combinable shuffles; cosine: broadcast
+    query, corpus never shuffles). Both branches cut to their top-50
+    BEFORE the fuse, so the full-outer fusion join touches ≤100 rows
+    regardless of corpus size. Ranks are computed on 6dp-rounded
+    scores with unique id tiebreaks, and the fused score is rounded
+    again — bit-stable across engines and plans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    kw = (
+        _rank_topk(_bm25_scored(d), _BRANCH_K)
+        .select("doc_id", F.col("rnk").alias("kw_rank"))
+    )
+    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk_bruteforce(qv, e, k=_BRANCH_K).select(
+        F.col("cid").alias("doc_id"), F.col("rnk").alias("vec_rank")
+    )
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("rnk", "doc_id", "rrf", "kw_rank", "vec_rank")
+    )
+
+
+_HYBRID_RRF_SQL = f"""
+WITH {_bm25_ctes(QUERY_TERMS)},
+kw AS (
+  SELECT doc_id, rnk AS kw_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_BRANCH_K}
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = {_QUERY_VEC_ID}
+),
+vec AS (
+  SELECT doc_id, rnk AS vec_rank FROM (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 6) AS cosine
+      FROM embeddings
+    )
+  ) WHERE rnk <= {_BRANCH_K}
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + kw_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0), 6) AS rrf,
+         kw_rank, vec_rank
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk,
+         doc_id, rrf, kw_rank, vec_rank
+  FROM fused
+) WHERE rnk <= {TOP_K}
+"""
+
+QUERIES = {
+    "bm25_search": q_bm25_search,
+    "search_boolean_and": q_search_boolean_and,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+}
+ORACLE = {
+    "bm25_search": _BM25_SQL,
+    "search_boolean_and": _BOOLEAN_AND_SQL,
+    "hybrid_search_rrf": _HYBRID_RRF_SQL,
+}

@@ -19,9 +19,13 @@ from finance_etl_system_spark.queries.anomaly import (
 )
 from finance_etl_system_spark.queries.retrieval import (
     B,
+    BOOL_TERMS,
     K1,
     QUERY_TERMS,
+    RRF_K,
     q_bm25_search,
+    q_hybrid_search_rrf,
+    q_search_boolean_and,
 )
 from tests.conftest import SF_SMOKE
 
@@ -62,6 +66,39 @@ def test_bm25_matches_pure_python(spark):
     assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_boolean_and_requires_every_term(spark):
+    out = q_search_boolean_and(spark, SF_SMOKE).collect()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    text_by_id = dict(zip(docs.doc_id, docs.text))
+    assert out, "fixture corpus should contain conjunctive matches"
+    for r in out:
+        toks = set(t for t in text_by_id[r.doc_id].lower().split(" ") if t)
+        assert set(BOOL_TERMS) <= toks
+        assert r.n_terms_hit == len(BOOL_TERMS)
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    out = sorted(
+        q_hybrid_search_rrf(spark, SF_SMOKE).collect(), key=lambda r: r.rnk
+    )
+    assert [r.rnk for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        # every fused doc came from at least one branch, and the score
+        # is exactly the RRF formula over its branch ranks
+        assert r.kw_rank is not None or r.vec_rank is not None
+        want = round(
+            (1.0 / (RRF_K + r.kw_rank) if r.kw_rank else 0.0)
+            + (1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0),
+            6,
+        )
+        assert r.rrf == want
+    # rrf is non-increasing down the ranking
+    assert all(a.rrf >= b.rrf for a, b in zip(out, out[1:]))
+    # the query vector itself must top the vector branch (cosine = 1)
+    vec_rank_1 = [r for r in out if r.vec_rank == 1]
+    assert vec_rank_1 and vec_rank_1[0].doc_id == 0
 
 
 def test_anomaly_mad_matches_numpy(spark):
