@@ -56,6 +56,7 @@ _MODULES: list[str] = [
     "cdc",
     "layout",
     "ml",
+    "expectations",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Declarative data-quality expectation suite (Deequ-style) — the
+contract-enforcement layer a production ingest runs before publishing
+a table (extends SURVEY §1.2 / operators/validate.py, which checks the
+schema contract; this checks the *values*).
+
+Six expectations over the orders/lineitem pair, computed as TWO Spark
+jobs regardless of how many checks are registered:
+
+- one single-pass aggregate over ``orders`` carrying every per-column
+  metric at once (completeness, uniqueness, domain violations, range
+  violations) — adding a check adds a column to the same HashAggregate,
+  not a scan;
+- one broadcast-anti-join count for referential integrity
+  (lineitem.l_orderkey ⊆ orders.o_orderkey).
+
+At 100 TB this is the shape you want: metrics ride one map-side
+combinable pass over the fact table, the verdict frame is rows =
+number-of-checks (driver-sized), and the only join broadcasts the
+key set's bloom-filter-sized side... here the dimension IS orders'
+key set, so the anti-join shuffles on the join key like any big-big
+equi join (AQE handles skew).
+
+Output: one row per check — (check_name, metric, passed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+STATUS_DOMAIN = ["O", "F", "P"]
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    one = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderkey").alias("uniq_ok"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(STATUS_DOMAIN), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "neg_price"
+        ),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_li"))
+    )
+    m = one.crossJoin(orphans)
+
+    checks = [
+        ("completeness_o_custkey", F.col("nn_cust") / F.col("n"), "m = 1.0"),
+        ("uniqueness_o_orderkey", F.col("uniq_ok") / F.col("n"), "m = 1.0"),
+        ("min_o_totalprice_nonneg", F.col("min_price"), "m >= 0"),
+        ("status_in_domain", F.col("bad_status").cast("double"), "m = 0"),
+        ("nonnegative_totalprice", F.col("neg_price").cast("double"), "m = 0"),
+        ("no_orphan_lineitems", F.col("orphan_li").cast("double"), "m = 0"),
+    ]
+    rows = []
+    for name, metric, rule in checks:
+        passed = {
+            "m = 1.0": metric == 1.0,
+            "m >= 0": metric >= 0,
+            "m = 0": metric == 0,
+        }[rule]
+        rows.append(
+            m.select(
+                F.lit(name).alias("check_name"),
+                F.round(metric, 6).alias("metric"),
+                passed.alias("passed"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("check_name")
+
+
+_DATA_EXPECTATIONS_SQL = f"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn_cust,
+         COUNT(DISTINCT o_orderkey) AS uniq_ok,
+         MIN(o_totalprice) AS min_price,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price
+  FROM orders
+),
+orph AS (
+  SELECT COUNT(*) AS orphan_li FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT check_name, metric, passed FROM (
+  SELECT 'completeness_o_custkey' AS check_name,
+         ROUND(CAST(nn_cust AS DOUBLE) / n, 6) AS metric,
+         CAST(nn_cust AS DOUBLE) / n = 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey',
+         ROUND(CAST(uniq_ok AS DOUBLE) / n, 6),
+         CAST(uniq_ok AS DOUBLE) / n = 1.0 FROM m
+  UNION ALL
+  SELECT 'min_o_totalprice_nonneg', ROUND(min_price, 6), min_price >= 0 FROM m
+  UNION ALL
+  SELECT 'status_in_domain', CAST(bad_status AS DOUBLE), bad_status = 0 FROM m
+  UNION ALL
+  SELECT 'nonnegative_totalprice', CAST(neg_price AS DOUBLE), neg_price = 0
+  FROM m
+  UNION ALL
+  SELECT 'no_orphan_lineitems', CAST(orphan_li AS DOUBLE), orphan_li = 0
+  FROM orph
+) ORDER BY check_name
+"""
+
+QUERIES = {"data_expectations": q_data_expectations}
+ORACLE = {"data_expectations": _DATA_EXPECTATIONS_SQL}

@@ -296,8 +296,34 @@ def q_ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast, 5 steps ahead per symbol
+    (pipeline/forecast.py). Rows-only driver check (the smoothing
+    recursion is sequential, not SQL-expressible); exact parity vs a
+    pure-numpy reference is pinned in tests/test_ml.py.
+
+    Floats are rounded 6dp for a stable driver hash — the recursion
+    itself is bit-deterministic (the worker sorts each series by ts,
+    which is unique per user in the fixtures — SCALE.md invariant —
+    so the fold order is fixed)."""
+    from ..pipeline.forecast import holt_forecast
+
+    e = load_table(spark, sf_dir, "events")
+    out = holt_forecast(
+        e, group_col="user_id", time_col="ts", value_col="value"
+    )
+    return out.select(
+        "user_id",
+        "h",
+        F.round("forecast", 6).alias("forecast"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    ).orderBy("user_id", "h")
+
+
 QUERIES = {
     "ml_chrono_split": q_ml_chrono_split,
+    "ml_forecast_holt": q_ml_forecast_holt,
     "ml_standardize": q_ml_standardize,
     "ml_linreg_monitoring": q_ml_linreg_monitoring,
     "ml_train_ols_pandas": q_ml_train_ols_pandas,

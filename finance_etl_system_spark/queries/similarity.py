@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.quantize import dequantize, quantize_int8
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -127,14 +128,81 @@ ORDER BY label, dim
 """
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-int8 quantization audit: per-vector scale, integer
+    code checksums, max reconstruction error and cosine fidelity.
+
+    Scale: zero shuffles — every column is a JVM array expression over
+    the row's own vector, so the plan is scan → project, codegen'd end
+    to end. The integer checksums (q_sum, q_l1) pin the exact code
+    values across engines; floor(x/scale + 0.5) is used instead of
+    round() because its half-way semantics are engine-independent.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dq = dequantize(F.col("qv"), F.col("q_scale"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.select(
+            "vec_id",
+            "label",
+            F.round("q_scale", 9).alias("scale_q"),
+            F.aggregate(
+                F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.aggregate(
+                F.col("qv"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.abs(x),
+            ).alias("q_l1"),
+            F.round(
+                F.array_max(F.zip_with(v, dq, lambda x, y: F.abs(x - y))), 9
+            ).alias("max_abs_err"),
+            F.round(
+                dot(v, dq) / (F.sqrt(dot(v, v)) * F.sqrt(dot(dq, dq))), 6
+            ).alias("cos_dq"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANTIZE_INT8_SQL = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, label, v,
+        list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM v),
+q AS (SELECT vec_id, label, v, scale,
+        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+          ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+      FROM s),
+m AS (SELECT vec_id, label, v, scale, qv,
+        list_transform(qv, x -> x * scale) AS dq
+      FROM q)
+SELECT vec_id, label,
+  ROUND(scale, 9) AS scale_q,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+  ROUND(list_max(list_transform(list_zip(v, dq), p -> abs(p[1] - p[2]))), 9)
+    AS max_abs_err,
+  ROUND(list_cosine_similarity(v, dq), 6) AS cos_dq
+FROM m ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 ORACLE = {
     "knn_bruteforce": _KNN_BRUTEFORCE_SQL,
     "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
+    "embedding_quantize_int8": _QUANTIZE_INT8_SQL,
 }

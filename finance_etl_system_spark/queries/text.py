@@ -337,8 +337,87 @@ ORDER BY doc_id
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter: the 20 most *surprising* documents
+    under the corpus's own unigram model — the cheap stand-in for the
+    perplexity filters LLM data pipelines run (docs whose tokens are
+    improbable under the corpus distribution are boilerplate, noise,
+    or wrong-language).
+
+    avg_logprob(d) = Σ_t tf_dt · ln(ct_t / total) / n_tokens(d), with
+    ppl = exp(−avg_logprob). MLE probabilities need no smoothing here
+    because every scored token is by construction in the corpus.
+
+    Scale: same two map-combinable shuffles as TF-IDF (tf per
+    (doc, term), then the vocabulary-sized unigram table broadcast
+    back onto tf); the corpus total is one scalar. Ranking is on the
+    6dp-rounded average with doc_id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = uni.agg(F.sum("ct").alias("total"))
+    scored = (
+        tf.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("ct") / F.col("total")))
+                / F.sum("tf")
+            ).alias("alp"),
+        )
+    )
+    w = Window.orderBy(F.round("alp", 6).asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "doc_id",
+            "n_tokens",
+            F.round("alp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
+        )
+    )
+
+
+_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+uni AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM uni),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         SUM(tf.tf * ln(uni.ct / tot.total)) / SUM(tf.tf) AS alp
+  FROM tf JOIN uni USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY ROUND(alp, 6) ASC, doc_id ASC) AS rnk,
+         doc_id, n_tokens,
+         ROUND(alp, 6) AS avg_logprob,
+         ROUND(exp(-alp), 2) AS ppl
+  FROM scored
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
+    "unigram_surprisal": q_unigram_surprisal,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
@@ -350,6 +429,7 @@ QUERIES = {
 
 ORACLE = {
     "fuzzy_match": _FUZZY_MATCH_SQL,
+    "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
     "binary_manifest": _BINARY_MANIFEST_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,

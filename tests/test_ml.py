@@ -271,3 +271,42 @@ def test_gbt_monitoring_composes_with_tree_models(spark, nonlinear_df):
     assert all(not r["alert_low_r2"] for r in flagged)
     best = best_model_per_group(models.union(models)).collect()
     assert len(best) == 2
+
+
+def test_holt_forecast_matches_pure_python(spark):
+    """Holt recursion parity: the applyInPandas operator reproduces a
+    pure-pandas/numpy recomputation exactly, and forecasts extrapolate
+    linearly (yhat_{h+1} - yhat_h = trend)."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.pipeline.forecast import (
+        holt_forecast,
+        holt_numpy,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    out = holt_forecast(
+        e, group_col="user_id", time_col="ts", value_col="value",
+        alpha=0.5, beta=0.3, horizon=5,
+    ).collect()
+    assert out
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.dropna(subset=["value"]).sort_values("ts")
+    by_user = {}
+    for uid, g in pdf.groupby("user_id"):
+        by_user[uid] = holt_numpy(
+            g["value"].to_numpy(dtype=np.float64), 0.5, 0.3
+        )
+    got_users = {r.user_id for r in out}
+    assert got_users == set(by_user)
+    for r in out:
+        level, trend = by_user[r.user_id]
+        assert r.level == level and r.trend == trend
+        assert r.forecast == level + r.h * trend
+    # linear extrapolation between consecutive horizons
+    rows = sorted(out, key=lambda r: (r.user_id, r.h))
+    for a, b in zip(rows, rows[1:]):
+        if a.user_id == b.user_id:
+            assert np.isclose(b.forecast - a.forecast, a.trend)

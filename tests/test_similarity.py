@@ -109,3 +109,29 @@ def test_lsh_query_build_spawns_no_spark_job(spark):
     # contrast: omitting dim falls back to the one-row probe = a job
     cosine_topk_lsh(q, e, k=5, nbits=16, bands=4)
     assert n_jobs() > before
+
+
+def test_int8_quantization_roundtrip_bounds(spark):
+    """Symmetric int8: codes within [-127, 127], reconstruction error
+    bounded by scale/2, cosine fidelity near 1, and codes match a
+    numpy recomputation exactly (floor(x/scale + 0.5) semantics)."""
+    import numpy as np
+
+    from finance_etl_system_spark.operators.quantize import quantize_int8
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    rows = quantize_int8(e).select("vec_id", "embedding", "q_scale", "qv").collect()
+    assert rows
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        scale = np.abs(v).max() / 127
+        assert r.q_scale == scale
+        want = np.floor(v / scale + 0.5).astype(np.int64) if scale else v * 0
+        assert list(want) == list(r.qv)
+        q = np.asarray(r.qv, dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        err = np.abs(v - q * scale)
+        assert err.max() <= scale / 2 + 1e-12
+        dq = q * scale
+        cos = dq @ v / (np.linalg.norm(dq) * np.linalg.norm(v))
+        assert cos > 0.999
