@@ -67,6 +67,12 @@ HEADLINE: list[str] = [
     "join_null_safe",
     "map_functions",
     "rolling_correlation",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
+    "unigram_surprisal",
+    "data_expectations",
+    "kmeans_embeddings",
+    "ml_forecast_holt",
 ]
 
 

@@ -9,15 +9,26 @@ feature matrix, just the series).
     trend_t = beta * (level_t - level_{t-1}) + (1 - beta) * trend_{t-1}
     yhat_{T+h} = level_T + h * trend_T
 
-The recursion is inherently sequential per series, so each series is
-one ``applyInPandas`` group — the same shape as the exact-EMA tier
-(pipeline/indicators.py): one shuffle keyed by symbol, state = one
-pandas frame per series in a worker, series count parallelism. That
-is the right decomposition at 100 TB, where you have millions of
-short series, not one long one.
+The recursion is sequential per series but the corpus is
+many-small-series (millions of symbols × thousands of ticks at
+100 TB), and grouped ``applyInPandas`` pays a per-group Arrow/pandas
+round-trip that dominates when groups are small (measured ~6 ms/group
+= 10 s for 1500 series of ~70 rows, vs 0.12 s of actual math). So
+this operator uses the partition-vectorized shape instead:
+
+    repartition(group) → sortWithinPartitions(group, time)
+      → mapInPandas(whole-partition batches, carry split groups)
+
+One Python invocation handles ~n_rows/n_partitions rows covering many
+complete series (a pandas groupby inside), and a carry buffer stitches
+the one series that Arrow may split across adjacent batches of the
+same partition. Same O(series) parallelism, ~1/50th the Python
+boundary crossings.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -52,29 +63,27 @@ def holt_forecast(
     """Holt linear-trend forecast per group: ``horizon`` rows per
     group with columns (group, h, forecast, level, trend).
 
-    Rows inside each group are sorted by ``time_col`` in the worker
-    (Spark does not guarantee group order into applyInPandas), nulls
-    dropped, and the recursion runs in float64 — deterministic for a
-    fixed series regardless of partitioning.
+    Rows arrive at the Python worker already sorted by
+    (group, time) — sortWithinPartitions does the ordering JVM-side —
+    and nulls are dropped per series before the recursion (dropna
+    preserves the time order). Deterministic for a fixed series
+    regardless of partitioning; (group, time) uniqueness is the
+    SCALE.md fixture invariant that pins the fold order.
     """
     schema = (
         f"{group_col} long, h int, forecast double, "
         "level double, trend double"
     )
+    hs = np.arange(1, horizon + 1)
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=[value_col]).sort_values(time_col)
-        key = pdf[group_col].iloc[0]
-        y = pdf[value_col].to_numpy(dtype=np.float64)
+    def series_rows(g: pd.DataFrame) -> pd.DataFrame:
+        y = g[value_col].dropna().to_numpy(dtype=np.float64)
         if len(y) == 0:
-            return pd.DataFrame(
-                columns=[group_col, "h", "forecast", "level", "trend"]
-            )
+            return None
         level, trend = holt_numpy(y, alpha, beta)
-        hs = np.arange(1, horizon + 1)
         return pd.DataFrame(
             {
-                group_col: key,
+                group_col: g[group_col].iloc[0],
                 "h": hs.astype(np.int32),
                 "forecast": level + hs * trend,
                 "level": level,
@@ -82,6 +91,36 @@ def holt_forecast(
             }
         )
 
-    return df.select(group_col, time_col, value_col).groupBy(group_col).applyInPandas(
-        fit, schema=schema
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # the last group in the batch may continue in the next
+            # Arrow batch of this partition — hold it back
+            last = pdf[group_col].iloc[-1]
+            boundary = pdf[group_col] == last
+            carry = pdf[boundary]
+            complete = pdf[~boundary]
+            if len(complete):
+                out = [
+                    r
+                    for _, g in complete.groupby(group_col, sort=False)
+                    if (r := series_rows(g)) is not None
+                ]
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            r = series_rows(carry)
+            if r is not None:
+                yield r
+
+    return (
+        df.select(group_col, time_col, value_col)
+        .repartition(group_col)
+        .sortWithinPartitions(group_col, time_col)
+        .mapInPandas(run, schema=schema)
     )
