@@ -501,3 +501,36 @@ def test_kafka_ingest_against_real_broker(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).collect()
     assert any(r["symbol"] == "AAPL" for r in got)
+
+
+@pytest.mark.timeout(300)
+def test_stream_quality_gate_publishes_and_quarantines(spark, tmp_path):
+    """Per-batch expectation gate: a clean batch publishes to the
+    clean sink; a batch with a non-positive close is diverted to
+    quarantine; every batch leaves a per-check verdict row."""
+    from finance_etl_system_spark.streaming.quality import stream_quality_gate
+
+    src = tmp_path / "src"
+    clean, quar, verd, ckpt = (
+        str(tmp_path / d) for d in ("clean", "quarantine", "verdicts", "ckpt")
+    )
+
+    # batch 1: clean rows
+    _write_messages(src, _rows("AAPL", ["2024-01-02", "2024-01-03"]))
+    q = stream_quality_gate(spark, str(src), clean, quar, verd, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(clean).count() == 2
+    v1 = spark.read.parquet(verd)
+    assert v1.filter("NOT passed").count() == 0
+    assert v1.select("check_name").distinct().count() == 4
+
+    # batch 2: one poisoned row (close <= 0) -> whole batch quarantined
+    bad = _rows("MSFT", ["2024-01-02"], price=-50.0)
+    _write_messages(src, bad)
+    q2 = stream_quality_gate(spark, str(src), clean, quar, verd, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(clean).count() == 2  # unchanged
+    assert spark.read.parquet(quar).count() == 1
+    v2 = spark.read.parquet(verd)
+    failed = {r.check_name for r in v2.filter("NOT passed").collect()}
+    assert "positive_close" in failed
