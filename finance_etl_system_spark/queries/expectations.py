@@ -119,5 +119,70 @@ SELECT check_name, metric, passed FROM (
 ) ORDER BY check_name
 """
 
-QUERIES = {"data_expectations": q_data_expectations}
-ORACLE = {"data_expectations": _DATA_EXPECTATIONS_SQL}
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` in one aggregate pass
+    (operators/profile.py): per column — row/null/distinct counts,
+    numeric min/max/avg (6dp) or lexical min/max. The report a
+    pipeline runs to PICK the expectation thresholds."""
+    from ..operators.profile import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "str"),
+            ("o_orderstatus", "str"),
+            ("o_orderpriority", "str"),
+        ],
+    )
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    base = f"""SELECT '{c}' AS column_name,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+  COUNT(DISTINCT {c}) AS n_distinct,"""
+    if kind == "num":
+        return base + f"""
+  ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_num,
+  ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_num,
+  ROUND(AVG({c}), 6) AS avg_num,
+  CAST(NULL AS VARCHAR) AS min_str,
+  CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+    return base + f"""
+  CAST(NULL AS DOUBLE) AS min_num,
+  CAST(NULL AS DOUBLE) AS max_num,
+  CAST(NULL AS DOUBLE) AS avg_num,
+  MIN(CAST({c} AS VARCHAR)) AS min_str,
+  MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders"""
+
+
+_PROFILE_ORDERS_SQL = (
+    "\nUNION ALL\n".join(
+        _profile_col_sql(c, k)
+        for c, k in [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "str"),
+            ("o_orderstatus", "str"),
+            ("o_orderpriority", "str"),
+        ]
+    )
+    + "\nORDER BY column_name"
+)
+
+
+QUERIES = {
+    "data_expectations": q_data_expectations,
+    "profile_orders": q_profile_orders,
+}
+ORACLE = {
+    "data_expectations": _DATA_EXPECTATIONS_SQL,
+    "profile_orders": _PROFILE_ORDERS_SQL,
+}
