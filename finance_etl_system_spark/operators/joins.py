@@ -32,9 +32,14 @@ def asof_join(
     *,
     suffix: str = "_right",
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the most recent right row
     with ``right.on <= left.on`` (``<`` when ``strict``), per ``by`` keys.
+    With ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``
+    parity), a match older than the tolerance is nulled out — the
+    carried right timestamp rides the same LOCF window, so the bound
+    costs one extra carried column, not a second join.
 
     Implemented as union + last-observation-carried-forward window:
 
@@ -72,6 +77,11 @@ def asof_join(
         .agg(*[F.max(oc).alias(oc) for oc in out_cols])
         .withColumn("__is_right", F.lit(1))
     )
+    if tolerance_seconds is not None:
+        # the right timestamp is carried forward exactly like a value
+        # column, so the tolerance check is row-local after the window
+        r = r.withColumn("__right_on", F.col(on))
+        out_cols = out_cols + ["__right_on"]
     l = left.select(
         *left.columns, F.lit(0).alias("__is_right")
     )
@@ -108,6 +118,27 @@ def asof_join(
         *extra_left_cols,
         *[F.col(f"__filled_{oc}").alias(oc) for oc in out_cols],
     )
+    if tolerance_seconds is not None:
+        out_cols = [oc for oc in out_cols if oc != "__right_on"]
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(result.schema[on].dataType, TimestampType):
+            # integer-microsecond arithmetic: exact, and identical to
+            # the DuckDB oracle's epoch_us() diff (no double rounding
+            # at the tolerance boundary)
+            delta = F.unix_micros(F.col(on)) - F.unix_micros(
+                F.col("__right_on")
+            )
+            stale = delta > F.lit(int(tolerance_seconds * 1_000_000))
+        else:
+            stale = (
+                F.col(on).cast("double") - F.col("__right_on").cast("double")
+            ) > F.lit(float(tolerance_seconds))
+        for oc in out_cols:
+            result = result.withColumn(
+                oc, F.when(stale, F.lit(None)).otherwise(F.col(oc))
+            )
+        result = result.drop("__right_on")
     return result
 
 

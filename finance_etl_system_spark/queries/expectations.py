@@ -178,11 +178,124 @@ _PROFILE_ORDERS_SQL = (
 )
 
 
+N_HIST_BINS = 12
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice with data-derived bounds —
+    the distribution view the profiler's min/max alone can't give.
+
+    Two-pass shape: a one-row (lo, hi) bounds aggregate broadcast
+    onto the scan, then ONE groupBy on the bucket index (map-side
+    combinable; at most N_HIST_BINS groups survive the shuffle).
+    Bucket arithmetic is floor((x-lo)/width) clamped to the top bin —
+    pure double ops identical in every engine, no width_bucket
+    dependency. Edges are rounded 2dp (money)."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    nb = F.lit(N_HIST_BINS)
+    width = (F.col("hi") - F.col("lo")) / nb
+    binned = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                    "int"
+                ),
+                nb - 1,
+            ).alias("bin"),
+            F.col("lo"),
+            width.alias("w"),
+        )
+        .groupBy("bin", "lo", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return binned.select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * F.col("w"), 2).alias("lo_edge"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * F.col("w"), 2).alias(
+            "hi_edge"
+        ),
+        "n",
+    ).orderBy("bin")
+
+
+_HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {N_HIST_BINS}))
+                    AS INT), {N_HIST_BINS} - 1) AS bin,
+         lo, (hi - lo) / {N_HIST_BINS} AS w
+  FROM orders CROSS JOIN bounds
+)
+SELECT bin,
+       ROUND(lo + bin * w, 2) AS lo_edge,
+       ROUND(lo + (bin + 1) * w, 2) AS hi_edge,
+       COUNT(*) AS n
+FROM binned GROUP BY bin, lo, w ORDER BY bin
+"""
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: observed first-significant-
+    digit frequencies vs the expected log10(1 + 1/d) — the classic
+    forensic-accounting screen for fabricated amounts.
+
+    The first digit comes from the STRING of floor(x) as a bigint
+    (portable across engines, unlike double formatting); one
+    9-group aggregate, map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    per = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = per.agg(F.sum("n").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("obs_freq"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("exp_freq"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH per AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM per)
+SELECT digit, n,
+       ROUND(n / total, 6) AS obs_freq,
+       ROUND(log10(1 + 1.0 / digit), 6) AS exp_freq
+FROM per CROSS JOIN tot ORDER BY digit
+"""
+
+
 QUERIES = {
     "data_expectations": q_data_expectations,
     "profile_orders": q_profile_orders,
+    "histogram_totalprice": q_histogram_totalprice,
+    "benford_totalprice": q_benford_totalprice,
 }
 ORACLE = {
     "data_expectations": _DATA_EXPECTATIONS_SQL,
     "profile_orders": _PROFILE_ORDERS_SQL,
+    "histogram_totalprice": _HISTOGRAM_SQL,
+    "benford_totalprice": _BENFORD_SQL,
 }

@@ -294,6 +294,62 @@ ASOF LEFT JOIN clicks c
 """
 
 
+ASOF_TOL_S = 3600
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof parity):
+    each purchase takes the user's most recent prior click value, but
+    only if that click is within the last hour — older matches null
+    out. Tolerance rides the same LOCF window as the value columns
+    (one extra carried column, no second join); the staleness test is
+    integer-microsecond arithmetic, exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_values=["click_value"],
+        suffix="",
+        tolerance_seconds=ASOF_TOL_S,
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value", 2).alias("recent_click_value"),
+    )
+
+
+_JOIN_ASOF_TOLERANCE_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT
+  p.user_id,
+  p.event_id,
+  ROUND(p.value, 2) AS purchase_value,
+  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= CAST({ASOF_TOL_S} AS BIGINT) * 1000000
+       THEN ROUND(c.click_value, 2) END AS recent_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless big-big interval join: each purchase matched to ALL
     error events (any user) in the 5 minutes after it, via time-bucket
@@ -389,6 +445,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_range": q_join_range,
     "join_asof": q_join_asof,
+    "join_asof_tolerance": q_join_asof_tolerance,
     "join_null_safe": q_join_null_safe,
 }
 
@@ -402,5 +459,6 @@ ORACLE = {
     "join_anti": _JOIN_ANTI_SQL,
     "join_range": _JOIN_RANGE_SQL,
     "join_asof": _JOIN_ASOF_SQL,
+    "join_asof_tolerance": _JOIN_ASOF_TOLERANCE_SQL,
     "join_null_safe": _JOIN_NULL_SAFE_SQL,
 }

@@ -1,5 +1,5 @@
 """Full-text retrieval over the documents table: BM25, boolean-AND,
-and hybrid keyword⊕vector Reciprocal Rank Fusion.
+exact-phrase, and hybrid keyword⊕vector Reciprocal Rank Fusion.
 
 Extends SURVEY §2.10 X4 (the reference indexes documents into
 Elasticsearch and queries by relevance — reference
@@ -269,13 +269,83 @@ SELECT * FROM (
 ) WHERE rnk <= {TOP_K}
 """
 
+# ---------------------------------------------------------------------------
+# Exact-phrase search: adjacency-aware term matching.
+# ---------------------------------------------------------------------------
+
+PHRASE = "stream column"
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval: documents containing the bigram
+    PHRASE as ADJACENT tokens, ranked by occurrence count.
+
+    Scale shape: phrase counting is entirely ROW-LOCAL — the token
+    array is built per row and the adjacent-bigram count is a
+    filter over a transform-with-index, all inside whole-stage
+    codegen. No positional inverted index, no explode, no shuffle
+    until the final top-k (which moves only matching doc heads).
+    This is the right plan when the phrase set is small; a large
+    workload of phrase queries would materialize a positional index
+    once and join (same bucketing discipline as decontaminate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " +"), lambda x: x != ""
+    )
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(F.col("toks"), i + F.lit(2))
+        ),
+    )
+    scored = with_toks.select(
+        "doc_id",
+        F.size(F.filter(bigrams, lambda b: b == F.lit(PHRASE))).alias(
+            "n_occurrences"
+        ),
+    ).filter(F.col("n_occurrences") > 0)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("rnk", "doc_id", "n_occurrences")
+    )
+
+
+_SEARCH_PHRASE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(
+           list_transform(toks[1:len(toks)-1],
+                          (x, i) -> x || ' ' || toks[i+1]),
+           b -> b = '{PHRASE}')) AS n_occurrences
+  FROM docs
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, doc_id ASC) AS rnk,
+         doc_id, n_occurrences
+  FROM scored WHERE n_occurrences > 0
+) WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "bm25_search": q_bm25_search,
     "search_boolean_and": q_search_boolean_and,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "search_phrase": q_search_phrase,
 }
 ORACLE = {
     "bm25_search": _BM25_SQL,
     "search_boolean_and": _BOOLEAN_AND_SQL,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
+    "search_phrase": _SEARCH_PHRASE_SQL,
 }

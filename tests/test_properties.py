@@ -167,3 +167,35 @@ def test_weighted_median_kernel_properties(data):
     expanded.sort()
     k = int(np.searchsorted(np.cumsum(np.ones_like(expanded)) * 2, len(expanded), side="left"))
     assert got == expanded[k]
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=0, max_size=15),
+    tol=st.integers(min_value=0, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_asof_join_tolerance_matches_bruteforce(spark, left_ts, right_ts, tol):
+    """With a numeric `on` column, tolerance nulls any match older
+    than `tol` — brute-force per left row."""
+    right_vals = {t: float(t * 7 % 101) for t in sorted(set(right_ts))}
+    left = spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(left_ts)], "k STRING, ts LONG, rid LONG"
+    )
+    right = spark.createDataFrame(
+        [("k", t, v) for t, v in right_vals.items()] or [("zzz", 0, 0.0)],
+        "k STRING, ts LONG, v DOUBLE",
+    )
+    got = {
+        r["rid"]: r["v"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_values=["v"], suffix="",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    for i, t in enumerate(left_ts):
+        eligible = [rt for rt in right_vals if rt <= t]
+        expect = None
+        if eligible and t - max(eligible) <= tol:
+            expect = right_vals[max(eligible)]
+        assert got.get(i) == expect, (t, tol, sorted(right_vals), got.get(i), expect)
