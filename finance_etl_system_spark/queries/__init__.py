@@ -57,6 +57,7 @@ _MODULES: list[str] = [
     "layout",
     "ml",
     "expectations",
+    "drift",
 ]
 
 
