@@ -51,34 +51,49 @@ def profile_columns(df: DataFrame, spec: ProfileSpec) -> DataFrame:
             aggs.append(F.max(col.cast("string")).alias(f"{c}__max_str"))
     wide = df.agg(*aggs)
 
-    rows = []
+    # melt via explode(array(struct...)) — NOT a self-union of `wide`:
+    # a union would duplicate the whole aggregate subtree (and its
+    # scan) once per profiled column, which is exactly the multi-pass
+    # shape this operator exists to avoid (plan-asserted in
+    # tests/test_plans.py::test_profile_single_aggregate_pass)
+    structs = []
     for c, kind in spec:
-        rows.append(
-            wide.select(
+        num = kind == "num"
+        structs.append(
+            F.struct(
                 F.lit(c).alias("column_name"),
                 F.col("_n").alias("n"),
                 F.col(f"{c}__nulls").alias("null_count"),
                 F.col(f"{c}__distinct").alias("n_distinct"),
-                *(
-                    [
-                        F.col(f"{c}__min_num").alias("min_num"),
-                        F.col(f"{c}__max_num").alias("max_num"),
-                        F.col(f"{c}__avg_num").alias("avg_num"),
-                        F.lit(None).cast("string").alias("min_str"),
-                        F.lit(None).cast("string").alias("max_str"),
-                    ]
-                    if kind == "num"
-                    else [
-                        F.lit(None).cast("double").alias("min_num"),
-                        F.lit(None).cast("double").alias("max_num"),
-                        F.lit(None).cast("double").alias("avg_num"),
-                        F.col(f"{c}__min_str").alias("min_str"),
-                        F.col(f"{c}__max_str").alias("max_str"),
-                    ]
-                ),
+                (
+                    F.col(f"{c}__min_num")
+                    if num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{c}__max_num")
+                    if num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{c}__avg_num")
+                    if num
+                    else F.lit(None).cast("double")
+                ).alias("avg_num"),
+                (
+                    F.lit(None).cast("string")
+                    if num
+                    else F.col(f"{c}__min_str")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if num
+                    else F.col(f"{c}__max_str")
+                ).alias("max_str"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("column_name")
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("m"))
+        .select("m.*")
+        .orderBy("column_name")
+    )

@@ -63,24 +63,28 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nonnegative_totalprice", F.col("neg_price").cast("double"), "m = 0"),
         ("no_orphan_lineitems", F.col("orphan_li").cast("double"), "m = 0"),
     ]
-    rows = []
+    # melt via explode(array(struct...)), NOT a per-check unionAll of
+    # `m` — a union would recompute the aggregate (and the anti-join)
+    # once per check; the explode keeps the promised two-job shape
+    structs = []
     for name, metric, rule in checks:
         passed = {
             "m = 1.0": metric == 1.0,
             "m >= 0": metric >= 0,
             "m = 0": metric == 0,
         }[rule]
-        rows.append(
-            m.select(
+        structs.append(
+            F.struct(
                 F.lit(name).alias("check_name"),
                 F.round(metric, 6).alias("metric"),
                 passed.alias("passed"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("check_name")
+    return (
+        m.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+        .orderBy("check_name")
+    )
 
 
 _DATA_EXPECTATIONS_SQL = f"""

@@ -50,15 +50,17 @@ def batch_quality_metrics(batch: DataFrame) -> DataFrame:
         ("positive_close", F.col("nonpos_close").cast("double"), F.col("nonpos_close") == 0),
         ("date_format", F.col("bad_date").cast("double"), F.col("bad_date") == 0),
     ]
-    out = None
-    for name, metric, passed in checks:
-        row = one.select(
+    # explode(array(struct...)) melt — a per-check unionAll would
+    # recompute the batch aggregate once per check
+    structs = [
+        F.struct(
             F.lit(name).alias("check_name"),
             F.round(metric, 6).alias("metric"),
             passed.alias("passed"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        for name, metric, passed in checks
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
 
 
 def stream_quality_gate(

@@ -384,3 +384,41 @@ def test_spread_gate_adds_no_exchange_on_parallel_input(spark):
 
     # explicit opt-out beats the auto-probe even on a narrow input
     assert "Exchange" not in _plan(minhash_signatures(narrow, spread=False))
+
+
+def test_quantize_int8_zero_shuffle(spark):
+    """int8 quantization must plan as scan -> project: no Exchange, no
+    join, all inside whole-stage codegen (the embarrassingly-parallel
+    contract its SCALE.md entry claims)."""
+    from finance_etl_system_spark.queries.similarity import (
+        q_embedding_quantize_int8,
+    )
+
+    df = q_embedding_quantize_int8(spark, SF_SMOKE)
+    # the only permissible exchange is the final orderBy's range
+    # repartition; nothing else may shuffle
+    assert exchange_count(df) <= 1
+    assert shuffle_join_count(df) == 0
+    assert not has_cartesian_product(df)
+
+
+def test_search_phrase_row_local_until_topk(spark):
+    """Phrase counting is row-local: the plan may shuffle only for the
+    final global top-k window — no join of any kind."""
+    from finance_etl_system_spark.queries.retrieval import q_search_phrase
+
+    df = q_search_phrase(spark, SF_SMOKE)
+    assert shuffle_join_count(df) == 0
+    assert broadcast_join_count(df) == 0
+    assert not has_cartesian_product(df)
+
+
+def test_profile_single_aggregate_pass(spark):
+    """The column profiler's metrics ride ONE aggregation over orders:
+    exactly one scan of the orders file regardless of how many columns
+    are profiled."""
+    from finance_etl_system_spark.queries.expectations import q_profile_orders
+
+    df = q_profile_orders(spark, SF_SMOKE)
+    schemas = read_schemas(df)
+    assert len([s for s in schemas if "o_orderkey" in s or "o_custkey" in s]) <= 1
