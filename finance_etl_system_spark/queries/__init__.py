@@ -58,6 +58,7 @@ _MODULES: list[str] = [
     "ml",
     "expectations",
     "drift",
+    "reconcile",
 ]
 
 
