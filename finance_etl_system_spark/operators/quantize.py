@@ -63,3 +63,101 @@ def quantize_int8(
 def dequantize(codes: Column, scale: Column) -> Column:
     """Reconstruct doubles from int8 codes: q_i * scale."""
     return F.transform(codes, lambda q: q.cast("double") * scale)
+
+
+def cosine_topk_sq8(
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    *,
+    k: int = 10,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Scalar-quantized (SQ8) similarity search: int8 coarse scoring,
+    exact float rerank — the FAISS-SQ8 pattern in pure DataFrame ops.
+
+    The coarse cosine needs NO float vector data at all:
+
+        cos ≈ Σ q_i c_i / sqrt(Σ q_i² · Σ c_i²)
+
+    (the per-vector scales cancel), so the scan-side work is integer
+    multiply-adds over int8 codes — the form a columnar engine
+    vectorizes hardest, and the corpus can be stored 4× smaller with
+    the float vectors fetched only for the ≤``rerank`` survivors per
+    query. Integer dots are EXACT in any order, which is why even the
+    coarse tier oracle-checks value-identically across engines.
+
+    Plan shape: broadcast(queries) ⋈ corpus (corpus never shuffles),
+    coarse top-``rerank`` per query via window, exact cosine on
+    survivors only, top-``k``.
+    """
+    from pyspark.sql import Window
+
+    def prep(df, id_col, alias):
+        q = quantize_int8(df, vec_col, out_codes="c", out_scale="s")
+        return q.select(
+            F.col(id_col).alias(alias),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                f"{alias}_v"
+            ),
+            F.col("c").alias(f"{alias}_c"),
+            F.aggregate(
+                F.col("c"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias(f"{alias}_n2"),
+        )
+
+    qd = prep(queries, query_id, "qid")
+    cd = prep(corpus, corpus_id, "cid")
+    intdot = F.aggregate(
+        F.zip_with(F.col("qid_c"), F.col("cid_c"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    coarse_scored = cd.crossJoin(F.broadcast(qd)).select(
+        "qid",
+        "cid",
+        "qid_v",
+        "cid_v",
+        F.round(
+            intdot
+            / F.sqrt((F.col("qid_n2") * F.col("cid_n2")).cast("double")),
+            6,
+        ).alias("coarse"),
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("coarse").desc(), F.col("cid").asc()
+    )
+    survivors = coarse_scored.withColumn(
+        "crnk", F.row_number().over(wc)
+    ).filter(F.col("crnk") <= rerank)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    exact = survivors.select(
+        "qid",
+        "cid",
+        "coarse",
+        F.round(
+            dot(F.col("qid_v"), F.col("cid_v"))
+            / (
+                F.sqrt(dot(F.col("qid_v"), F.col("qid_v")))
+                * F.sqrt(dot(F.col("cid_v"), F.col("cid_v")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "cosine", "coarse")
+    )

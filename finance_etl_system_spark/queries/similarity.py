@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.quantize import dequantize, quantize_int8
+from ..operators.quantize import cosine_topk_sq8, dequantize, quantize_int8
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -193,16 +193,77 @@ FROM m ORDER BY vec_id
 """
 
 
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 search: int8-code coarse scoring (integer dot products —
+    the per-vector scales cancel out of the cosine), exact rerank of
+    the top-50 survivors. 4× smaller scan payload than float
+    brute-force with near-identical results; integer coarse math is
+    exact, so even this approximate tier is fully oracle-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_sq8(_queries_df(spark, sf_dir), e, k=_K).orderBy(
+        "qid", "rnk"
+    )
+
+
+_KNN_SQ8_SQL = f"""
+WITH prep AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           / 127 AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+           ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS c
+  FROM prep
+),
+normed AS (
+  SELECT vec_id, v, c,
+         CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+  FROM coded
+),
+q AS (SELECT vec_id AS qid, v AS qv, c AS qc, n2 AS qn2
+      FROM normed WHERE vec_id < {_N_QUERIES}),
+coarse AS (
+  SELECT qid, vec_id AS cid, qv, v AS cv,
+         ROUND(CAST(list_sum(list_transform(list_zip(qc, c), p -> p[1] * p[2]))
+                    AS DOUBLE) / sqrt(CAST(qn2 * n2 AS DOUBLE)), 6) AS coarse
+  FROM normed CROSS JOIN q
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY coarse DESC, cid ASC) AS crnk
+    FROM coarse
+  ) WHERE crnk <= 50
+),
+exact AS (
+  SELECT qid, cid, coarse,
+         ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM survivors
+)
+SELECT qid, rnk, cid, cosine, coarse FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM exact
+) WHERE rnk <= {_K}
+ORDER BY qid, rnk
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "knn_sq8": q_knn_sq8,
 }
 
 ORACLE = {
     "knn_bruteforce": _KNN_BRUTEFORCE_SQL,
     "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
     "embedding_quantize_int8": _QUANTIZE_INT8_SQL,
+    "knn_sq8": _KNN_SQ8_SQL,
 }
