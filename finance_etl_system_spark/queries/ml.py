@@ -321,9 +321,78 @@ def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "h")
 
 
+_TE_SMOOTH = 50  # pseudo-observations toward the global prior
+
+
+def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of c_mktsegment against order value —
+    the category→number feature transform every tabular model tier
+    needs (enc = (Σy + prior·m) / (n + m), shrinking rare categories
+    toward the global mean).
+
+    Determinism: target sums are integer CENTS (exact in any
+    accumulation order — the SCALE.md money policy), the smoothing is
+    one double expression over exact longs, identical on both
+    engines. Scale: orders⋈customer is the audited big-big equi join;
+    the encoding table is |categories| rows — broadcast-sized on the
+    way back to any feature matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    glob = j.agg(
+        F.sum("cents").alias("g_cents"), F.count(F.lit(1)).alias("g_n")
+    )
+    per = j.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("s_cents"), F.count(F.lit(1)).alias("n")
+    )
+    m = F.lit(_TE_SMOOTH)
+    prior = F.col("g_cents") / F.col("g_n")  # cents, double
+    enc = (F.col("s_cents") + prior * m) / (F.col("n") + m) / F.lit(100.0)
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round(F.col("s_cents") / F.col("n") / 100.0, 4).alias(
+                "raw_mean"
+            ),
+            F.round(enc, 4).alias("encoded"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ML_TARGET_ENCODE_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+gtot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS g_cents, COUNT(*) AS g_n FROM j
+),
+per AS (
+  SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS s_cents, COUNT(*) AS n
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       ROUND(s_cents / CAST(n AS DOUBLE) / 100.0, 4) AS raw_mean,
+       ROUND((s_cents + (g_cents / CAST(g_n AS DOUBLE)) * {_TE_SMOOTH})
+             / (n + {_TE_SMOOTH}) / 100.0, 4) AS encoded
+FROM per CROSS JOIN gtot
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "ml_chrono_split": q_ml_chrono_split,
     "ml_forecast_holt": q_ml_forecast_holt,
+    "ml_target_encode": q_ml_target_encode,
     "ml_standardize": q_ml_standardize,
     "ml_linreg_monitoring": q_ml_linreg_monitoring,
     "ml_train_ols_pandas": q_ml_train_ols_pandas,
@@ -333,6 +402,7 @@ QUERIES = {
 
 ORACLE = {
     "ml_chrono_split": _ML_CHRONO_SPLIT_SQL,
+    "ml_target_encode": _ML_TARGET_ENCODE_SQL,
     "ml_standardize": _ML_STANDARDIZE_SQL,
     "ml_linreg_monitoring": _ML_LINREG_MONITORING_SQL,
 }
