@@ -73,6 +73,11 @@ HEADLINE: list[str] = [
     "data_expectations",
     "kmeans_embeddings",
     "ml_forecast_holt",
+    "search_phrase",
+    "knn_sq8",
+    "drift_psi",
+    "snapshot_diff",
+    "weighted_sample",
 ]
 
 
