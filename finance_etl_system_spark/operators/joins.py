@@ -37,9 +37,11 @@ def asof_join(
     """Backward as-of join: for each left row, the most recent right row
     with ``right.on <= left.on`` (``<`` when ``strict``), per ``by`` keys.
     With ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``
-    parity), a match older than the tolerance is nulled out — the
-    carried right timestamp rides the same LOCF window, so the bound
-    costs one extra carried column, not a second join.
+    parity), a carried value older than the tolerance is nulled out —
+    each value column carries its own observation timestamp through
+    the same LOCF window (one extra column per value, not a second
+    join), so staleness is judged against the row that actually
+    provided the value under the skip-null LOCF semantics.
 
     Implemented as union + last-observation-carried-forward window:
 
@@ -78,10 +80,18 @@ def asof_join(
         .withColumn("__is_right", F.lit(1))
     )
     if tolerance_seconds is not None:
-        # the right timestamp is carried forward exactly like a value
-        # column, so the tolerance check is row-local after the window
-        r = r.withColumn("__right_on", F.col(on))
-        out_cols = out_cols + ["__right_on"]
+        # ONE carried observation timestamp PER value column, nulled
+        # wherever that value column is null — so each value's
+        # staleness is judged against the row that actually PROVIDED
+        # it under the LOCF skip-null semantics (a single shared
+        # timestamp would take its age from a newer NULL-valued right
+        # row and pass a beyond-tolerance value off as fresh)
+        for oc in list(out_cols):
+            r = r.withColumn(
+                f"__ron_{oc}",
+                F.when(F.col(oc).isNotNull(), F.col(on)),
+            )
+        out_cols = out_cols + [f"__ron_{oc}" for oc in out_cols]
     l = left.select(
         *left.columns, F.lit(0).alias("__is_right")
     )
@@ -119,26 +129,26 @@ def asof_join(
         *[F.col(f"__filled_{oc}").alias(oc) for oc in out_cols],
     )
     if tolerance_seconds is not None:
-        out_cols = [oc for oc in out_cols if oc != "__right_on"]
+        out_cols = [oc for oc in out_cols if not oc.startswith("__ron_")]
         from pyspark.sql.types import TimestampType
 
-        if isinstance(result.schema[on].dataType, TimestampType):
-            # integer-microsecond arithmetic: exact, and identical to
-            # the DuckDB oracle's epoch_us() diff (no double rounding
-            # at the tolerance boundary)
-            delta = F.unix_micros(F.col(on)) - F.unix_micros(
-                F.col("__right_on")
-            )
-            stale = delta > F.lit(int(tolerance_seconds * 1_000_000))
-        else:
-            stale = (
-                F.col(on).cast("double") - F.col("__right_on").cast("double")
-            ) > F.lit(float(tolerance_seconds))
+        is_ts = isinstance(result.schema[on].dataType, TimestampType)
         for oc in out_cols:
+            ron = F.col(f"__ron_{oc}")
+            if is_ts:
+                # integer-microsecond arithmetic: exact, and identical
+                # to the DuckDB oracle's epoch_us() diff (no double
+                # rounding at the tolerance boundary)
+                stale = (F.unix_micros(F.col(on)) - F.unix_micros(ron)) > F.lit(
+                    int(tolerance_seconds * 1_000_000)
+                )
+            else:
+                stale = (F.col(on).cast("double") - ron.cast("double")) > F.lit(
+                    float(tolerance_seconds)
+                )
             result = result.withColumn(
                 oc, F.when(stale, F.lit(None)).otherwise(F.col(oc))
-            )
-        result = result.drop("__right_on")
+            ).drop(f"__ron_{oc}")
     return result
 
 

@@ -31,6 +31,17 @@ def spread_for_expansion(
     ``spread=True`` forces the reshuffle; ``spread=False`` forbids it
     (the explicit escape hatches for callers that know their layout).
 
+    Trade-off note: when the spread fires, its Exchange doubles as a
+    materialization point — multi-consumer downstreams (e.g. a
+    shingle frame feeding both a sizes branch and a postings explode)
+    reuse it instead of re-deriving the expansion per branch. When an
+    already-parallel input passes through untouched, those branches
+    recompute from the scan (bounded constant-factor CPU, streaming-
+    safe). The alternative — localCheckpoint/cache of the expansion —
+    pins corpus-sized state in executor storage, which at 100 TB is a
+    worse failure mode than re-scanning; callers that want it anyway
+    can checkpoint the returned frame themselves.
+
     The auto-probe reads the physical partition count off the plan
     (``df.rdd.getNumPartitions()``) — plan conversion only, no job.
     """

@@ -32,7 +32,11 @@ Q_MAX = 127
 
 
 def _as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    # kept as a local alias; the canonical fold helpers (_dot/_norm)
+    # live in operators/similarity.py and cosine_topk_sq8 imports them
+    from .similarity import _as_double as impl
+
+    return impl(col)
 
 
 def quantize_int8(
@@ -95,19 +99,21 @@ def cosine_topk_sq8(
     """
     from pyspark.sql import Window
 
+    from .similarity import _as_double, _dot, _norm
+
     def prep(df, id_col, alias):
         q = quantize_int8(df, vec_col, out_codes="c", out_scale="s")
         return q.select(
             F.col(id_col).alias(alias),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                f"{alias}_v"
-            ),
             F.col("c").alias(f"{alias}_c"),
             F.aggregate(
                 F.col("c"), F.lit(0).cast("long"), lambda a, x: a + x * x
             ).alias(f"{alias}_n2"),
         )
 
+    # the coarse pass touches ONLY codes + norms — no float vectors
+    # on the corpus scan or through the top-rerank window (that 4×
+    # payload cut is the operator's whole point)
     qd = prep(queries, query_id, "qid")
     cd = prep(corpus, corpus_id, "cid")
     intdot = F.aggregate(
@@ -118,8 +124,6 @@ def cosine_topk_sq8(
     coarse_scored = cd.crossJoin(F.broadcast(qd)).select(
         "qid",
         "cid",
-        "qid_v",
-        "cid_v",
         F.round(
             intdot
             / F.sqrt((F.col("qid_n2") * F.col("cid_n2")).cast("double")),
@@ -129,29 +133,35 @@ def cosine_topk_sq8(
     wc = Window.partitionBy("qid").orderBy(
         F.col("coarse").desc(), F.col("cid").asc()
     )
-    survivors = coarse_scored.withColumn(
-        "crnk", F.row_number().over(wc)
-    ).filter(F.col("crnk") <= rerank)
+    survivors = (
+        coarse_scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= rerank)
+        .select("qid", "cid", "coarse")
+    )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    # float vectors fetched ONLY for the ≤ n_queries×rerank survivors:
+    # broadcast the survivor id set into the corpus scan (a
+    # semi-join-shaped broadcast hash join — the corpus still never
+    # shuffles), queries re-broadcast by qid
+    qv = queries.select(
+        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        cv.join(F.broadcast(survivors), "cid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            "coarse",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
         )
-
-    exact = survivors.select(
-        "qid",
-        "cid",
-        "coarse",
-        F.round(
-            dot(F.col("qid_v"), F.col("cid_v"))
-            / (
-                F.sqrt(dot(F.col("qid_v"), F.col("qid_v")))
-                * F.sqrt(dot(F.col("cid_v"), F.col("cid_v")))
-            ),
-            6,
-        ).alias("cosine"),
     )
     we = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("cid").asc()

@@ -70,9 +70,24 @@ def holt_forecast(
     regardless of partitioning; (group, time) uniqueness is the
     SCALE.md fixture invariant that pins the fold order.
     """
-    schema = (
-        f"{group_col} long, h int, forecast double, "
-        "level double, trend double"
+    from pyspark.sql.types import (
+        IntegerType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    # the group column keeps its incoming type (symbols are usually
+    # strings; the fixture key is a long) — hardcoding would break
+    # any non-long key at the Arrow boundary
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("h", IntegerType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
     )
     hs = np.arange(1, horizon + 1)
 

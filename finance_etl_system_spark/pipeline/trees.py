@@ -285,18 +285,26 @@ def score_from_blob(
     models: DataFrame,
     *,
     group_col: str,
-    feature_cols: list[str],
+    feature_cols: list[str] | None = None,
     prediction_col: str = "prediction",
 ) -> DataFrame:
     """M8 scoring straight from registry blobs: the model table is
     dim-sized (one row per group — the same driver budget as k-means
     centroids), broadcast to executors, and each group's frame is
     scored in one Arrow batch. Rows whose group has no model are
-    dropped (inner-join semantics, matching score_ols)."""
+    dropped (inner-join semantics, matching score_ols).
+
+    The feature matrix is built from the ``feature_cols`` serialized
+    INSIDE each blob (that is why blob_dumps stores them) — the
+    training-time column ORDER drives the tree split indices, so a
+    caller-supplied order must not silently reorder the matrix. The
+    ``feature_cols`` parameter, when given, is only validated against
+    the blob's list (set equality) to fail loudly on a schema drift.
+    """
     rows = models.select("group_key", "model_blob").collect()
     blobs = {r["group_key"]: bytes(r["model_blob"]) for r in rows}
     bc = df.sparkSession.sparkContext.broadcast(blobs)
-    fcols = list(feature_cols)
+    expect = set(feature_cols) if feature_cols is not None else None
     schema = T.StructType(
         df.schema.fields + [T.StructField(prediction_col, T.DoubleType())]
     )
@@ -307,6 +315,12 @@ def score_from_blob(
         if blob is None:
             return pdf.iloc[0:0].assign(**{prediction_col: np.float64()})
         model = blob_loads(blob)
+        fcols = list(model["feature_cols"])
+        if expect is not None and set(fcols) != expect:
+            raise ValueError(
+                f"model for {key!r} was trained on {fcols}, "
+                f"caller expected {sorted(expect)}"
+            )
         X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
         ok = ~np.isnan(X).any(axis=1)
         pred = np.full(len(pdf), np.nan)

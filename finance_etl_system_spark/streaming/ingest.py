@@ -62,6 +62,50 @@ def parse_kafka_records(df: DataFrame) -> DataFrame:
     )
 
 
+def write_keyed_overwrite(batch_df: DataFrame, out_dir: str) -> None:
+    """The shared effectively-once batch sink: deterministic
+    one-row-per-(symbol, date) pick + dynamic-partition overwrite.
+
+    ``dropDuplicates`` keeps an ARBITRARY row, so a replayed batch
+    could rewrite a key partition with different content and the sink
+    would not converge; instead the surviving record is
+    ``max(struct(content...))`` — the lexicographically largest
+    content tuple, a pure function of the batch's rows, identical on
+    every replay regardless of partitioning. ``consumed_at``
+    (processing time) is excluded from the pick and re-aggregated
+    separately, since it legitimately differs across replays.
+
+    Partition grain = the record key, so overwrite IS upsert. For
+    daily bars that is one file per symbol-day — the natural layout;
+    for tick-grain keys use the append log + compaction path instead
+    (a per-row partition would be a small-files blowup; SCALE.md).
+    """
+    batch_df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    pick_latest_per_key(batch_df).write.mode("overwrite").partitionBy(
+        "symbol", "date"
+    ).parquet(out_dir)
+
+
+def pick_latest_per_key(batch_df: DataFrame) -> DataFrame:
+    """Deterministic one-row-per-(symbol, date): max(struct(content))
+    — see :func:`write_keyed_overwrite`."""
+    batch = batch_df.withColumn("symbol", F.upper("ticker"))
+    audit = [c for c in ("consumed_at",) if c in batch.columns]
+    content = [
+        c for c in batch.columns if c not in ("symbol", "date", *audit)
+    ]
+    return (
+        batch.groupBy("symbol", "date")
+        .agg(
+            F.max(F.struct(*content)).alias("r"),
+            *[F.max(c).alias(c) for c in audit],
+        )
+        .select("symbol", "date", "r.*", *audit)
+    )
+
+
 def stream_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -91,16 +135,7 @@ def stream_ingest(
     parsed = parse_kafka_records(raw)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            batch_df.withColumn("symbol", F.upper("ticker"))
-            .dropDuplicates(["symbol", "date"])
-            .write.mode("overwrite")
-            .partitionBy("symbol", "date")
-            .parquet(out_dir)
-        )
+        write_keyed_overwrite(batch_df, out_dir)
 
     writer = (
         parsed.writeStream.foreachBatch(write_batch)
@@ -146,16 +181,7 @@ def stream_ingest_kafka(
     parsed = parse_kafka_records(raw)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            batch_df.withColumn("symbol", F.upper("ticker"))
-            .dropDuplicates(["symbol", "date"])
-            .write.mode("overwrite")
-            .partitionBy("symbol", "date")
-            .parquet(out_dir)
-        )
+        write_keyed_overwrite(batch_df, out_dir)
 
     writer = (
         parsed.writeStream.foreachBatch(write_batch)
@@ -260,11 +286,9 @@ def stream_ingest_dual_sink(
     parsed = parse_kafka_records(raw)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = (
-            batch_df.withColumn("symbol", F.upper("ticker"))
-            .dropDuplicates(["symbol", "date"])
-            .persist()
-        )
+        # deterministic per-key pick (NOT dropDuplicates, which keeps
+        # an arbitrary row and would diverge on replay)
+        batch = pick_latest_per_key(batch_df).persist()
         try:
             (
                 batch.write.mode("append")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ingest import parse_kafka_records
+from .ingest import parse_kafka_records, write_keyed_overwrite
 
 
 def batch_quality_metrics(batch: DataFrame) -> DataFrame:
@@ -100,15 +100,7 @@ def stream_quality_gate(
                 .parquet(verdict_dir)
             )
             if all(r.passed for r in rows):
-                batch.sparkSession.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                (
-                    batch.dropDuplicates(["symbol", "date"])
-                    .write.mode("overwrite")
-                    .partitionBy("symbol", "date")
-                    .parquet(clean_dir)
-                )
+                write_keyed_overwrite(batch, clean_dir)
             else:
                 batch.write.mode("append").parquet(quarantine_dir)
         finally:

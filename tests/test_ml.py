@@ -310,3 +310,38 @@ def test_holt_forecast_matches_pure_python(spark):
     for a, b in zip(rows, rows[1:]):
         if a.user_id == b.user_id:
             assert np.isclose(b.forecast - a.forecast, a.trend)
+
+
+def test_holt_forecast_carry_across_arrow_batches(spark):
+    """Force tiny Arrow batches so series SPLIT across mapInPandas
+    batches — the carry buffer must stitch them back to the same
+    result as one-batch execution."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.pipeline.forecast import (
+        holt_forecast,
+        holt_numpy,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # events per user >> 7 -> guaranteed splits
+    try:
+        out = holt_forecast(
+            e, group_col="user_id", time_col="ts", value_col="value"
+        ).collect()
+    finally:
+        spark.conf.set(key, old)
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.dropna(subset=["value"]).sort_values("ts")
+    want = {
+        uid: holt_numpy(g["value"].to_numpy(dtype=np.float64), 0.5, 0.3)
+        for uid, g in pdf.groupby("user_id")
+    }
+    assert {r.user_id for r in out} == set(want)
+    for r in out:
+        level, trend = want[r.user_id]
+        assert r.level == level and r.trend == trend

@@ -199,3 +199,25 @@ def test_asof_join_tolerance_matches_bruteforce(spark, left_ts, right_ts, tol):
         if eligible and t - max(eligible) <= tol:
             expect = right_vals[max(eligible)]
         assert got.get(i) == expect, (t, tol, sorted(right_vals), got.get(i), expect)
+
+
+def test_asof_tolerance_judges_age_of_carried_value(spark):
+    """A newer NULL-valued right row must NOT refresh the staleness
+    clock: the tolerance applies to the row that PROVIDED the carried
+    value (LOCF skip-null semantics)."""
+    left = spark.createDataFrame(
+        [("k", 40, 0), ("k", 110, 1)], "k STRING, ts LONG, rid LONG"
+    )
+    right = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 100, None)], "k STRING, ts LONG, v DOUBLE"
+    )
+    got = {
+        r["rid"]: r["v"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_values=["v"], suffix="",
+            tolerance_seconds=50,
+        ).collect()
+    }
+    assert got[0] == 1.0   # v observed at t=0, age 40 <= 50
+    assert got[1] is None  # v still from t=0, age 110 > 50 (the newer
+    #                        NULL row at t=100 must not mask staleness)

@@ -534,3 +534,30 @@ def test_stream_quality_gate_publishes_and_quarantines(spark, tmp_path):
     v2 = spark.read.parquet(verd)
     failed = {r.check_name for r in v2.filter("NOT passed").collect()}
     assert "positive_close" in failed
+
+
+@pytest.mark.timeout(300)
+def test_keyed_sink_deterministic_under_conflicting_duplicates(spark, tmp_path):
+    """Two messages for the same (symbol, date) in one batch: the
+    survivor must be a deterministic function of content (max struct),
+    not dropDuplicates' arbitrary pick — two independent runs over the
+    same source must write identical content."""
+    from finance_etl_system_spark.streaming.ingest import stream_ingest
+
+    src = tmp_path / "src"
+    rows = _rows("AAPL", ["2024-01-02"], price=100.0) + _rows(
+        "AAPL", ["2024-01-02"], price=300.0
+    )
+    _write_messages(src, rows)
+
+    outs = []
+    for run in ("a", "b"):
+        out, ckpt = str(tmp_path / f"out_{run}"), str(tmp_path / f"ckpt_{run}")
+        q = stream_ingest(spark, str(src), out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        outs.append((got[0].open, got[0].close))
+    assert outs[0] == outs[1]
+    # max(struct(content)) with equal leading fields -> larger open wins
+    assert outs[0][0] == 300.0
