@@ -59,6 +59,7 @@ _MODULES: list[str] = [
     "expectations",
     "drift",
     "reconcile",
+    "governance",
 ]
 
 
