@@ -321,6 +321,63 @@ def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "h")
 
 
+def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving path (SURVEY §3.3, GET /predict/{symbol}:
+    fetch latest indicators → fetch model → predict next value) as ONE
+    driver-checked batch query: latest observation per user joined to
+    the closed-form per-user model, prediction = slope·latest + b.
+
+    Composition of two audited shapes — argmax-per-group (one window)
+    and the one-pass covariance aggregate — joined on the group key;
+    the model table is group-sized (broadcastable). Slope/intercept
+    are the 6dp-rounded outputs of q_ml_linreg_monitoring, so the
+    prediction arithmetic starts from engine-identical inputs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.round("value", 2).alias("latest_value"))
+    )
+    models = q_ml_linreg_monitoring(spark, sf_dir).select(
+        "user_id", "slope", "intercept", "alert_low_r2"
+    )
+    return (
+        latest.join(models, "user_id")
+        .select(
+            "user_id",
+            "latest_value",
+            "slope",
+            F.round(
+                F.col("slope") * F.col("latest_value") + F.col("intercept"), 4
+            ).alias("prediction"),
+            "alert_low_r2",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _serve_latest_sql() -> str:
+    return f"""
+WITH latest AS (
+  SELECT user_id, ROUND(value, 2) AS latest_value FROM (
+    SELECT user_id, value, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL
+  ) WHERE rn = 1
+),
+lin AS (SELECT * FROM ({_ML_LINREG_MONITORING_SQL}))
+SELECT l.user_id, latest_value, slope,
+       ROUND(slope * latest_value + intercept, 4) AS prediction,
+       alert_low_r2
+FROM latest l JOIN lin ON l.user_id = lin.user_id
+ORDER BY l.user_id
+"""
+
+
 _TE_SMOOTH = 50  # pseudo-observations toward the global prior
 
 
@@ -393,6 +450,7 @@ QUERIES = {
     "ml_chrono_split": q_ml_chrono_split,
     "ml_forecast_holt": q_ml_forecast_holt,
     "ml_target_encode": q_ml_target_encode,
+    "serve_latest_prediction": q_serve_latest_prediction,
     "ml_standardize": q_ml_standardize,
     "ml_linreg_monitoring": q_ml_linreg_monitoring,
     "ml_train_ols_pandas": q_ml_train_ols_pandas,
@@ -403,6 +461,7 @@ QUERIES = {
 ORACLE = {
     "ml_chrono_split": _ML_CHRONO_SPLIT_SQL,
     "ml_target_encode": _ML_TARGET_ENCODE_SQL,
+    "serve_latest_prediction": _serve_latest_sql(),
     "ml_standardize": _ML_STANDARDIZE_SQL,
     "ml_linreg_monitoring": _ML_LINREG_MONITORING_SQL,
 }
