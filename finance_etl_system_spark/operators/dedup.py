@@ -177,6 +177,127 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame, bands: int, rpb: int) -> DataFrame:
+    """(id, band, band-hash) rows: one xxhash64 per band slice."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rpb + j] for j in range(rpb)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _est_jaccard(num_perm: int):
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_perm),
+        6,
+    )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    history_sig: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: float = 0.5,
+    spread: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-increment near-dup dedup — the production pattern: only
+    the NEW batch is shingled and signatured; the corpus participates
+    solely through its stored (id, sig) table. History is never
+    re-signatured and never pairs against itself, so the per-batch
+    cost is O(|batch| + band-collisions), independent of corpus size.
+
+    Candidates = new×history band join ∪ new×new band join (earlier
+    id canonical), verified by estimated Jaccard on the signatures.
+
+    Returns ``(verdicts, updated_sigs)``: one row per duplicate new
+    doc (id, dup_of, est_jaccard — best match, deterministic
+    tiebreak), and the signature table grown by the SURVIVING new
+    docs (the state to carry into the next batch).
+    """
+    from pyspark.sql import Window
+
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    new_sig = minhash_signatures(
+        new_df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_perm=num_perm,
+        seed=seed,
+        spread=spread,
+    ).localCheckpoint(eager=False)
+
+    nb = _band_rows(new_sig, bands, rpb)
+    hb = _band_rows(history_sig, bands, rpb)
+    cand_hist = (
+        nb.alias("n")
+        .join(hb.alias("h"), ["band", "bh"])
+        .select(F.col("n.id").alias("id"), F.col("h.id").alias("dup_of"))
+    )
+    cand_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") > F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("dup_of"))
+    )
+    cands = cand_hist.unionByName(cand_new).dropDuplicates(["id", "dup_of"])
+
+    all_sig = history_sig.unionByName(new_sig)
+    verified = (
+        cands.join(
+            new_sig.select(
+                F.col("id"), F.col("sig").alias("sig_a")
+            ),
+            "id",
+        )
+        .join(
+            all_sig.select(
+                F.col("id").alias("dup_of"), F.col("sig").alias("sig_b")
+            ),
+            "dup_of",
+        )
+        .withColumn("est_jaccard", _est_jaccard(num_perm))
+        .filter(F.col("est_jaccard") >= verify_threshold)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("est_jaccard").desc(), F.col("dup_of").asc()
+    )
+    verdicts = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "dup_of", "est_jaccard")
+    )
+    survivors = new_sig.join(
+        verdicts.select("id"), "id", "left_anti"
+    )
+    updated = history_sig.unionByName(survivors)
+    return verdicts, updated
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -212,22 +333,7 @@ def minhash_lsh_pairs(
     # candidate pairs travel as bare (id, id) — signatures re-join
     # later from the (small) sig table, keeping the band-join shuffle
     # narrow. Band key = one xxhash64 over the band's slice.
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[bi * rpb + j] for j in range(rpb)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    band_rows = _band_rows(sig, bands, rpb)
 
     cands = (
         band_rows.alias("a")
@@ -238,16 +344,7 @@ def minhash_lsh_pairs(
     )
     sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(num_perm),
-        6,
-    )
+    est = _est_jaccard(num_perm)
     return (
         cands.join(sig_a, "id_a")
         .join(sig_b, "id_b")

@@ -15,7 +15,9 @@ from ..catalog import load_table
 from ..operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
+    minhash_dedup_incremental,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -303,8 +305,26 @@ ORDER BY split_side
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental tier: the daily-batch dedup pattern — docs with
+    doc_id < median form the stored corpus (signature table only; the
+    history text is never re-read), the rest arrive as the new batch
+    and are flagged against history + each other. Rows-only driver
+    check (stateful two-frame operator); cross-batch semantics pinned
+    in tests/test_dedup.py::test_incremental_minhash_dedup_across_batches."""
+    d = load_table(spark, sf_dir, "documents")
+    half = 250  # doc_id < 250 exists at every sf (sf0.001 has 500 docs)
+    history = minhash_signatures(
+        d.filter(F.col("doc_id") < half)
+    ).localCheckpoint(eager=False)
+    batch = d.filter(F.col("doc_id") >= half)
+    verdicts, _updated = minhash_dedup_incremental(batch, history)
+    return verdicts.orderBy("id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_safe_split": q_dedup_safe_split,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -124,3 +124,57 @@ def test_embedding_cosine_lsh_subset_and_recall(spark):
     }
     assert lsh <= exact  # banding only prunes; the verify is exact
     assert exact and len(lsh) / len(exact) >= 0.85  # measured 0.94 w/ seed 7
+
+
+def test_incremental_minhash_dedup_across_batches(spark):
+    """Daily-increment pattern: batch 2 is checked against batch 1's
+    STORED signatures only — near-dups of history are flagged with
+    history as canonical, intra-batch dups resolve to the earlier id,
+    fresh docs survive into the updated signature table."""
+    from finance_etl_system_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    fresh = (
+        "completely unrelated text about spark shuffle partitions "
+        "and adaptive query execution planning at massive scale"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, fresh)], "doc_id LONG, text STRING"
+    )
+    history = minhash_signatures(b1).localCheckpoint()
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " extra"),      # near-dup of history doc 1
+            (11, "novel document on watermarking late event streams "
+                 "with bounded state and exactly once sinks"),
+            (12, "novel document on watermarking late event streams "
+                 "with bounded state and exactly once sinks padded"),
+                                        # near-dup of 11 (intra-batch)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    verdicts, updated = minhash_dedup_incremental(
+        b2, history, verify_threshold=0.5
+    )
+    got = {r.id: r.dup_of for r in verdicts.collect()}
+    assert got[10] == 1       # history canonical
+    assert got[12] == 11      # earlier intra-batch id canonical
+    assert 11 not in got      # fresh doc not flagged
+
+    surviving = {r.id for r in updated.collect()}
+    assert surviving == {1, 2, 11}
+    # second application with the updated state flags a re-send of 11
+    b3 = spark.createDataFrame(
+        [(20, "novel document on watermarking late event streams "
+              "with bounded state and exactly once sinks")],
+        "doc_id LONG, text STRING",
+    )
+    v3, _ = minhash_dedup_incremental(b3, updated.localCheckpoint())
+    assert {r.id: r.dup_of for r in v3.collect()} == {20: 11}
