@@ -415,9 +415,67 @@ SELECT * FROM (
 """
 
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step: corpus-weighted adjacent character
+    pair counts, top-20 — the inner statistic of tokenizer vocabulary
+    induction (each BPE iteration merges the top pair and recounts;
+    the recount is THIS query over the updated symbol sequences).
+
+    Scale shape: pair counting runs over the WORD-FREQUENCY table,
+    not the token stream — |vocab| rows instead of corpus tokens (the
+    standard BPE trick), then one map-combinable pair aggregate.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("term")
+    )
+    wf = (
+        toks.filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        "term",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+    ).select(
+        F.col("term").substr(F.col("i"), F.lit(2)).alias("pair"), "freq"
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "pair", "total")
+    )
+
+
+_BPE_MERGE_PAIRS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+wf AS (SELECT term, COUNT(*) AS freq FROM toks WHERE length(term) >= 2 GROUP BY term),
+chars AS (SELECT term, freq, string_split(term, '') AS cs FROM wf),
+pairs AS (
+  SELECT unnest(list_transform(cs[1:len(cs)-1], (c, i) -> c || cs[i+1])) AS pair,
+         freq
+  FROM chars
+),
+agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS total FROM pairs GROUP BY pair)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY total DESC, pair ASC) AS rnk, pair, total
+  FROM agg
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "unigram_surprisal": q_unigram_surprisal,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
@@ -430,6 +488,7 @@ QUERIES = {
 ORACLE = {
     "fuzzy_match": _FUZZY_MATCH_SQL,
     "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+    "bpe_merge_pairs": _BPE_MERGE_PAIRS_SQL,
     "binary_manifest": _BINARY_MANIFEST_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_quality_lang": _TEXT_QUALITY_LANG_SQL,
