@@ -257,6 +257,94 @@ def best_model_per_group(models: DataFrame) -> DataFrame:
     ).drop("rn")
 
 
+def unify_registries(
+    linear_models: DataFrame, blob_models: DataFrame
+) -> DataFrame:
+    """Union the coefficient registry (train_ols/train_ridge output)
+    and the blob registry (pipeline/trees.py train_gbt output) into ONE
+    schema with nullable family-specific columns — the reference keeps
+    RF/LightGBM/LinearRegression rows in one Mongo collection and
+    get_best_model spans all families (ml-service/ml_pipeline.py:279-301).
+
+    Shared columns: group_key, model_name, n_rows, r2, mse. Linear rows
+    carry (coefficients, intercept) with a NULL model_blob; tree rows
+    carry model_blob with NULL coefficients. best_model_per_group works
+    unchanged on the union, so "best of ANY family per symbol" is one
+    call."""
+    lin = linear_models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "r2",
+        "mse",
+        "coefficients",
+        "intercept",
+        F.lit(None).cast(T.BinaryType()).alias("model_blob"),
+    )
+    blob = blob_models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "r2",
+        "mse",
+        F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("coefficients"),
+        F.lit(None).cast(T.DoubleType()).alias("intercept"),
+        "model_blob",
+    )
+    return lin.unionByName(blob)
+
+
+def serve_best_model(
+    df: DataFrame,
+    registry: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    prediction_col: str = "prediction",
+    blob_strategy: str = "auto",
+) -> DataFrame:
+    """Best-of-ANY-family serving over a unified registry: per group,
+    the highest-r2 model wins regardless of family (reference
+    get_best_model, ml-service/ml_pipeline.py:279-301), and each row is
+    scored by the winner — linear winners as pure column arithmetic
+    (score_ols), tree winners by deserializing the blob worker-side
+    (score_from_blob). Output carries ``model_name`` so callers see
+    which family served each group.
+
+    Scale shape: the argmax is one window over the group-sized
+    registry; the two family branches score disjoint group sets, so the
+    union does no duplicate work. The winner table joined back for
+    model_name is group-sized (broadcast)."""
+    from .trees import score_from_blob
+
+    best = best_model_per_group(registry)
+    lin = best.filter(F.col("model_blob").isNull()).select(
+        "group_key", "coefficients", "intercept"
+    )
+    blob = best.filter(F.col("model_blob").isNotNull()).select(
+        "group_key", "model_blob"
+    )
+    lin_scored = score_ols(
+        df,
+        lin,
+        group_col=group_col,
+        feature_cols=feature_cols,
+        prediction_col=prediction_col,
+    )
+    blob_scored = score_from_blob(
+        df,
+        blob,
+        group_col=group_col,
+        feature_cols=feature_cols,
+        prediction_col=prediction_col,
+        strategy=blob_strategy,
+    )
+    names = best.select(F.col("group_key").alias(group_col), "model_name")
+    return lin_scored.unionByName(blob_scored).join(
+        F.broadcast(names), group_col, "left"
+    )
+
+
 def monitoring_rules(
     models: DataFrame,
     *,

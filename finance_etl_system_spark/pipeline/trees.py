@@ -280,6 +280,122 @@ def train_gbt_per_group(
     return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_SCHEMA)
 
 
+_GBT_GRID_SCHEMA = T.StructType(
+    _GBT_SCHEMA.fields
+    + [
+        T.StructField("best_depth", T.IntegerType()),
+        T.StructField("best_lr", T.DoubleType()),
+        T.StructField("cv_mse", T.DoubleType()),
+    ]
+)
+
+# (max_depth, n_trees, learning_rate) candidates — the reference's
+# RF/LGBM param_grid shape (ml-service/ml_pipeline.py:90-104)
+_DEFAULT_GBT_GRID: tuple[tuple[int, int, float], ...] = (
+    (2, 10, 0.1),
+    (3, 25, 0.1),
+    (3, 25, 0.3),
+)
+
+
+def train_gbt_grid_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    time_col: str,
+    grid: tuple[tuple[int, int, float], ...] = _DEFAULT_GBT_GRID,
+    n_folds: int = 3,
+    min_leaf: int = 5,
+    n_bins: int = 16,
+    min_rows: int = 40,
+) -> DataFrame:
+    """M6 grid-search parity for the tree tier: per-group histogram-GBT
+    with (depth, trees, lr) chosen by expanding-window chronological CV
+    — the reference's GridSearchCV(cv=TimeSeriesSplit(3)) over the
+    RF/LightGBM grids (ml-service/ml_pipeline.py:90-104,182-192).
+
+    Each fold trains on rows up to a chronological cut and validates on
+    the next slice; the combo minimizing mean validation MSE (ties
+    break toward the earliest grid entry) is refit on the full group.
+
+    Scale shape: identical to train_gbt_per_group — ONE shuffle on
+    ``group_col``; the folds × |grid| fits all run inside the worker on
+    the group's frame, so hyperparameter search adds zero extra Spark
+    stages. Fully deterministic (no subsampling, fixed tie-breaks), so
+    metrics reproduce bit-identically across runs.
+    """
+    fcols = list(feature_cols)
+    combos = tuple((int(d), int(t), float(lr)) for d, t, lr in grid)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col]).sort_values(time_col)
+        n = len(pdf)
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _GBT_GRID_SCHEMA.fields])
+        key = str(pdf[group_col].iloc[0])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
+        y = pdf[target_col].to_numpy(float)
+        cuts = [int(n * (i + 1) / (n_folds + 1)) for i in range(n_folds + 1)]
+        cv: list[list[float]] = [[] for _ in combos]
+        for i in range(n_folds):
+            lo, hi = cuts[i], cuts[i + 1]
+            if lo < 2 * min_leaf or lo == hi:
+                continue
+            for ci, (depth, trees, lr) in enumerate(combos):
+                m = gbt_fit(
+                    X[:lo],
+                    y[:lo],
+                    n_trees=trees,
+                    learning_rate=lr,
+                    max_depth=depth,
+                    min_leaf=min_leaf,
+                    n_bins=n_bins,
+                )
+                resid = y[lo:hi] - gbt_predict(m, X[lo:hi])
+                cv[ci].append(float((resid**2).mean()))
+        mean_cv = [
+            (sum(v) / len(v)) if v else float("inf") for v in cv
+        ]
+        best_i = min(range(len(combos)), key=lambda i: (mean_cv[i], i))
+        depth, trees, lr = combos[best_i]
+        model = gbt_fit(
+            X,
+            y,
+            n_trees=trees,
+            learning_rate=lr,
+            max_depth=depth,
+            min_leaf=min_leaf,
+            n_bins=n_bins,
+        )
+        pred = gbt_predict(model, X)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": ["gbt_histogram_grid"],
+                "n_rows": [n],
+                "n_trees": [trees],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+                "model_blob": [blob_dumps(model, fcols)],
+                "best_depth": [depth],
+                "best_lr": [lr],
+                "cv_mse": [mean_cv[best_i]],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_GRID_SCHEMA)
+
+
+# above this many model groups the broadcast-dict strategy risks a
+# driver OOM (millions of groups × ~50 KB blobs) — auto switches to
+# the cogrouped shuffle join, which never materializes models driver-side
+_BROADCAST_GROUP_CEILING = 100_000
+
+
 def score_from_blob(
     df: DataFrame,
     models: DataFrame,
@@ -287,12 +403,26 @@ def score_from_blob(
     group_col: str,
     feature_cols: list[str] | None = None,
     prediction_col: str = "prediction",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """M8 scoring straight from registry blobs: the model table is
-    dim-sized (one row per group — the same driver budget as k-means
-    centroids), broadcast to executors, and each group's frame is
-    scored in one Arrow batch. Rows whose group has no model are
-    dropped (inner-join semantics, matching score_ols).
+    """M8 scoring straight from registry blobs. Rows whose group has no
+    model are dropped (inner-join semantics, matching score_ols).
+
+    Two physical strategies, same semantics:
+
+    - ``broadcast``: collect the model table into a driver dict and
+      broadcast it. Right when |groups| is dim-sized (one row per
+      symbol — the same driver budget as the k-means centroid matrix).
+    - ``cogroup``: ``df.groupBy(key).cogroup(models.groupBy(key))`` —
+      each group's rows and its (single) model row meet in the SAME
+      Arrow pass on the executor; the blob deserializes worker-side and
+      NOTHING model-sized ever touches the driver. Right at millions of
+      groups, where the broadcast dict would OOM the driver. Costs one
+      extra shuffle of the (group-sized) model table — negligible next
+      to the data shuffle both strategies pay.
+    - ``auto`` (default): count the model table (cheap — it is the
+      small side by construction) and pick cogroup above
+      ``_BROADCAST_GROUP_CEILING`` groups.
 
     The feature matrix is built from the ``feature_cols`` serialized
     INSIDE each blob (that is why blob_dumps stores them) — the
@@ -301,17 +431,20 @@ def score_from_blob(
     ``feature_cols`` parameter, when given, is only validated against
     the blob's list (set equality) to fail loudly on a schema drift.
     """
-    rows = models.select("group_key", "model_blob").collect()
-    blobs = {r["group_key"]: bytes(r["model_blob"]) for r in rows}
-    bc = df.sparkSession.sparkContext.broadcast(blobs)
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if models.count() <= _BROADCAST_GROUP_CEILING
+            else "cogroup"
+        )
     expect = set(feature_cols) if feature_cols is not None else None
     schema = T.StructType(
         df.schema.fields + [T.StructField(prediction_col, T.DoubleType())]
     )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = str(pdf[group_col].iloc[0]) if len(pdf) else ""
-        blob = bc.value.get(key)
+    def _apply(pdf: pd.DataFrame, blob: bytes | None, key: str) -> pd.DataFrame:
         if blob is None:
             return pdf.iloc[0:0].assign(**{prediction_col: np.float64()})
         model = blob_loads(blob)
@@ -327,5 +460,29 @@ def score_from_blob(
         if ok.any():
             pred[ok] = gbt_predict(model, X[ok])
         return pdf.assign(**{prediction_col: pred})
+
+    if strategy == "cogroup":
+        model_side = models.select("group_key", "model_blob")
+
+        def score_co(data: pd.DataFrame, mod: pd.DataFrame) -> pd.DataFrame:
+            if len(data) == 0 or len(mod) == 0:
+                base = data.iloc[0:0]
+                return base.assign(**{prediction_col: np.float64()})
+            key = str(data[group_col].iloc[0])
+            return _apply(data, bytes(mod["model_blob"].iloc[0]), key)
+
+        return (
+            df.groupBy(group_col)
+            .cogroup(model_side.groupBy("group_key"))
+            .applyInPandas(score_co, schema=schema)
+        )
+
+    rows = models.select("group_key", "model_blob").collect()
+    blobs = {r["group_key"]: bytes(r["model_blob"]) for r in rows}
+    bc = df.sparkSession.sparkContext.broadcast(blobs)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[group_col].iloc[0]) if len(pdf) else ""
+        return _apply(pdf, bc.value.get(key), key)
 
     return df.groupBy(group_col).applyInPandas(score, schema=schema)

@@ -296,6 +296,45 @@ def q_ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_train_tree_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 grid-search for the tree tier: per-user histogram-GBT with
+    (depth, trees, lr) chosen by expanding-window chronological CV —
+    the reference's GridSearchCV(cv=TimeSeriesSplit(3)) over the
+    RF/LightGBM grids (ml-service/ml_pipeline.py:90-104,182-192).
+    Rows-only driver check (tree fitting is not SQL-expressible);
+    CV-selected-beats-fixed on a held-out tail is pinned in
+    tests/test_ml.py. Fully deterministic — no subsampling, fixed
+    tie-breaks — so metrics reproduce bit-identically."""
+    from ..pipeline.trees import train_gbt_grid_per_group
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("sma5", F.avg("value").over(w.rowsBetween(-4, 0)))
+        .withColumn("t", F.row_number().over(w))
+    )
+    models = train_gbt_grid_per_group(
+        feats,
+        group_col="user_id",
+        feature_cols=["lag1", "lag2", "sma5"],
+        target_col="value",
+        time_col="t",
+        min_rows=30,
+    )
+    return models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "n_trees",
+        "best_depth",
+        "best_lr",
+        F.round("r2", 6).alias("r2"),
+        F.round("cv_mse", 6).alias("cv_mse"),
+    ).orderBy("group_key")
+
+
 def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast, 5 steps ahead per symbol
     (pipeline/forecast.py). Rows-only driver check (the smoothing
@@ -321,17 +360,57 @@ def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "h")
 
 
+def _trend_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second closed-form family for cross-family serving: per-user OLS
+    of tick value against the chronological row index (linear trend).
+    Same exact integer covariance algebra as the lag family, so both
+    engines produce bit-identical doubles. Carries n so the serving
+    CASE can extrapolate to index n+1."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn(
+        "_y", F.round(F.col("value") * 100, 0).cast("long")
+    ).withColumn("_x", F.row_number().over(w).cast("long"))
+    agg = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_t = F.when(den_x != 0, num / den_x).otherwise(F.lit(0.0))
+    intercept_t = (F.col("sy").cast("double") - slope_t * F.col("sx")) / F.col("n")
+    r2 = F.when(
+        (den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "user_id",
+        "n",
+        F.round(slope_t / 100.0, 6).alias("slope"),
+        F.round(intercept_t / 100.0, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's serving path (SURVEY §3.3, GET /predict/{symbol}:
-    fetch latest indicators → fetch model → predict next value) as ONE
-    driver-checked batch query: latest observation per user joined to
-    the closed-form per-user model, prediction = slope·latest + b.
+    fetch latest indicators → get_best_model ACROSS families → predict
+    next value, ml-service/ml_pipeline.py:279-301) as ONE driver-checked
+    batch query. Two closed-form families compete per user — lag-1 OLS
+    (value ~ prev value) and trend OLS (value ~ chronological index) —
+    the winner is the argmax-r2 row (tie → model_name asc), and the
+    prediction arithmetic is a CASE over the winning family: lag serves
+    slope·latest + b, trend extrapolates slope·(n+1) + b.
 
-    Composition of two audited shapes — argmax-per-group (one window)
-    and the one-pass covariance aggregate — joined on the group key;
-    the model table is group-sized (broadcastable). Slope/intercept
-    are the 6dp-rounded outputs of q_ml_linreg_monitoring, so the
-    prediction arithmetic starts from engine-identical inputs."""
+    All moments are exact integer-tick algebra and every float is
+    rounded before the cross-family comparison, so the argmax and the
+    CASE arithmetic are engine-identical. The per-family model tables
+    are group-sized (broadcastable); the union+argmax is one window
+    over 2 rows per user."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -342,22 +421,79 @@ def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.round("value", 2).alias("latest_value"))
     )
-    models = q_ml_linreg_monitoring(spark, sf_dir).select(
-        "user_id", "slope", "intercept", "alert_low_r2"
+    lag = q_ml_linreg_monitoring(spark, sf_dir).select(
+        "user_id",
+        F.lit("linear_lag").alias("model_name"),
+        F.lit(None).cast("long").alias("n"),
+        "slope",
+        "intercept",
+        "r2",
     )
+    trend = _trend_models(spark, sf_dir).select(
+        "user_id",
+        F.lit("linear_trend").alias("model_name"),
+        F.col("n").cast("long").alias("n"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+    both = lag.unionByName(trend)
+    ww = Window.partitionBy("user_id").orderBy(
+        F.col("r2").desc(), F.col("model_name").asc()
+    )
+    best = both.withColumn("rn", F.row_number().over(ww)).filter(
+        F.col("rn") == 1
+    )
+    pred = F.when(
+        F.col("model_name") == "linear_lag",
+        F.col("slope") * F.col("latest_value") + F.col("intercept"),
+    ).otherwise(F.col("slope") * (F.col("n") + 1) + F.col("intercept"))
     return (
-        latest.join(models, "user_id")
+        latest.join(best, "user_id")
         .select(
             "user_id",
+            "model_name",
             "latest_value",
-            "slope",
-            F.round(
-                F.col("slope") * F.col("latest_value") + F.col("intercept"), 4
-            ).alias("prediction"),
-            "alert_low_r2",
+            "r2",
+            F.round(pred, 4).alias("prediction"),
+            (F.col("r2") < 0.1).alias("alert_low_r2"),
         )
         .orderBy("user_id")
     )
+
+
+_TREND_MODELS_SQL = """
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+idx AS (
+  SELECT user_id, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS x
+  FROM nn
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM idx GROUP BY user_id
+),
+calc AS (
+  SELECT user_id, n,
+    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+    CAST(n * syy - sy * sy AS DOUBLE) AS den_y,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM agg
+)
+SELECT user_id, n,
+  ROUND((CASE WHEN den_x <> 0 THEN num / den_x ELSE 0.0 END) / 100.0, 6) AS slope,
+  ROUND((syd - (CASE WHEN den_x <> 0 THEN num / den_x ELSE 0.0 END) * sxd) / n / 100.0, 6) AS intercept,
+  ROUND(CASE WHEN den_x <> 0 AND den_y <> 0 THEN (num * num) / (den_x * den_y) ELSE 0.0 END, 6) AS r2
+FROM calc
+"""
 
 
 def _serve_latest_sql() -> str:
@@ -369,11 +505,32 @@ WITH latest AS (
     FROM events WHERE value IS NOT NULL
   ) WHERE rn = 1
 ),
-lin AS (SELECT * FROM ({_ML_LINREG_MONITORING_SQL}))
-SELECT l.user_id, latest_value, slope,
-       ROUND(slope * latest_value + intercept, 4) AS prediction,
-       alert_low_r2
-FROM latest l JOIN lin ON l.user_id = lin.user_id
+lag_fam AS (
+  SELECT user_id, 'linear_lag' AS model_name,
+         CAST(NULL AS BIGINT) AS n, slope, intercept, r2
+  FROM ({_ML_LINREG_MONITORING_SQL})
+),
+trend_fam AS (
+  SELECT user_id, 'linear_trend' AS model_name,
+         CAST(n AS BIGINT) AS n, slope, intercept, r2
+  FROM ({_TREND_MODELS_SQL})
+),
+united AS (
+  SELECT * FROM lag_fam UNION ALL SELECT * FROM trend_fam
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY r2 DESC, model_name ASC) AS rn
+    FROM united
+  ) WHERE rn = 1
+)
+SELECT l.user_id, model_name, latest_value, r2,
+       ROUND(CASE WHEN model_name = 'linear_lag'
+                  THEN slope * latest_value + intercept
+                  ELSE slope * (n + 1) + intercept END, 4) AS prediction,
+       r2 < 0.1 AS alert_low_r2
+FROM latest l JOIN best ON l.user_id = best.user_id
 ORDER BY l.user_id
 """
 
@@ -456,6 +613,7 @@ QUERIES = {
     "ml_train_ols_pandas": q_ml_train_ols_pandas,
     "ml_train_ridge_grid": q_ml_train_ridge_grid,
     "ml_train_tree": q_ml_train_tree,
+    "ml_train_tree_grid": q_ml_train_tree_grid,
 }
 
 ORACLE = {
