@@ -233,9 +233,18 @@ def minhash_dedup_incremental(
     id canonical), verified by estimated Jaccard on the signatures.
 
     Returns ``(verdicts, updated_sigs)``: one row per duplicate new
-    doc (id, dup_of, est_jaccard — best match, deterministic
-    tiebreak), and the signature table grown by the SURVIVING new
-    docs (the state to carry into the next batch).
+    doc ``(id, dup_of, matched, est_jaccard)`` — ``matched`` is the
+    best-scoring match (deterministic tiebreak) and ``est_jaccard``
+    refers to THAT pair; ``dup_of`` is ``matched`` resolved
+    transitively to a SURVIVING canonical, so a chain A<B<C in one
+    batch yields C→A even though C's best match was the also-removed
+    B. The signature table is grown by the surviving new docs (the
+    state to carry into the next batch).
+
+    Doc ids must be globally unique across batches: a new row reusing
+    a HISTORY id is treated as a replay of that doc, not a duplicate
+    (the self-pair is discarded), and its signature joins the table
+    alongside the old one — feed genuinely-new docs fresh ids.
     """
     from pyspark.sql import Window
 
@@ -256,6 +265,9 @@ def minhash_dedup_incremental(
     cand_hist = (
         nb.alias("n")
         .join(hb.alias("h"), ["band", "bh"])
+        # id-collision guard: a new row reusing a history id is a
+        # replay of that doc — never a self-duplicate verdict
+        .filter(F.col("n.id") != F.col("h.id"))
         .select(F.col("n.id").alias("id"), F.col("h.id").alias("dup_of"))
     )
     cand_new = (
@@ -286,11 +298,33 @@ def minhash_dedup_incremental(
     w = Window.partitionBy("id").orderBy(
         F.col("est_jaccard").desc(), F.col("dup_of").asc()
     )
-    verdicts = (
+    best = (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "dup_of", "est_jaccard")
     )
+    # Resolve dup_of transitively to a survivor: new×new pointers
+    # strictly decrease (a.id > b.id), so following them terminates at
+    # a batch survivor or a history id. Each jump is a self-join on
+    # the duplicate-sized verdict table (NOT the corpus); chains are
+    # duplicate-group diameters, so the loop exits in a few passes.
+    pointers = best.select(
+        F.col("id").alias("dup_of"), F.col("dup_of").alias("jump")
+    ).localCheckpoint(eager=True)
+    resolved = best.select(
+        "id", "dup_of", F.col("dup_of").alias("matched"), "est_jaccard"
+    )
+    for _ in range(64):  # safety bound far above any real chain
+        j = resolved.join(pointers, "dup_of", "left")
+        if j.filter(F.col("jump").isNotNull()).isEmpty():
+            break
+        resolved = j.select(
+            "id",
+            F.coalesce("jump", "dup_of").alias("dup_of"),
+            "matched",
+            "est_jaccard",
+        ).localCheckpoint(eager=True)
+    verdicts = resolved.select("id", "dup_of", "matched", "est_jaccard")
     survivors = new_sig.join(
         verdicts.select("id"), "id", "left_anti"
     )

@@ -65,6 +65,19 @@ def asof_join(
     right_values = list(right_values) or [
         c for c in right.columns if c != on and c not in by
     ]
+    if tolerance_seconds is not None:
+        # staleness arithmetic needs an ordered temporal/numeric axis;
+        # a string `on` would cast to NULL and silently disable the
+        # tolerance instead of erroring
+        from pyspark.sql.types import NumericType, TimestampType
+
+        for side in (left, right):
+            dt = side.schema[on].dataType
+            if not isinstance(dt, (TimestampType, NumericType)):
+                raise TypeError(
+                    f"tolerance_seconds requires a timestamp or numeric "
+                    f"'{on}' column, got {dt.simpleString()}"
+                )
 
     out_cols = [f"{c}{suffix}" for c in right_values]
     # Deterministic right side: collapse duplicate (by, on) rows via

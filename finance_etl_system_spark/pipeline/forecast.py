@@ -91,7 +91,7 @@ def holt_forecast(
     )
     hs = np.arange(1, horizon + 1)
 
-    def series_rows(g: pd.DataFrame) -> pd.DataFrame:
+    def series_rows(g: pd.DataFrame) -> pd.DataFrame | None:
         y = g[value_col].dropna().to_numpy(dtype=np.float64)
         if len(y) == 0:
             return None

@@ -165,7 +165,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(_toks()).cast("long").alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
     )
     packed = prefix_pack(
         d,
@@ -181,7 +181,7 @@ _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
-         (doc_id * 2654435761) % 4294967296 AS h
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
   FROM documents
 ),
 c AS (

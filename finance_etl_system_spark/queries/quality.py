@@ -110,7 +110,7 @@ def q_data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     quota = counts.agg(F.min("n").alias("quota"))
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
         d.select("doc_id", "lang", "source", h.alias("h"))
@@ -131,7 +131,7 @@ ranked AS (
   SELECT lang, doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
          ) AS rn
   FROM documents
 )

@@ -26,6 +26,10 @@ _CMP = ["c_acctbal", "c_mktsegment", "c_nationkey"]
 
 KNUTH = 2654435761
 MOD = 4294967296
+# reduce keys mod 2^31 BEFORE the Knuth multiply: 2^31 * KNUTH < 2^63,
+# so the product never overflows int64 (Spark would wrap silently while
+# DuckDB raises — the oracle pair must stay exact at any sf)
+PREMOD = 2147483648
 SAMPLE_K = 20
 
 
@@ -103,7 +107,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Efraimidis–Spirakis A-ES, deterministic hash uniform)."""
     o = load_table(spark, sf_dir, "orders")
     u = (
-        (F.col("o_orderkey") * F.lit(KNUTH)) % F.lit(MOD) + 1
+        ((F.col("o_orderkey") % F.lit(PREMOD)) * F.lit(KNUTH)) % F.lit(MOD) + 1
     ) / F.lit(float(MOD + 1))
     score = F.log(u) / F.col("o_totalprice")
     scored = o.select(
@@ -125,7 +129,7 @@ _WEIGHTED_SAMPLE_SQL = f"""
 WITH scored AS (
   SELECT o_orderkey,
          ROUND(o_totalprice, 2) AS o_totalprice,
-         ROUND(ln(((o_orderkey * {KNUTH}) % {MOD} + 1)
+         ROUND(ln((((o_orderkey % {PREMOD}) * {KNUTH}) % {MOD} + 1)
                   / CAST({MOD + 1} AS DOUBLE)) / o_totalprice, 9) + 0.0 AS score
   FROM orders
 )

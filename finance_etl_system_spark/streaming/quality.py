@@ -14,7 +14,12 @@ poisons every consumer. This operator gates each micro-batch:
 - batches where every check passes publish to the clean sink
   (keyed dynamic-partition overwrite → effectively-once, same
   contract as stream_ingest); failing batches land in a quarantine
-  dir INSTEAD, so replays re-evaluate them after the upstream fix.
+  dir INSTEAD, partitioned by batch_id with dynamic-partition
+  overwrite — a batch RETRIED after a mid-batch crash rewrites its
+  own partition instead of duplicating rows. (A checkpoint-committed
+  batch never replays under availableNow; re-evaluating quarantined
+  data after an upstream fix means re-feeding it through a fresh
+  stream, not restarting this one.)
 
 The gate decision is a driver-side collect of ONE row per batch — the
 only permissible collect size in this engine (SCALE.md).
@@ -63,6 +68,53 @@ def batch_quality_metrics(batch: DataFrame) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
 
 
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    clean_dir: str,
+    quarantine_dir: str,
+    verdict_dir: str,
+) -> None:
+    """One micro-batch through the gate. Idempotent under retry: the
+    verdict and quarantine sinks are partitioned by batch_id and
+    written with dynamic-partition overwrite (a re-run of the same
+    batch_id rewrites its own partition), and the clean sink is the
+    keyed overwrite shared with stream_ingest."""
+    batch = batch_df.withColumn("symbol", F.upper("ticker")).persist()
+    try:
+        if batch.isEmpty():
+            return
+        verdicts = batch_quality_metrics(batch).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        rows = verdicts.collect()  # |checks| rows — driver-sized
+        spark = batch.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            spark.createDataFrame(
+                rows,
+                schema="check_name string, metric double, "
+                "passed boolean, batch_id long",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(verdict_dir)
+        )
+        if all(r.passed for r in rows):
+            write_keyed_overwrite(batch, clean_dir)
+        else:
+            (
+                batch.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(quarantine_dir)
+            )
+    finally:
+        batch.unpersist()
+
+
 def stream_quality_gate(
     spark: SparkSession,
     source_dir: str,
@@ -73,38 +125,16 @@ def stream_quality_gate(
 ):
     """Gated ingest: per micro-batch, publish to ``clean_dir`` only if
     every expectation passes; otherwise divert the whole batch to
-    ``quarantine_dir``. Either way append the per-check verdicts
-    (with batch_id) to ``verdict_dir``. Returns the started query."""
+    ``quarantine_dir``. Either way write the per-check verdicts to
+    ``verdict_dir``. Both side sinks are partitioned by batch_id and
+    written with dynamic-partition overwrite, so a batch retried after
+    a mid-batch crash is idempotent (it rewrites its own partition).
+    Returns the started query."""
     raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
     parsed = parse_kafka_records(raw)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = (
-            batch_df.withColumn("symbol", F.upper("ticker"))
-            .persist()
-        )
-        try:
-            if batch.isEmpty():
-                return
-            verdicts = batch_quality_metrics(batch).withColumn(
-                "batch_id", F.lit(batch_id)
-            )
-            rows = verdicts.collect()  # |checks| rows — driver-sized
-            (
-                batch.sparkSession.createDataFrame(
-                    rows,
-                    schema="check_name string, metric double, "
-                    "passed boolean, batch_id long",
-                )
-                .write.mode("append")
-                .parquet(verdict_dir)
-            )
-            if all(r.passed for r in rows):
-                write_keyed_overwrite(batch, clean_dir)
-            else:
-                batch.write.mode("append").parquet(quarantine_dir)
-        finally:
-            batch.unpersist()
+        gate_batch(batch_df, batch_id, clean_dir, quarantine_dir, verdict_dir)
 
     return (
         parsed.writeStream.foreachBatch(write_batch)

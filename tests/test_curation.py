@@ -33,7 +33,7 @@ def test_pack_matches_naive_cumsum_and_is_bucket_invariant(spark):
     }
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
     rows = sorted(
-        (((d.doc_id * 2654435761) % 4294967296), d.doc_id, len(_tokens(d.text)))
+        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296), d.doc_id, len(_tokens(d.text)))
         for d in docs
     )
     cum = 0
@@ -46,7 +46,7 @@ def test_pack_matches_naive_cumsum_and_is_bucket_invariant(spark):
         F.size(F.filter(F.split(F.lower("text"), " +"), lambda x: x != ""))
         .cast("long")
         .alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
     )
     for buckets in (1, 3):
         alt = prefix_pack(

@@ -178,3 +178,40 @@ def test_incremental_minhash_dedup_across_batches(spark):
     )
     v3, _ = minhash_dedup_incremental(b3, updated.localCheckpoint())
     assert {r.id: r.dup_of for r in v3.collect()} == {20: 11}
+
+
+def test_incremental_dedup_transitive_chain_and_id_collision(spark):
+    """A chain C→B→A inside one batch must resolve dup_of to the
+    SURVIVING canonical A (matched keeps the best-scoring pair), and a
+    new row reusing a history id is a replay, never a self-verdict."""
+    from finance_etl_system_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    words = [f"tok{i}" for i in range(30)]
+    extra = [f"pad{i}" for i in range(12)]
+    a_txt = " ".join(words)
+    b_txt = " ".join(words + extra)            # jac(A,B) ~ 0.70
+    c_txt = " ".join(words + extra + ["q1", "q2"])  # jac(B,C) ~ 0.95
+    fresh = ("totally different content on columnar storage layouts "
+             "and vectorized execution engines for analytics")
+
+    history = minhash_signatures(
+        spark.createDataFrame([(2, fresh)], "doc_id LONG, text STRING")
+    ).localCheckpoint()
+    batch = spark.createDataFrame(
+        [(10, a_txt), (11, b_txt), (12, c_txt), (2, fresh)],
+        "doc_id LONG, text STRING",
+    )
+    verdicts, updated = minhash_dedup_incremental(
+        batch, history, bands=16, verify_threshold=0.5
+    )
+    got = {r.id: r for r in verdicts.collect()}
+    assert got[11].dup_of == 10 and got[11].matched == 10
+    assert got[12].matched == 11       # best match was B ...
+    assert got[12].dup_of == 10        # ... resolved to the survivor A
+    assert 2 not in got                # history-id replay: no self-verdict
+    assert all(r.id != r.dup_of for r in got.values())
+    surviving = {r.id for r in updated.collect()}
+    assert 10 in surviving and 11 not in surviving and 12 not in surviving

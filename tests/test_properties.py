@@ -221,3 +221,17 @@ def test_asof_tolerance_judges_age_of_carried_value(spark):
     assert got[0] == 1.0   # v observed at t=0, age 40 <= 50
     assert got[1] is None  # v still from t=0, age 110 > 50 (the newer
     #                        NULL row at t=100 must not mask staleness)
+
+
+def test_asof_tolerance_rejects_string_on_column(spark):
+    """A string `on` with tolerance_seconds must raise, not silently
+    disable the staleness check (the cast-to-double would yield NULL
+    and the stale predicate would never fire)."""
+    import pytest as _pytest
+
+    from finance_etl_system_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("a", "x")], "k string, t string")
+    right = spark.createDataFrame([("a", "x", 1.0)], "k string, t string, v double")
+    with _pytest.raises(TypeError, match="tolerance_seconds"):
+        asof_join(left, right, "t", by=["k"], tolerance_seconds=5.0)

@@ -561,3 +561,26 @@ def test_keyed_sink_deterministic_under_conflicting_duplicates(spark, tmp_path):
     assert outs[0] == outs[1]
     # max(struct(content)) with equal leading fields -> larger open wins
     assert outs[0][0] == 300.0
+
+
+@pytest.mark.timeout(300)
+def test_quality_gate_batch_retry_is_idempotent(spark, tmp_path):
+    """A micro-batch retried after a mid-batch crash re-runs with the
+    SAME batch_id; the quarantine and verdict sinks are partitioned by
+    batch_id with dynamic overwrite, so the retry rewrites its own
+    partition instead of duplicating rows."""
+    from finance_etl_system_spark.streaming.quality import gate_batch
+
+    bad = spark.createDataFrame(
+        [("msft", "2024-01-02", -5.0), ("msft", "2024-01-03", 10.0)],
+        "ticker string, date string, close double",
+    )
+    clean, quar, verd = (
+        str(tmp_path / d) for d in ("clean", "quarantine", "verdicts")
+    )
+    for _ in range(2):  # second call = the retry
+        gate_batch(bad, 7, clean, quar, verd)
+    assert spark.read.parquet(quar).count() == 2          # not 4
+    v = spark.read.parquet(verd)
+    assert v.count() == 4                                  # one per check
+    assert v.select("batch_id").distinct().collect()[0][0] == 7
