@@ -31,6 +31,74 @@ from ..operators.similarity import cosine_topk_bruteforce
 K1 = 1.2
 B = 0.75
 QUERY_TERMS = ["stream", "merge", "partition"]
+
+# --- analyzer chain (optional, off by default so the plain rankers
+# keep their existing oracles): stop-word removal + the Harman
+# S-stemmer (plural stripping: ies→y, es→e, s→∅ with the classic
+# us/ss exceptions). Both stages are pure JVM expressions (a
+# higher-order filter + transform inside whole-stage codegen) and are
+# mirrored verbatim in the DuckDB twin — the ES index the reference
+# builds applies an analyzer at index time (spark-job/etl_job.py
+# index settings), and this is that analyzer re-expressed in-engine.
+STOPWORDS = (
+    "the a an and or of to in is are was were for on with as by at it "
+    "this that be from not have has had but they we you i"
+).split()
+
+
+def _s_stem_col(x):
+    """S-stemmer as a column expression over a lambda variable."""
+    return (
+        F.when(
+            x.endswith("ies")
+            & ~x.endswith("eies")
+            & ~x.endswith("aies")
+            & (F.length(x) >= 4),
+            F.concat(F.substring(x, F.lit(1), F.length(x) - 3), F.lit("y")),
+        )
+        .when(
+            x.endswith("es")
+            & ~x.endswith("aes")
+            & ~x.endswith("ees")
+            & ~x.endswith("oes")
+            & (F.length(x) >= 4),
+            F.substring(x, F.lit(1), F.length(x) - 1),
+        )
+        .when(
+            x.endswith("s")
+            & ~x.endswith("us")
+            & ~x.endswith("ss")
+            & (F.length(x) >= 3),
+            F.substring(x, F.lit(1), F.length(x) - 1),
+        )
+        .otherwise(x)
+    )
+
+
+def s_stem(t: str) -> str:
+    """Python twin of the S-stemmer — used to analyze QUERY terms so
+    they meet the corpus in the same normalized space."""
+    if len(t) >= 4 and t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if len(t) >= 4 and t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if len(t) >= 3 and t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+def analyze_terms(terms: list[str]) -> list[str]:
+    """Analyzer chain for query terms: lowercase, drop stop words,
+    S-stem — mirrors what the analyzed corpus tokenizer does."""
+    out = []
+    for t in terms:
+        t = t.lower()
+        if t in STOPWORDS:
+            continue
+        t = s_stem(t)
+        if t and t not in out:
+            out.append(t)
+    return out
 # conjunctive query uses terms that actually co-occur in the corpus
 # ('partition' never appears in the fixture docs, so an AND over
 # QUERY_TERMS would be vacuously empty at every sf)
@@ -38,17 +106,21 @@ BOOL_TERMS = ["stream", "merge", "query"]
 TOP_K = 20
 
 
-def _bm25_scored(d: DataFrame, terms: list[str] = QUERY_TERMS) -> DataFrame:
+def _bm25_scored(
+    d: DataFrame, terms: list[str] = QUERY_TERMS, *, analyzed: bool = False
+) -> DataFrame:
     """Per-document BM25 score frame (doc_id, bm25, n_terms_hit) for
     the given query terms — shared by the plain, boolean-AND and
     hybrid rankers so all three reuse the same two doc-keyed
-    shuffles."""
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
-        ).alias("term"),
-    )
+    shuffles. With ``analyzed``, the corpus tokens pass the stop-word
+    + S-stemmer chain (callers must pass ``analyze_terms``-normalized
+    query terms)."""
+    arr = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    if analyzed:
+        arr = F.transform(
+            F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
+        )
+    toks = d.select("doc_id", F.explode(arr).alias("term"))
     # one scan feeds both aggregates; Catalyst reuses the exchange
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
@@ -108,6 +180,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(_bm25_scored(d))
 
 
+# inflected query: the analyzer folds plurals, so these reach the
+# singular postings too ("streams"→"stream", "queries"→"query")
+ANALYZED_QUERY = ["streams", "merge", "queries"]
+
+
+def q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for an INFLECTED keyword query through the
+    analyzer chain (stop-word removal + S-stemmer) on both the corpus
+    and the query — the ES index-time-analyzer parity path. The
+    analyzer is pure JVM expressions ahead of the same two doc-keyed
+    shuffles as the plain ranker."""
+    d = load_table(spark, sf_dir, "documents")
+    return _rank_topk(
+        _bm25_scored(d, analyze_terms(ANALYZED_QUERY), analyzed=True)
+    )
+
+
 def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean AND retrieval: only documents containing EVERY query
     term qualify, then BM25-ranked. The conjunctive filter is a
@@ -121,14 +210,40 @@ def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ctes(terms: list[str]) -> str:
+_STEM_SQL = (
+    "CASE WHEN ends_with(x,'ies') AND NOT ends_with(x,'eies') "
+    "AND NOT ends_with(x,'aies') AND length(x) >= 4 "
+    "THEN substr(x,1,length(x)-3) || 'y' "
+    "WHEN ends_with(x,'es') AND NOT ends_with(x,'aes') "
+    "AND NOT ends_with(x,'ees') AND NOT ends_with(x,'oes') AND length(x) >= 4 "
+    "THEN substr(x,1,length(x)-1) "
+    "WHEN ends_with(x,'s') AND NOT ends_with(x,'us') "
+    "AND NOT ends_with(x,'ss') AND length(x) >= 3 "
+    "THEN substr(x,1,length(x)-1) "
+    "ELSE x END"
+)
+
+
+def _bm25_ctes(terms: list[str], *, analyzed: bool = False) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
-    return f"""toks AS (
+    if analyzed:
+        stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+        toks_cte = f"""toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_transform(
+         list_filter(string_split_regex(lower(text), ' +'),
+                     x -> x <> '' AND x NOT IN ({stops})),
+         x -> {_STEM_SQL})) AS t(term)
+),"""
+    else:
+        toks_cte = """toks AS (
   SELECT doc_id, t.term
   FROM documents,
        LATERAL unnest(string_split_regex(lower(text), ' +')) AS t(term)
   WHERE t.term <> ''
-),
+),"""
+    return f"""{toks_cte}
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
 tf AS (
@@ -164,6 +279,10 @@ SELECT * FROM (
 """
 
 _BM25_SQL = f"WITH {_bm25_ctes(QUERY_TERMS)}" + _RANK_TOPK_SQL.format(
+    rel="scored"
+)
+
+_BM25_ANALYZED_SQL = f"WITH {_bm25_ctes(analyze_terms(ANALYZED_QUERY), analyzed=True)}" + _RANK_TOPK_SQL.format(
     rel="scored"
 )
 
@@ -345,12 +464,14 @@ SELECT * FROM (
 
 QUERIES = {
     "bm25_search": q_bm25_search,
+    "bm25_search_analyzed": q_bm25_search_analyzed,
     "search_boolean_and": q_search_boolean_and,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "search_phrase": q_search_phrase,
 }
 ORACLE = {
     "bm25_search": _BM25_SQL,
+    "bm25_search_analyzed": _BM25_ANALYZED_SQL,
     "search_boolean_and": _BOOLEAN_AND_SQL,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "search_phrase": _SEARCH_PHRASE_SQL,

@@ -169,3 +169,42 @@ def test_rolling_robust_outliers_match_pandas_windows(spark):
             n_outliers += want_flag
     assert n_checked == len(out)
     assert 0 < n_outliers < n_checked  # the rule actually fires, not everywhere
+
+
+def test_analyzer_improves_recall_on_inflected_queries(spark):
+    """Stop-word + S-stemmer analyzer: a query meets plural/inflected
+    corpus forms in the same normalized space, so recall strictly
+    improves over the raw tokenizer on an inflected corpus."""
+    from finance_etl_system_spark.queries.retrieval import (
+        _bm25_scored,
+        analyze_terms,
+        s_stem,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "streams are merging fast today"),
+            (2, "the stream merges data"),
+            (3, "totally unrelated content about nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    plain_hits = {
+        r.doc_id for r in _bm25_scored(d, ["stream"]).collect()
+    }
+    analyzed_hits = {
+        r.doc_id
+        for r in _bm25_scored(
+            d, analyze_terms(["streams"]), analyzed=True
+        ).collect()
+    }
+    assert plain_hits == {2}
+    assert analyzed_hits == {1, 2}  # plural form now reachable
+
+    # stemmer unit behavior: plurals fold, exceptions hold
+    assert s_stem("queries") == "query"
+    assert s_stem("merges") == "merge"
+    assert s_stem("partitions") == "partition"
+    assert s_stem("status") == "status"   # -us exception
+    assert s_stem("class") == "class"     # -ss exception
+    assert analyze_terms(["The", "Streams"]) == ["stream"]
