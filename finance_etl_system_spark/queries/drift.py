@@ -189,5 +189,153 @@ SELECT ROUND(GREATEST({", ".join(f"ABS(ref_f{i} - cur_f{i})" for i in range(len(
 FROM ref_f CROSS JOIN cur_f
 """
 
-QUERIES = {"drift_psi": q_drift_psi, "drift_ks": q_drift_ks}
-ORACLE = {"drift_psi": _DRIFT_PSI_SQL, "drift_ks": _DRIFT_KS_SQL}
+N_KS_BINS = 100
+_KSR_QS = [i / N_KS_BINS for i in range(1, N_KS_BINS)]  # 99 centile edges
+
+
+def q_drift_ks_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS with a PROVABLE two-sided bracket from mergeable histogram
+    counts — the refinement of drift_ks's lower bound: inside any bin,
+    |F_ref − F_cur| can move at most max(p_bin, q_bin) away from its
+    value at the bin's left edge, so
+
+        ks_lower = max_edges |D(e)|   ≤   KS_exact   ≤
+        ks_upper = max_bins (|D(left edge)| + max(p_bin, q_bin)).
+
+    With the reference's own centile grid p_bin = 1/N_KS_BINS exactly,
+    so the bracket width is ≤ 0.01 + max_bin q_bin — an alarm
+    thresholded anywhere outside [ks_lower, ks_upper] is decided
+    EXACTLY, no global sort needed (the forbidden shape exact KS
+    would take at 100 TB).
+
+    Scale shape: one interpolated-percentile aggregate over the
+    reference (broadcast 1-row edge frame), one map-side-combinable
+    bucket-count aggregate per population, then cumulative sums over
+    the ≤N_KS_BINS-row bucket table — the unpartitioned window runs
+    on an aggregate-sized frame, never on data. All fractions derive
+    from exact integer counts, so both engines compute identical
+    doubles.
+    """
+    from pyspark.sql import Window
+
+    ref, cur = _populations(spark, sf_dir)
+    qs = ", ".join(str(q) for q in _KSR_QS)
+    edges = ref.agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = df.crossJoin(F.broadcast(edges)).select(
+            F.aggregate(
+                F.col("e"),
+                F.lit(1),
+                lambda acc, e: acc
+                + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+            ).alias("bucket")
+        )
+        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(f"{name}_n"))
+
+    totals = F.broadcast(
+        ref.agg(F.count(F.lit(1)).alias("n_ref")).crossJoin(
+            cur.agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+    )
+    tot = (
+        bucketed(ref, "ref")
+        .join(bucketed(cur, "cur"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+        .crossJoin(totals)
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tot.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.col("ref_n") / F.col("n_ref")).alias("p_b"),
+        (F.col("cur_n") / F.col("n_cur")).alias("q_b"),
+        (F.sum("ref_n").over(w) / F.col("n_ref")).alias("cum_p"),
+        (F.sum("cur_n").over(w) / F.col("n_cur")).alias("cum_q"),
+    )
+    wl = Window.orderBy("bucket")
+    d = cum.select(
+        "n_ref",
+        "n_cur",
+        "p_b",
+        "q_b",
+        F.abs(F.col("cum_p") - F.col("cum_q")).alias("d_right"),
+        F.lag(F.abs(F.col("cum_p") - F.col("cum_q")), 1, 0.0)
+        .over(wl)
+        .alias("d_left"),
+    )
+    return d.groupBy("n_ref", "n_cur").agg(
+        F.round(F.max("d_right"), 6).alias("ks_lower"),
+        F.round(
+            F.max(F.col("d_left") + F.greatest("p_b", "q_b")), 6
+        ).alias("ks_upper"),
+    ).select("ks_lower", "ks_upper", "n_ref", "n_cur")
+
+
+_DRIFT_KS_REFINED_SQL = f"""
+WITH src AS (SELECT o_orderdate, o_totalprice FROM orders),
+edges AS (
+  SELECT quantile_cont(o_totalprice, [{", ".join(str(q) for q in _KSR_QS)}]) AS e
+  FROM src WHERE o_orderdate < DATE '{SPLIT_DATE}'
+),
+ref_b AS (
+  SELECT 1 + len(list_filter(e, x -> o_totalprice > x)) AS bucket,
+         COUNT(*) AS ref_n
+  FROM src CROSS JOIN edges WHERE o_orderdate < DATE '{SPLIT_DATE}'
+  GROUP BY 1
+),
+cur_b AS (
+  SELECT 1 + len(list_filter(e, x -> o_totalprice > x)) AS bucket,
+         COUNT(*) AS cur_n
+  FROM src CROSS JOIN edges WHERE o_orderdate >= DATE '{SPLIT_DATE}'
+  GROUP BY 1
+),
+tot AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+         (SELECT COUNT(*) FROM src WHERE o_orderdate < DATE '{SPLIT_DATE}')
+           AS n_ref,
+         (SELECT COUNT(*) FROM src WHERE o_orderdate >= DATE '{SPLIT_DATE}')
+           AS n_cur
+  FROM ref_b r FULL OUTER JOIN cur_b c ON r.bucket = c.bucket
+),
+cum AS (
+  SELECT bucket, n_ref, n_cur,
+         ref_n / CAST(n_ref AS DOUBLE) AS p_b,
+         cur_n / CAST(n_cur AS DOUBLE) AS q_b,
+         SUM(ref_n) OVER (ORDER BY bucket) / CAST(n_ref AS DOUBLE) AS cum_p,
+         SUM(cur_n) OVER (ORDER BY bucket) / CAST(n_cur AS DOUBLE) AS cum_q
+  FROM tot
+),
+d AS (
+  SELECT n_ref, n_cur, p_b, q_b,
+         ABS(cum_p - cum_q) AS d_right,
+         COALESCE(LAG(ABS(cum_p - cum_q)) OVER (ORDER BY bucket), 0.0)
+           AS d_left
+  FROM cum
+)
+SELECT ROUND(MAX(d_right), 6) AS ks_lower,
+       ROUND(MAX(d_left + GREATEST(p_b, q_b)), 6) AS ks_upper,
+       n_ref, n_cur
+FROM d GROUP BY n_ref, n_cur
+"""
+
+QUERIES = {
+    "drift_psi": q_drift_psi,
+    "drift_ks": q_drift_ks,
+    "drift_ks_refined": q_drift_ks_refined,
+}
+ORACLE = {
+    "drift_psi": _DRIFT_PSI_SQL,
+    "drift_ks": _DRIFT_KS_SQL,
+    "drift_ks_refined": _DRIFT_KS_REFINED_SQL,
+}
