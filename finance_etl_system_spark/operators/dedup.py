@@ -222,7 +222,8 @@ def minhash_dedup_incremental(
     seed: int = 42,
     verify_threshold: float = 0.5,
     spread: bool | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_new_survivors: bool = False,
+) -> tuple[DataFrame, ...]:
     """Daily-increment near-dup dedup — the production pattern: only
     the NEW batch is shingled and signatured; the corpus participates
     solely through its stored (id, sig) table. History is never
@@ -245,6 +246,11 @@ def minhash_dedup_incremental(
     a HISTORY id is treated as a replay of that doc, not a duplicate
     (the self-pair is discarded), and its signature joins the table
     alongside the old one — feed genuinely-new docs fresh ids.
+
+    With ``with_new_survivors`` a third frame is returned: ONLY the
+    surviving new-batch signatures (batch-sized) — what an incremental
+    state sink appends, without rewriting the history rows
+    (streaming/dedup.py uses this for the checkpointed state table).
     """
     from pyspark.sql import Window
 
@@ -329,6 +335,8 @@ def minhash_dedup_incremental(
         verdicts.select("id"), "id", "left_anti"
     )
     updated = history_sig.unionByName(survivors)
+    if with_new_survivors:
+        return verdicts, updated, survivors
     return verdicts, updated
 
 

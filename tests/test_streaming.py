@@ -584,3 +584,80 @@ def test_quality_gate_batch_retry_is_idempotent(spark, tmp_path):
     v = spark.read.parquet(verd)
     assert v.count() == 4                                  # one per check
     assert v.select("batch_id").distinct().collect()[0][0] == 7
+
+
+@pytest.mark.timeout(300)
+def test_stream_dedup_incremental_replay_converges(spark, tmp_path):
+    """X1 × T2/T3: the incremental MinHash dedup as a checkpointed
+    foreachBatch stream. Two independent runs over the same source
+    converge to identical verdict + state tables, and a same-batch_id
+    retry is idempotent."""
+    import json as _json
+    import os
+
+    from finance_etl_system_spark.streaming.dedup import (
+        dedup_increment_batch,
+        stream_dedup_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    fresh = (
+        "completely unrelated text about spark shuffle partitions "
+        "and adaptive query execution planning at massive scale"
+    )
+    novel = (
+        "novel document on watermarking late event streams "
+        "with bounded state and exactly once sinks"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [(1, base), (2, fresh)]
+    b2 = [(10, base + " extra"), (11, novel), (12, novel + " padded")]
+    for i, rows in enumerate((b1, b2)):
+        p = src / f"batch{i}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run(tag):
+        verd, state, ckpt = (
+            str(tmp_path / f"{d}_{tag}") for d in ("verd", "state", "ckpt")
+        )
+        q = stream_dedup_incremental(spark, str(src), verd, state, ckpt)
+        q.awaitTermination(120)
+        verdicts = {
+            (r.id, r.dup_of, r.matched, r.est_jaccard)
+            for r in spark.read.parquet(verd).collect()
+        }
+        sigs = {
+            (r.id, tuple(r.sig)) for r in spark.read.parquet(state).collect()
+        }
+        return verd, state, verdicts, sigs
+
+    verd_a, state_a, verdicts_a, sigs_a = run("a")
+    _, _, verdicts_b, sigs_b = run("b")
+    assert verdicts_a == verdicts_b
+    assert sigs_a == sigs_b
+    assert {v[0]: v[1] for v in verdicts_a} == {10: 1, 12: 11}
+    assert {s[0] for s in sigs_a} == {1, 2, 11}
+
+    # retry of the last batch (same batch_id, state already contains
+    # its survivors) must change nothing
+    batch2 = spark.createDataFrame(b2, "doc_id LONG, text STRING")
+    last_bid = max(
+        r.batch_id for r in spark.read.parquet(verd_a).select("batch_id").collect()
+    )
+    dedup_increment_batch(batch2, last_bid, verd_a, state_a)
+    assert {
+        (r.id, r.dup_of, r.matched, r.est_jaccard)
+        for r in spark.read.parquet(verd_a).collect()
+    } == verdicts_a
+    assert {
+        (r.id, tuple(r.sig)) for r in spark.read.parquet(state_a).collect()
+    } == sigs_a
