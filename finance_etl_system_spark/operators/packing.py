@@ -52,13 +52,17 @@ def prefix_pack(
     tiebreak_col: str,
     budget: int,
     buckets: int = 64,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Add ``bin_id``: fixed-``budget`` bin in the total order
     (order_col, tiebreak_col), via a two-phase distributed prefix sum.
 
     ``order_col`` must be integral in [0, KEY_SPACE); weights must be
     non-negative longs. The result is independent of ``buckets``
-    (tested) — it only controls scan parallelism.
+    (tested) — it only controls scan parallelism. ``base_offset``
+    shifts the whole scan by a carried token total, letting an
+    INCREMENTAL caller continue bin numbering exactly where the
+    previous batch stopped (pipeline/corpus.py corpus_increment).
     """
     width = max(1, KEY_SPACE // buckets)
     b = df.withColumn("_bucket", F.expr(f"{order_col} div {width}"))
@@ -82,7 +86,8 @@ def prefix_pack(
         .withColumn(
             "bin_id",
             F.expr(
-                f"(_offset + _cum_in - {weight_col}) div {int(budget)}"
+                f"({int(base_offset)} + _offset + _cum_in - {weight_col})"
+                f" div {int(budget)}"
             ).cast("long"),
         )
         .drop("_bucket", "_cum_in", "_offset")

@@ -30,14 +30,20 @@ the pipeline invariants are pinned in tests/test_corpus.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs, shingles
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup_incremental,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles,
+)
 from ..operators.graph import connected_components
 from ..operators.packing import prefix_pack
 from ..operators.sampling import train_test_split_by_key
-from ..operators.text import tokens
+from ..operators.text import normalized, tokens
 
 NGRAM = 5
 MIN_TOKENS = 8
@@ -123,3 +129,156 @@ def build_training_corpus(
 
     out = pack(train, "train").unionByName(pack(test, "test"))
     return out.select(id_col, "n_tokens", "ttr", "split", "bin_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus build: the same six stages per-INCREMENT with
+# carried state — the realistic pretraining-data refresh (a daily crawl
+# drop lands; only the new docs pay compute, history participates via
+# three compact state tables). Composes the watermark-increment
+# discipline of pipeline/etl.py incremental_etl with the streaming
+# dedup state of streaming/dedup.py.
+#
+# State carried between increments (each table is id/fingerprint-sized,
+# never text-sized):
+#   fp   — every content fingerprint ever seen (exact-dedup memory)
+#   sig  — MinHash signature of EVERY exact-surviving doc, including
+#          near-dup losers: links must be testable against dropped
+#          docs too, or a chain A<B<C split across batches would keep
+#          C that a full rebuild drops
+#   pack — per-split carried token totals (two longs), so bin
+#          numbering continues exactly where the last increment ended
+#
+# Equivalence contract (pinned in tests/test_corpus.py): increments
+# reproduce the full rebuild bit-for-bit when (a) doc ids are assigned
+# in arrival order (every batch's ids exceed all earlier ids) and
+# (b) within each near-dup cluster every non-min member links to some
+# smaller id (clique/star shapes — the standard copied-source case).
+# Without (b) a rebuild can retroactively drop an early doc via a path
+# through a LATER doc — a decision no incremental system can make at
+# the early doc's arrival time.
+# ---------------------------------------------------------------------------
+
+
+def new_corpus_state(spark: SparkSession) -> dict:
+    """Empty carried state for corpus_increment."""
+    return {
+        "fp": spark.createDataFrame([], "_fp string"),
+        "sig": spark.createDataFrame([], "id bigint, sig array<bigint>"),
+        "pack": {"train": 0, "test": 0},
+    }
+
+
+def corpus_increment(
+    batch_docs: DataFrame,
+    eval_docs: DataFrame,
+    state: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+) -> tuple[DataFrame, dict]:
+    """One increment of the corpus build (see block comment above).
+
+    Returns ``(corpus_rows, new_state)`` — corpus_rows has the same
+    schema as build_training_corpus (doc_id, n_tokens, ttr, split,
+    bin_id) but covers only THIS batch's survivors; concatenating all
+    increments' rows equals the full rebuild under the equivalence
+    contract. The returned state frames are eagerly checkpointed so
+    the next increment does not re-execute this one's lineage.
+    """
+    spark = batch_docs.sparkSession
+
+    # 1. exact dedup: drop in-batch later copies, then anything whose
+    #    fingerprint history has seen (monotone ids ⇒ history copy is
+    #    the rebuild's min-id representative)
+    hashed = batch_docs.withColumn(
+        "_fp", F.sha2(normalized(F.col(text_col)), 256)
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    in_batch = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    d = in_batch.join(state["fp"], "_fp", "left_anti").drop("_fp")
+    new_fp = state["fp"].unionByName(
+        hashed.select("_fp").distinct()
+    ).distinct()
+
+    # 2. near-dup vs state + self (same signature params as the
+    #    rebuild's minhash_lsh_pairs). State grows by ALL of this
+    #    batch's exact survivors — losers included — per the contract.
+    verdicts, _updated = minhash_dedup_incremental(
+        d,
+        state["sig"],
+        text_col=text_col,
+        id_col=id_col,
+        verify_threshold=JACCARD_NEAR_DUP,
+    )
+    d = d.join(
+        verdicts.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    new_sig = state["sig"].unionByName(
+        minhash_signatures(in_batch.drop("_fp"), text_col=text_col, id_col=id_col)
+    )
+
+    # 3. quality gate — per-doc, identical to the rebuild
+    d = (
+        d.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "ttr",
+            F.round(
+                F.size(F.array_distinct("_toks"))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
+        .drop("_toks")
+    )
+
+    # 4. decontamination — eval set is fixed, broadcast gram probe
+    eval_grams = eval_docs.select(
+        F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+    ).distinct()
+    doc_grams = d.select(
+        id_col, F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "gram").select(id_col).distinct()
+    )
+    d = d.join(contaminated, id_col, "left_anti")
+
+    # 5. deterministic hash split — stateless
+    train, test = train_test_split_by_key(d, [id_col], test_fraction)
+
+    # 6. packing continues each split's bin numbering from the carried
+    #    token total (monotone ids ⇒ new docs extend the global order)
+    pack_state = dict(state["pack"])
+    parts = []
+    for name, split_df in (("train", train), ("test", test)):
+        packed = prefix_pack(
+            split_df.select(id_col, "n_tokens", "ttr"),
+            weight_col="n_tokens",
+            order_col=id_col,
+            tiebreak_col=id_col,
+            budget=PACK_BUDGET,
+            base_offset=pack_state[name],
+        ).withColumn("split", F.lit(name))
+        parts.append(packed)
+        added = split_df.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        pack_state[name] += int(added)
+
+    out = parts[0].unionByName(parts[1]).select(
+        id_col, "n_tokens", "ttr", "split", "bin_id"
+    )
+    new_state = {
+        "fp": new_fp.localCheckpoint(eager=True),
+        "sig": new_sig.localCheckpoint(eager=True),
+        "pack": pack_state,
+    }
+    return out, new_state

@@ -250,11 +250,35 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(corpus, eval_slice).orderBy("doc_id")
 
 
+def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build run as TWO increments with carried state
+    (pipeline/corpus.py corpus_increment): docs below the id midpoint
+    arrive as day 1, the rest as day 2 — fingerprints, signatures and
+    pack offsets carry between them. Rows-only driver entry;
+    increment ≡ full-rebuild equivalence is pinned in
+    tests/test_corpus.py::test_corpus_increments_equal_full_rebuild."""
+    from ..pipeline.corpus import corpus_increment, new_corpus_state
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    mid = 250  # fixture ids start at 0; sf0.001 already has 500 docs
+    state = new_corpus_state(spark)
+    out1, state = corpus_increment(
+        corpus.filter(F.col("doc_id") < mid), eval_slice, state
+    )
+    out2, _state = corpus_increment(
+        corpus.filter(F.col("doc_id") >= mid), eval_slice, state
+    )
+    return out1.unionByName(out2).orderBy("doc_id")
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "corpus_pipeline": q_corpus_pipeline,
+    "corpus_incremental": q_corpus_incremental,
 }
 
 ORACLE = {

@@ -80,3 +80,34 @@ def test_corpus_packing_respects_budget_per_split(spark):
         for r in rows:
             assert r.bin_id == prefix // PACK_BUDGET
             prefix += r.n_tokens
+
+
+def test_corpus_increments_equal_full_rebuild(spark):
+    """The realistic refresh: running the pipeline as increments with
+    carried state (fingerprints, signatures, pack offsets) reproduces
+    the full rebuild bit-for-bit on the fixture — same survivors, same
+    quality stats, same split, same bin ids."""
+    from finance_etl_system_spark.pipeline.corpus import (
+        corpus_increment,
+        new_corpus_state,
+    )
+
+    corpus, eval_slice = _inputs(spark)
+    full = {
+        r.doc_id: (r.n_tokens, r.ttr, r.split, r.bin_id)
+        for r in build_training_corpus(corpus, eval_slice).collect()
+    }
+
+    mid = corpus.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    state = new_corpus_state(spark)
+    got = {}
+    for batch in (
+        corpus.filter(F.col("doc_id") < mid),
+        corpus.filter(F.col("doc_id") >= mid),
+    ):
+        out, state = corpus_increment(batch, eval_slice, state)
+        for r in out.collect():
+            assert r.doc_id not in got
+            got[r.doc_id] = (r.n_tokens, r.ttr, r.split, r.bin_id)
+
+    assert got == full
