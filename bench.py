@@ -78,6 +78,9 @@ HEADLINE: list[str] = [
     "drift_psi",
     "snapshot_diff",
     "weighted_sample",
+    "serve_latest_prediction",
+    "bm25_search_analyzed",
+    "drift_ks_refined",
 ]
 
 

@@ -329,13 +329,87 @@ SELECT ROUND(MAX(d_right), 6) AS ks_lower,
 FROM d GROUP BY n_ref, n_cur
 """
 
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: chi-square of the CURRENT o_orderpriority
+    mix against expectations scaled from the REFERENCE mix — the
+    categorical sibling of PSI (numeric) and KS (continuous), closing
+    the drift-monitor family. contrib_k = (cur_k − n_cur·ref_k/n_ref)²
+    / (n_cur·ref_k/n_ref).
+
+    Scale shape: two category-keyed map-combinable counts + a 1-row
+    totals broadcast; |categories| rows ever cross a shuffle. All
+    inputs are exact integer counts → engine-identical doubles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority"
+    )
+    ref = o.filter(F.col("o_orderdate") < SPLIT_DATE)
+    cur = o.filter(F.col("o_orderdate") >= SPLIT_DATE)
+    r = ref.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("ref_n"))
+    c = cur.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cur_n"))
+    totals = F.broadcast(
+        ref.agg(F.count(F.lit(1)).alias("n_ref")).crossJoin(
+            cur.agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+    )
+    j = (
+        r.join(c, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+        .crossJoin(totals)
+    )
+    exp = F.col("n_cur") * F.col("ref_n") / F.col("n_ref")
+    contrib = F.when(
+        F.col("ref_n") > 0, (F.col("cur_n") - exp) * (F.col("cur_n") - exp) / exp
+    ).otherwise(F.lit(None))
+    return j.select(
+        "o_orderpriority",
+        "ref_n",
+        "cur_n",
+        F.round(exp, 6).alias("expected_n"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+    ).orderBy("o_orderpriority")
+
+
+_DRIFT_CHI2_SQL = f"""
+WITH src AS (SELECT o_orderdate, o_orderpriority FROM orders),
+r AS (
+  SELECT o_orderpriority, COUNT(*) AS ref_n FROM src
+  WHERE o_orderdate < DATE '{SPLIT_DATE}' GROUP BY 1
+),
+c AS (
+  SELECT o_orderpriority, COUNT(*) AS cur_n FROM src
+  WHERE o_orderdate >= DATE '{SPLIT_DATE}' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.o_orderpriority, c.o_orderpriority) AS o_orderpriority,
+         COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+         (SELECT COUNT(*) FROM src WHERE o_orderdate < DATE '{SPLIT_DATE}')
+           AS n_ref,
+         (SELECT COUNT(*) FROM src WHERE o_orderdate >= DATE '{SPLIT_DATE}')
+           AS n_cur
+  FROM r FULL OUTER JOIN c ON r.o_orderpriority = c.o_orderpriority
+)
+SELECT o_orderpriority, ref_n, cur_n,
+  ROUND(n_cur * ref_n / CAST(n_ref AS DOUBLE), 6) AS expected_n,
+  ROUND(CASE WHEN ref_n > 0 THEN
+    (cur_n - n_cur * ref_n / CAST(n_ref AS DOUBLE))
+    * (cur_n - n_cur * ref_n / CAST(n_ref AS DOUBLE))
+    / (n_cur * ref_n / CAST(n_ref AS DOUBLE)) END, 6) AS chi2_contrib
+FROM j ORDER BY o_orderpriority
+"""
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "drift_ks": q_drift_ks,
     "drift_ks_refined": q_drift_ks_refined,
+    "drift_chi2": q_drift_chi2,
 }
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
     "drift_ks": _DRIFT_KS_SQL,
     "drift_ks_refined": _DRIFT_KS_REFINED_SQL,
+    "drift_chi2": _DRIFT_CHI2_SQL,
 }

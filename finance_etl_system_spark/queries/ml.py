@@ -335,6 +335,46 @@ def q_ml_train_tree_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_best_of_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 unified cross-family registry end-to-end: per-user OLS and
+    histogram-GBT trained on the same features, unioned into ONE
+    registry (pipeline/ml.py unify_registries), argmax-r2 winner per
+    user — the reference's get_best_model across families
+    (ml-service/ml_pipeline.py:279-301). Rows-only driver check (the
+    GBT branch is not SQL-expressible); family-crossing selection is
+    pinned in tests/test_ml.py::test_unified_registry_best_of_any_family.
+    Deterministic: both trainers are exact/deterministic and r2 ties
+    break on model_name."""
+    from ..pipeline.ml import best_model_per_group, unify_registries
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("sma5", F.avg("value").over(w.rowsBetween(-4, 0)))
+        .withColumn("t", F.row_number().over(w))
+    )
+    fcols = ["lag1", "lag2", "sma5"]
+    ols = train_ols_per_group(
+        feats, group_col="user_id", feature_cols=fcols,
+        target_col="value", min_rows=30,
+    )
+    gbt = train_gbt_per_group(
+        feats, group_col="user_id", feature_cols=fcols,
+        target_col="value", time_col="t", n_trees=10, min_rows=30,
+    )
+    best = best_model_per_group(unify_registries(ols, gbt))
+    return best.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        F.round("r2", 6).alias("r2"),
+        F.round("mse", 6).alias("mse"),
+        F.col("model_blob").isNotNull().alias("is_blob_family"),
+    ).orderBy("group_key")
+
+
 def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast, 5 steps ahead per symbol
     (pipeline/forecast.py). Rows-only driver check (the smoothing
@@ -614,6 +654,7 @@ QUERIES = {
     "ml_train_ridge_grid": q_ml_train_ridge_grid,
     "ml_train_tree": q_ml_train_tree,
     "ml_train_tree_grid": q_ml_train_tree_grid,
+    "ml_best_of_family": q_ml_best_of_family,
 }
 
 ORACLE = {

@@ -140,11 +140,66 @@ SELECT * FROM (
 ) WHERE rnk <= {SAMPLE_K}
 """
 
+STRATUM_K = 5
+
+
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic weighted sampling: top-{STRATUM_K}
+    orders PER market segment, weight ∝ o_totalprice (Efraimidis–
+    Spirakis A-ES with the Knuth-hash uniform) — the per-stratum twin
+    of weighted_sample, i.e. the 'balanced eval slice per domain'
+    draw a training-data pipeline runs.
+
+    Scale shape: the segment lookup is the audited broadcast dim
+    join; ranking is ONE window partitioned by segment (parallel
+    across strata, unlike the global sample's rank-limit top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    u = (
+        ((F.col("o_orderkey") % F.lit(PREMOD)) * F.lit(KNUTH)) % F.lit(MOD) + 1
+    ) / F.lit(float(MOD + 1))
+    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        (F.round(F.log(u) / F.col("o_totalprice"), 9) + F.lit(0.0)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("score").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= STRATUM_K)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice", "score")
+    )
+
+
+_WEIGHTED_SAMPLE_STRATIFIED_SQL = f"""
+WITH scored AS (
+  SELECT c_mktsegment, o_orderkey,
+         ROUND(o_totalprice, 2) AS o_totalprice,
+         ROUND(ln((((o_orderkey % {PREMOD}) * {KNUTH}) % {MOD} + 1)
+                  / CAST({MOD + 1} AS DOUBLE)) / o_totalprice, 9) + 0.0 AS score
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY score DESC, o_orderkey ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {STRATUM_K}
+"""
+
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_stratified": q_weighted_sample_stratified,
 }
 ORACLE = {
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "weighted_sample_stratified": _WEIGHTED_SAMPLE_STRATIFIED_SQL,
 }

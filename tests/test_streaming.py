@@ -661,3 +661,75 @@ def test_stream_dedup_incremental_replay_converges(spark, tmp_path):
     assert {
         (r.id, tuple(r.sig)) for r in spark.read.parquet(state_a).collect()
     } == sigs_a
+
+
+@pytest.mark.timeout(300)
+def test_kafka_connector_absent_and_wire_fixture_roundtrip(spark, tmp_path):
+    """Adjudication of the embedded-broker-stub question (round-3
+    advice): this sandbox's pyspark ships NO spark-sql-kafka jars, so
+    ``format("kafka")`` fails at DataSource RESOLUTION — before any
+    socket is opened — and a wire-protocol stub broker could never
+    make the integration test pass here. Bundling the connector jars
+    plus a protocol stub is deploy infrastructure, not engine code.
+
+    What CAN be pinned without a broker is everything but the network
+    hop: a RECORDED connector-shaped micro-batch (binary key/value +
+    topic/partition/offset/timestamp metadata — the exact schema
+    ``readStream.format("kafka")`` yields) replayed through the same
+    parse + keyed-overwrite sink that stream_ingest_kafka's
+    foreachBatch runs, byte-equal with the file-twin path."""
+    from pyspark.sql import functions as SF
+
+    from finance_etl_system_spark.sources.readers import to_kafka_frame
+    from finance_etl_system_spark.streaming.ingest import (
+        parse_kafka_records,
+        write_keyed_overwrite,
+    )
+
+    # 1. the adjudication claim itself: provider resolution fails
+    with pytest.raises(Exception, match="(?i)kafka"):
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "t")
+            .load()
+        )
+
+    # 2. recorded-fixture harness: producer wire bytes → connector
+    #    read schema → parse → sink, vs the file twin on the same rows
+    src = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01-02", 101.0, 103.0, 100.0, 102.5, 1000,
+             "2024-01-02T21:00:00"),
+            ("msft", "2024-01-02", 390.0, 395.0, 388.0, 391.25, 2000,
+             "2024-01-02T21:00:00"),
+        ],
+        "ticker string, date string, open double, high double, low double,"
+        " close double, volume long, timestamp string",
+    )
+    wire = to_kafka_frame(src)  # exactly what .write.format("kafka") sends
+    recorded = wire.select(
+        SF.col("key").cast("binary").alias("key"),
+        SF.col("value").cast("binary").alias("value"),
+        SF.lit("prices").alias("topic"),
+        SF.lit(0).alias("partition"),
+        SF.monotonically_increasing_id().alias("offset"),
+        SF.lit("2024-01-02 21:00:01").cast("timestamp").alias("timestamp"),
+        SF.lit(0).alias("timestampType"),
+    )
+    assert [f.dataType.simpleString() for f in recorded.schema.fields[:2]] == [
+        "binary",
+        "binary",
+    ]
+    parsed = parse_kafka_records(recorded)
+    out_kafka = str(tmp_path / "out_kafka")
+    write_keyed_overwrite(parsed, out_kafka)
+
+    out_file = str(tmp_path / "out_file")
+    write_keyed_overwrite(parse_kafka_records(wire), out_file)
+
+    cols = ["symbol", "date", "open", "high", "low", "close", "volume"]
+    a = sorted(tuple(r) for r in spark.read.parquet(out_kafka).select(cols).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out_file).select(cols).collect())
+    assert a == b
+    assert {r[0] for r in a} == {"AAPL", "MSFT"}  # upper-cased keys
