@@ -44,40 +44,44 @@ def _populations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return ref, cur
 
 
+def _bucket_counts(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    """ONE scan produces BOTH populations' bucket counts (the is_ref
+    flag rides the row instead of two filtered scans), and the totals
+    come from re-aggregating the ≤|edges|+1-row bucket table — so a
+    drift query costs exactly two scans (edges + counts) regardless of
+    how many derived frames it builds."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"), "o_totalprice"
+    )
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc
+            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("n_ref"), F.sum("cur_n").alias("n_cur")
+    )
+    return counts.crossJoin(F.broadcast(totals))
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ref, cur = _populations(spark, sf_dir)
+    ref, _cur = _populations(spark, sf_dir)
     qs = ", ".join(str(q) for q in _PSI_QS)
     edges = ref.agg(
         F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
     )
-
-    def bucketed(df: DataFrame, name: str) -> DataFrame:
-        b = df.crossJoin(F.broadcast(edges)).select(
-            F.aggregate(
-                F.col("e"),
-                F.lit(1),
-                lambda acc, e: acc
-                + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
-            ).alias("bucket")
-        )
-        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(f"{name}_n"))
-
-    r = bucketed(ref, "ref")
-    c = bucketed(cur, "cur")
-    tot = (
-        r.join(c, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
-        )
-        .crossJoin(
-            F.broadcast(
-                ref.agg(F.count(F.lit(1)).alias("ref_total")).crossJoin(
-                    cur.agg(F.count(F.lit(1)).alias("cur_total"))
-                )
-            )
-        )
+    tot = _bucket_counts(spark, sf_dir, edges).withColumnsRenamed(
+        {"n_ref": "ref_total", "n_cur": "cur_total"}
     )
     p = F.col("ref_n") / F.col("ref_total")
     q = F.col("cur_n") / F.col("cur_total")
@@ -218,38 +222,12 @@ def q_drift_ks_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ref, cur = _populations(spark, sf_dir)
+    ref, _cur = _populations(spark, sf_dir)
     qs = ", ".join(str(q) for q in _KSR_QS)
     edges = ref.agg(
         F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
     )
-
-    def bucketed(df: DataFrame, name: str) -> DataFrame:
-        b = df.crossJoin(F.broadcast(edges)).select(
-            F.aggregate(
-                F.col("e"),
-                F.lit(1),
-                lambda acc, e: acc
-                + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
-            ).alias("bucket")
-        )
-        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(f"{name}_n"))
-
-    totals = F.broadcast(
-        ref.agg(F.count(F.lit(1)).alias("n_ref")).crossJoin(
-            cur.agg(F.count(F.lit(1)).alias("n_cur"))
-        )
-    )
-    tot = (
-        bucketed(ref, "ref")
-        .join(bucketed(cur, "cur"), "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
-        )
-        .crossJoin(totals)
-    )
+    tot = _bucket_counts(spark, sf_dir, edges)
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -340,26 +318,17 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals broadcast; |categories| rows ever cross a shuffle. All
     inputs are exact integer counts → engine-identical doubles."""
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderdate", "o_orderpriority"
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        "o_orderpriority",
     )
-    ref = o.filter(F.col("o_orderdate") < SPLIT_DATE)
-    cur = o.filter(F.col("o_orderdate") >= SPLIT_DATE)
-    r = ref.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("ref_n"))
-    c = cur.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cur_n"))
-    totals = F.broadcast(
-        ref.agg(F.count(F.lit(1)).alias("n_ref")).crossJoin(
-            cur.agg(F.count(F.lit(1)).alias("n_cur"))
-        )
+    counts = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
     )
-    j = (
-        r.join(c, "o_orderpriority", "full_outer")
-        .select(
-            "o_orderpriority",
-            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
-        )
-        .crossJoin(totals)
+    totals = counts.agg(
+        F.sum("ref_n").alias("n_ref"), F.sum("cur_n").alias("n_cur")
     )
+    j = counts.crossJoin(F.broadcast(totals))
     exp = F.col("n_cur") * F.col("ref_n") / F.col("n_ref")
     contrib = F.when(
         F.col("ref_n") > 0, (F.col("cur_n") - exp) * (F.col("cur_n") - exp) / exp
