@@ -399,43 +399,6 @@ def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
     ).orderBy("user_id", "h")
 
-
-def _trend_models(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second closed-form family for cross-family serving: per-user OLS
-    of tick value against the chronological row index (linear trend).
-    Same exact integer covariance algebra as the lag family, so both
-    engines produce bit-identical doubles. Carries n so the serving
-    CASE can extrapolate to index n+1."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = e.withColumn(
-        "_y", F.round(F.col("value") * 100, 0).cast("long")
-    ).withColumn("_x", F.row_number().over(w).cast("long"))
-    agg = t.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("sx"),
-        F.sum("_y").alias("sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope_t = F.when(den_x != 0, num / den_x).otherwise(F.lit(0.0))
-    intercept_t = (F.col("sy").cast("double") - slope_t * F.col("sx")) / F.col("n")
-    r2 = F.when(
-        (den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y)
-    ).otherwise(F.lit(0.0))
-    return agg.select(
-        "user_id",
-        "n",
-        F.round(slope_t / 100.0, 6).alias("slope"),
-        F.round(intercept_t / 100.0, 6).alias("intercept"),
-        F.round(r2, 6).alias("r2"),
-    )
-
-
 def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's serving path (SURVEY §3.3, GET /predict/{symbol}:
     fetch latest indicators → get_best_model ACROSS families → predict
@@ -448,58 +411,117 @@ def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All moments are exact integer-tick algebra and every float is
     rounded before the cross-family comparison, so the argmax and the
-    CASE arithmetic are engine-identical. The per-family model tables
-    are group-sized (broadcastable); the union+argmax is one window
-    over 2 rows per user."""
+    CASE arithmetic are engine-identical.
+
+    Plan shape: ONE scan, ONE window pass (the shared per-user
+    chronological order carries the lag tick AND the non-null row
+    index the trend family regresses on), ONE groupBy computing both
+    families' integer moments plus the latest observation
+    (max(struct)) — no self-join, no second shuffle. The per-family
+    models then compete as columns of the same group-sized row."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        e.filter(F.col("value").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.round("value", 2).alias("latest_value"))
-    )
-    lag = q_ml_linreg_monitoring(spark, sf_dir).select(
-        "user_id",
-        F.lit("linear_lag").alias("model_name"),
-        F.lit(None).cast("long").alias("n"),
-        "slope",
-        "intercept",
-        "r2",
-    )
-    trend = _trend_models(spark, sf_dir).select(
-        "user_id",
-        F.lit("linear_trend").alias("model_name"),
-        F.col("n").cast("long").alias("n"),
-        "slope",
-        "intercept",
-        "r2",
-    )
-    both = lag.unionByName(trend)
-    ww = Window.partitionBy("user_id").orderBy(
-        F.col("r2").desc(), F.col("model_name").asc()
-    )
-    best = both.withColumn("rn", F.row_number().over(ww)).filter(
-        F.col("rn") == 1
-    )
-    pred = F.when(
-        F.col("model_name") == "linear_lag",
-        F.col("slope") * F.col("latest_value") + F.col("intercept"),
-    ).otherwise(F.col("slope") * (F.col("n") + 1) + F.col("intercept"))
-    return (
-        latest.join(best, "user_id")
-        .select(
-            "user_id",
-            "model_name",
-            "latest_value",
-            "r2",
-            F.round(pred, 4).alias("prediction"),
-            (F.col("r2") < 0.1).alias("alert_low_r2"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    nn = F.col("value").isNotNull()
+    base = (
+        e.withColumn("_y", t)
+        .withColumn("_x", F.lag(t.alias("t"), 1).over(w))
+        # row index among NON-NULL values in chronological order ==
+        # row_number over the null-filtered frame (same sort)
+        .withColumn(
+            "_idx",
+            F.sum(F.when(nn, 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
         )
-        .orderBy("user_id")
     )
+    has_x = F.col("_x").isNotNull()
+    agg = base.groupBy("user_id").agg(
+        # lag family: pairs where the lagged tick exists (the _y-null
+        # rows still count toward n, matching q_ml_linreg_monitoring)
+        F.sum(F.when(has_x, 1).otherwise(0)).alias("ln"),
+        F.sum(F.when(has_x, F.col("_x"))).alias("lsx"),
+        F.sum(F.when(has_x, F.col("_y"))).alias("lsy"),
+        F.sum(F.when(has_x, F.col("_x") * F.col("_y"))).alias("lsxy"),
+        F.sum(F.when(has_x, F.col("_x") * F.col("_x"))).alias("lsxx"),
+        F.sum(F.when(has_x, F.col("_y") * F.col("_y"))).alias("lsyy"),
+        # trend family: non-null values against their chrono index
+        F.sum(F.when(nn, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(nn, F.col("_idx"))).alias("tsx"),
+        F.sum(F.when(nn, F.col("_y"))).alias("tsy"),
+        F.sum(F.when(nn, F.col("_idx") * F.col("_y"))).alias("tsxy"),
+        F.sum(F.when(nn, F.col("_idx") * F.col("_idx"))).alias("tsxx"),
+        F.sum(F.when(nn, F.col("_y") * F.col("_y"))).alias("tsyy"),
+        # latest non-null observation: lexicographic max over
+        # (ts, event_id) == ORDER BY ts DESC, event_id DESC pick
+        F.max(
+            F.when(nn, F.struct("ts", "event_id", F.round("value", 2).alias("v")))
+        )["v"].alias("latest_value"),
+    )
+
+    def fam(p: str):
+        num = (F.col(f"{p}n") * F.col(f"{p}sxy") - F.col(f"{p}sx") * F.col(f"{p}sy")).cast("double")
+        den_x = (F.col(f"{p}n") * F.col(f"{p}sxx") - F.col(f"{p}sx") * F.col(f"{p}sx")).cast("double")
+        den_y = (F.col(f"{p}n") * F.col(f"{p}syy") - F.col(f"{p}sy") * F.col(f"{p}sy")).cast("double")
+        slope = F.when(den_x != 0, num / den_x).otherwise(F.lit(0.0))
+        r2 = F.when(
+            (den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y)
+        ).otherwise(F.lit(0.0))
+        return slope, r2
+
+    l_slope_raw, l_r2 = fam("l")
+    t_slope_raw, t_r2 = fam("t")
+    # lag family: slope unitless, intercept in dollars (ticks/100)
+    l_slope = F.round(l_slope_raw, 6)
+    l_int = F.round(
+        (F.col("lsy").cast("double") - l_slope_raw * F.col("lsx"))
+        / F.col("ln")
+        / 100.0,
+        6,
+    )
+    # trend family: ticks/step and tick intercept, both → dollars
+    t_slope = F.round(t_slope_raw / 100.0, 6)
+    t_int = F.round(
+        (F.col("tsy").cast("double") - t_slope_raw * F.col("tsx"))
+        / F.col("tn")
+        / 100.0,
+        6,
+    )
+    models = agg.filter(F.col("latest_value").isNotNull()).select(
+        "user_id",
+        "latest_value",
+        F.round(l_r2, 6).alias("lag_r2"),
+        l_slope.alias("lag_slope"),
+        l_int.alias("lag_int"),
+        F.round(t_r2, 6).alias("trend_r2"),
+        t_slope.alias("trend_slope"),
+        t_int.alias("trend_int"),
+        F.col("tn").alias("n"),
+        F.col("ln").alias("has_lag"),
+    )
+    # argmax over the two families: r2 desc, model_name asc tiebreak
+    # ('linear_lag' < 'linear_trend'); a 1-event user has no lag model
+    lag_wins = (F.col("has_lag") > 0) & (
+        F.col("lag_r2") >= F.col("trend_r2")
+    )
+    model_name = F.when(lag_wins, F.lit("linear_lag")).otherwise(
+        F.lit("linear_trend")
+    )
+    r2 = F.when(lag_wins, F.col("lag_r2")).otherwise(F.col("trend_r2"))
+    pred = F.when(
+        lag_wins,
+        F.col("lag_slope") * F.col("latest_value") + F.col("lag_int"),
+    ).otherwise(
+        F.col("trend_slope") * (F.col("n") + 1) + F.col("trend_int")
+    )
+    return models.select(
+        "user_id",
+        model_name.alias("model_name"),
+        "latest_value",
+        r2.alias("r2"),
+        F.round(pred, 4).alias("prediction"),
+        (r2 < 0.1).alias("alert_low_r2"),
+    ).orderBy("user_id")
 
 
 _TREND_MODELS_SQL = """
