@@ -399,6 +399,158 @@ def q_ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
     ).orderBy("user_id", "h")
 
+
+_WF_FOLDS = ((0.5, 0.75), (0.75, 1.0))  # (train-prefix frac, test-end frac)
+
+
+def q_ml_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest (rolling retrain) of the per-user lag-1
+    OLS: for each fold, the model trains on the chronological PREFIX
+    and is evaluated out-of-sample on the NEXT slice — the batch twin
+    of the reference's scheduled-retrain loop (ml-service
+    ml_scheduler.py periodic retrain + eval), and the honest metric a
+    serving alarm should threshold (train r2 flatters).
+
+    Fully closed-form, hence oracle-checked: per (user, fold), train
+    slope/intercept come from prefix integer-tick moments, and the
+    out-of-sample SSE expands algebraically as
+    Σ(y−ax−b)² = Syy + a²Sxx + m·b² − 2a·Sxy − 2b·Sy + 2ab·Sx
+    over TEST-slice moments — so the whole backtest is ONE window pass
+    (chronological index) + ONE groupBy collecting train+test moments
+    per fold, with zero joins and no per-row scoring pass.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    base = (
+        e.withColumn("_y", t)
+        .withColumn("_x", F.lag(t.alias("t"), 1).over(w))
+        .withColumn("_idx", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("_x").isNotNull())
+    )
+    aggs = []
+    for k, (f0, f1) in enumerate(_WF_FOLDS):
+        cut = F.floor(F.col("_n") * F.lit(f0))
+        hi = F.floor(F.col("_n") * F.lit(f1))
+        tr = F.col("_idx") <= cut
+        te = (F.col("_idx") > cut) & (F.col("_idx") <= hi)
+        for tag, cond in ((f"tr{k}", tr), (f"te{k}", te)):
+            aggs += [
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"{tag}_n"),
+                F.sum(F.when(cond, F.col("_x"))).alias(f"{tag}_sx"),
+                F.sum(F.when(cond, F.col("_y"))).alias(f"{tag}_sy"),
+                F.sum(F.when(cond, F.col("_x") * F.col("_y"))).alias(f"{tag}_sxy"),
+                F.sum(F.when(cond, F.col("_x") * F.col("_x"))).alias(f"{tag}_sxx"),
+                F.sum(F.when(cond, F.col("_y") * F.col("_y"))).alias(f"{tag}_syy"),
+            ]
+    agg = base.groupBy("user_id").agg(*aggs)
+
+    folds = []
+    for k in range(len(_WF_FOLDS)):
+        n = F.col(f"tr{k}_n").cast("double")
+        num = (F.col(f"tr{k}_n") * F.col(f"tr{k}_sxy") - F.col(f"tr{k}_sx") * F.col(f"tr{k}_sy")).cast("double")
+        den = (F.col(f"tr{k}_n") * F.col(f"tr{k}_sxx") - F.col(f"tr{k}_sx") * F.col(f"tr{k}_sx")).cast("double")
+        a = num / den
+        b = (F.col(f"tr{k}_sy").cast("double") - a * F.col(f"tr{k}_sx")) / n
+        m = F.col(f"te{k}_n").cast("double")
+        sse = (
+            F.col(f"te{k}_syy")
+            + a * a * F.col(f"te{k}_sxx")
+            + m * b * b
+            - 2 * a * F.col(f"te{k}_sxy")
+            - 2 * b * F.col(f"te{k}_sy")
+            + 2 * a * b * F.col(f"te{k}_sx")
+        )
+        folds.append(
+            F.struct(
+                F.lit(k + 1).alias("fold"),
+                F.col(f"tr{k}_n").alias("train_n"),
+                F.col(f"te{k}_n").alias("test_n"),
+                F.when(den != 0, F.round(a, 6)).alias("slope"),
+                F.when(den != 0, F.round(b / 100.0, 6)).alias("intercept"),
+                F.when(
+                    (den != 0) & (F.col(f"te{k}_n") > 0),
+                    F.round(sse / m / 10000.0, 6),
+                ).alias("test_mse"),
+            )
+        )
+    out = agg.select(
+        "user_id", F.explode(F.array(*folds)).alias("f")
+    ).select("user_id", "f.*")
+    return out.filter(
+        F.col("slope").isNotNull() & F.col("test_mse").isNotNull()
+    ).orderBy("user_id", "fold")
+
+
+def _wf_fold_sql(k: int, f0: float, f1: float) -> str:
+    c = f"CAST(FLOOR(n * {f0}) AS BIGINT)"
+    h = f"CAST(FLOOR(n * {f1}) AS BIGINT)"
+    tr = f"idx <= {c}"
+    te = f"idx > {c} AND idx <= {h}"
+    return f"""
+  SELECT user_id, {k + 1} AS fold,
+    CAST(SUM(CASE WHEN {tr} THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+    CAST(SUM(CASE WHEN {te} THEN 1 ELSE 0 END) AS BIGINT) AS test_n,
+    SUM(CASE WHEN {tr} THEN x END) AS tr_sx,
+    SUM(CASE WHEN {tr} THEN y END) AS tr_sy,
+    SUM(CASE WHEN {tr} THEN x * y END) AS tr_sxy,
+    SUM(CASE WHEN {tr} THEN x * x END) AS tr_sxx,
+    SUM(CASE WHEN {te} THEN x END) AS te_sx,
+    SUM(CASE WHEN {te} THEN y END) AS te_sy,
+    SUM(CASE WHEN {te} THEN x * y END) AS te_sxy,
+    SUM(CASE WHEN {te} THEN x * x END) AS te_sxx,
+    SUM(CASE WHEN {te} THEN y * y END) AS te_syy
+  FROM base GROUP BY user_id"""
+
+
+_ML_WALK_FORWARD_SQL = f"""
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y0
+  FROM events WHERE value IS NOT NULL
+),
+win AS (
+  SELECT user_id, y0 AS y,
+         LAG(y0, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM nn
+),
+base AS (SELECT * FROM win WHERE x IS NOT NULL),
+m0 AS ({_wf_fold_sql(0, *_WF_FOLDS[0])}),
+m1 AS ({_wf_fold_sql(1, *_WF_FOLDS[1])}),
+moments AS (SELECT * FROM m0 UNION ALL SELECT * FROM m1),
+calc AS (
+  SELECT user_id, fold, train_n, test_n,
+    CAST(train_n * tr_sxy - tr_sx * tr_sy AS DOUBLE)
+      / CAST(train_n * tr_sxx - tr_sx * tr_sx AS DOUBLE) AS a,
+    CAST(train_n * tr_sxx - tr_sx * tr_sx AS DOUBLE) AS den,
+    te_sx, te_sy, te_sxy, te_sxx, te_syy
+  FROM moments
+),
+calc2 AS (
+  SELECT *, (CAST(tr2.tr_sy AS DOUBLE) - a * tr2.tr_sx)
+            / CAST(train_n AS DOUBLE) AS b
+  FROM (
+    SELECT c.*, m.tr_sx, m.tr_sy
+    FROM calc c JOIN moments m USING (user_id, fold)
+  ) tr2
+)
+SELECT user_id, fold, train_n, test_n,
+  CASE WHEN den <> 0 THEN ROUND(a, 6) END AS slope,
+  CASE WHEN den <> 0 THEN ROUND(b / 100.0, 6) END AS intercept,
+  CASE WHEN den <> 0 AND test_n > 0 THEN
+    ROUND((te_syy + a * a * te_sxx + CAST(test_n AS DOUBLE) * b * b
+           - 2 * a * te_sxy - 2 * b * te_sy + 2 * a * b * te_sx)
+          / CAST(test_n AS DOUBLE) / 10000.0, 6)
+  END AS test_mse
+FROM calc2
+WHERE den <> 0 AND test_n > 0
+ORDER BY user_id, fold
+"""
+
+
 def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's serving path (SURVEY §3.3, GET /predict/{symbol}:
     fetch latest indicators → get_best_model ACROSS families → predict
@@ -677,6 +829,7 @@ QUERIES = {
     "ml_train_tree": q_ml_train_tree,
     "ml_train_tree_grid": q_ml_train_tree_grid,
     "ml_best_of_family": q_ml_best_of_family,
+    "ml_walk_forward": q_ml_walk_forward,
 }
 
 ORACLE = {
@@ -685,4 +838,5 @@ ORACLE = {
     "serve_latest_prediction": _serve_latest_sql(),
     "ml_standardize": _ML_STANDARDIZE_SQL,
     "ml_linreg_monitoring": _ML_LINREG_MONITORING_SQL,
+    "ml_walk_forward": _ML_WALK_FORWARD_SQL,
 }

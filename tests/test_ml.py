@@ -517,3 +517,37 @@ def test_score_from_blob_cogroup_many_groups_no_collect(spark, monkeypatch):
     ).toPandas()
     assert len(scored) == 2 * n_groups
     assert (scored["prediction"] == scored["g"].astype(float)).all()
+
+
+def test_walk_forward_out_of_sample_semantics(spark, monkeypatch):
+    """A perfectly persistent-drift series (value_t = value_{t-1} + 1)
+    is fit exactly by the lag-1 model on every prefix, so every fold's
+    out-of-sample MSE is 0; a series whose dynamics BREAK after the
+    first training prefix shows fold-1 test error while the
+    larger-prefix fold adapts."""
+    import finance_etl_system_spark.queries.ml as mlq
+    from finance_etl_system_spark.catalog import load_table as _real
+
+    rows = []
+    for i in range(40):  # drift: y_t = y_{t-1} + 1 exactly
+        rows.append(("u1", i, float(100 + i)))
+    for i in range(40):  # regime change at i=20: slope flips
+        v = float(100 + i) if i < 20 else float(120 - 2 * (i - 20))
+        rows.append(("u2", i, v))
+    df = spark.createDataFrame(rows, "user_id string, event_id int, value double")
+    df = df.withColumn(
+        "ts", F.to_timestamp(F.expr("timestampadd(SECOND, event_id, timestamp'2024-01-01')"))
+    )
+    monkeypatch.setattr(
+        mlq, "load_table", lambda spark_, sf_dir, name: df
+    )
+    out = {
+        (r.user_id, r.fold): r
+        for r in mlq.q_ml_walk_forward(spark, "ignored").collect()
+    }
+    for k in ((("u1", 1)), (("u1", 2))):
+        assert out[k].slope == 1.0
+        assert out[k].test_mse == 0.0
+    # u2: fold 1 trains on idx<=19 (pre-break prefix, pure +1 drift),
+    # tests across the broken regime -> nonzero out-of-sample error
+    assert out[("u2", 1)].test_mse > 0.0
