@@ -244,7 +244,27 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
-    routed = (
+    routed = _route_queries(q, centroids, nprobe)
+    scored = c.join(F.broadcast(routed), "cluster").select(
+        "qid",
+        "cid",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "cosine")
+    )
+
+
+def _route_queries(q: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(qid, qv) × broadcast centroid table → the nprobe nearest
+    clusters per query (cosine routing, deterministic tiebreak)."""
+    return (
         q.crossJoin(F.broadcast(centroids))
         .select(
             "qid",
@@ -266,15 +286,91 @@ def cosine_topk_ivf(
         .filter(F.col("crnk") <= nprobe)
         .select("qid", "qv", "cluster")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+):
+    """Build-once/query-many ANN index — the FAISS-IVF pattern as a
+    table LAYOUT: train k-means (operators/clustering.py), then write
+
+    - ``{path}/vectors``   vectors parquet PARTITIONED BY cluster
+    - ``{path}/centroids`` the k×d centroid table (k rows)
+
+    Partitioning by cluster is what turns a probe into data skipping:
+    querying joins the routed (query, cluster) pairs against the
+    partition COLUMN, so Spark's dynamic partition pruning reads only
+    the probed clusters' files — at 100 TB an nprobe/k fraction of the
+    index, no full scan (plan-asserted in tests/test_similarity.py).
+    Returns the fitted KMeansModel (k×d driver state)."""
+    from .clustering import kmeans_assign, kmeans_fit
+
+    model = kmeans_fit(
+        corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
+        max_iter=max_iter,
+    )
+    assigned = kmeans_assign(corpus, model.centroids, vec_col=vec_col)
+    (
+        assigned.select(id_col, vec_col, "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.centroids)
+    ]
+    corpus.sparkSession.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return model
+
+
+def cosine_topk_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (build_ivf_index): route each query
+    to its nprobe nearest centroids (broadcast k-row table), then scan
+    ONLY those clusters' partitions — the routed frame joins the
+    vectors table on its partition column, so dynamic partition
+    pruning skips every unprobed cluster's files. Exact cosine within
+    the probed buckets, deterministic top-k."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    id_col = [c for c in vectors.columns if c not in (vec_col, "cluster")][0]
+    q = queries.select(
+        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = _route_queries(q, centroids, nprobe)
+    c = vectors.select(
+        F.col(id_col).alias("cid"),
+        "cluster",
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
     scored = c.join(F.broadcast(routed), "cluster").select(
         "qid",
         "cid",
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

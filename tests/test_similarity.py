@@ -135,3 +135,57 @@ def test_int8_quantization_roundtrip_bounds(spark):
         dq = q * scale
         cos = dq @ v / (np.linalg.norm(dq) * np.linalg.norm(v))
         assert cos > 0.999
+
+
+def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted index answers with the
+    corpus partitioned by cluster, the probe joins on the partition
+    column (dynamic partition pruning — only probed clusters' files
+    are read), self-queries return themselves at rank 1, and recall
+    vs exact brute force is high at nprobe=half the clusters."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_index,
+    )
+    from finance_etl_system_spark.plans.inspect import (
+        has_dynamic_partition_pruning,
+        partition_filters,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    model = build_ivf_index(e, path, k_clusters=4, id_col="vec_id")
+    assert model.centroids.shape[0] == 4
+
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_ivf_index(
+        spark, path, queries, k=10, nprobe=2
+    )
+    assert has_dynamic_partition_pruning(got), partition_filters(got)
+
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert rs[0].cid == qid and rs[0].cosine == 1.0  # self at rank 1
+        assert [r.cosine for r in rs] == sorted(
+            (r.cosine for r in rs), reverse=True
+        )
+
+    exact = cosine_topk_bruteforce(queries, e, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.cid)
+    hits = sum(
+        len({r.cid for r in rs} & exact_sets[qid])
+        for qid, rs in by_q.items()
+    )
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.5  # nprobe=2 of 4 clusters
