@@ -267,6 +267,81 @@ ORDER BY ny_hour
 """
 
 
+
+_SEASON_M = 7  # weekly seasonality on the per-user event series
+
+
+def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation with MASE — the benchmark
+    every forecasting tier must beat (Hyndman): per user, the
+    m-step-back value predicts the current one, and the error is
+    scaled by the 1-step naive\'s in-sample MAE:
+
+        mase = mean|v_t − v_{t−m}| / mean|v_t − v_{t−1}|
+
+    mase < 1 ⇔ the seasonal pattern carries real signal. Exact
+    integer-tick absolute errors (|Δ| of longs), ONE window pass for
+    both lags, one groupBy — fully oracle-checked, zero Python."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    base = (
+        e.withColumn("_y", t)
+        .withColumn("_l1", F.lag(t.alias("t"), 1).over(w))
+        .withColumn("_lm", F.lag(t.alias("t"), _SEASON_M).over(w))
+    )
+    agg = base.groupBy("user_id").agg(
+        F.sum(F.when(F.col("_lm").isNotNull(), 1).otherwise(0)).alias("n_eval"),
+        F.sum(F.when(F.col("_lm").isNotNull(), F.abs(F.col("_y") - F.col("_lm")))).alias("sae_m"),
+        F.sum(F.when(F.col("_l1").isNotNull(), 1).otherwise(0)).alias("n_naive"),
+        F.sum(F.when(F.col("_l1").isNotNull(), F.abs(F.col("_y") - F.col("_l1")))).alias("sae_1"),
+    )
+    mae_m = F.col("sae_m").cast("double") / F.col("n_eval")
+    mae_1 = F.col("sae_1").cast("double") / F.col("n_naive")
+    return (
+        agg.filter((F.col("n_eval") > 0) & (F.col("sae_1") > 0))
+        .select(
+            "user_id",
+            "n_eval",
+            F.round(mae_m / 100.0, 6).alias("mae_seasonal"),
+            F.round(mae_1 / 100.0, 6).alias("mae_naive"),
+            F.round(mae_m / mae_1, 6).alias("mase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FORECAST_SEASONAL_NAIVE_SQL = f"""
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, y,
+         LAG(y, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+         LAG(y, {_SEASON_M}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lm
+  FROM nn
+),
+agg AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+    SUM(CASE WHEN lm IS NOT NULL THEN ABS(y - lm) END) AS sae_m,
+    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_naive,
+    SUM(CASE WHEN l1 IS NOT NULL THEN ABS(y - l1) END) AS sae_1
+  FROM lagged GROUP BY user_id
+)
+SELECT user_id, n_eval,
+  ROUND(CAST(sae_m AS DOUBLE) / n_eval / 100.0, 6) AS mae_seasonal,
+  ROUND(CAST(sae_1 AS DOUBLE) / n_naive / 100.0, 6) AS mae_naive,
+  ROUND((CAST(sae_m AS DOUBLE) / n_eval)
+        / (CAST(sae_1 AS DOUBLE) / n_naive), 6) AS mase
+FROM agg
+WHERE n_eval > 0 AND sae_1 > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_user_state": q_scd2_user_state,
@@ -274,6 +349,7 @@ QUERIES = {
     "stats_corr": q_stats_corr,
     "nation_roster": q_nation_roster,
     "price_histogram": q_price_histogram,
+    "forecast_seasonal_naive": q_forecast_seasonal_naive,
 }
 
 ORACLE = {
@@ -283,4 +359,5 @@ ORACLE = {
     "stats_corr": _STATS_CORR_SQL,
     "nation_roster": _NATION_ROSTER_SQL,
     "price_histogram": _PRICE_HISTOGRAM_SQL,
+    "forecast_seasonal_naive": _FORECAST_SEASONAL_NAIVE_SQL,
 }
