@@ -73,3 +73,63 @@ def stream_score(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_score_best_model(
+    spark: SparkSession,
+    source_dir: str,
+    registry_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    group_col: str = "symbol",
+    feature_cols: list[str] = ("close", "volume"),
+):
+    """Streaming serving from the UNIFIED cross-family registry
+    (pipeline/ml.py unify_registries): each micro-batch is scored by
+    the argmax-r2 winner per key — linear winners as column
+    arithmetic, tree winners deserialized from blobs — via
+    serve_best_model inside foreachBatch. The reference's
+    get_best_model-then-predict per request
+    (ml-service/prediction_api.py:107-130), as one batch plan per
+    micro-batch instead of a per-request load.
+
+    The sink is partitioned by batch_id with dynamic-partition
+    overwrite, so crashed-batch retries are idempotent (same contract
+    as streaming/quality.py). The registry file listing is read once
+    at start — restart to refresh, like stream_score. Rows whose key
+    has no model are DROPPED (inner-join serving semantics); route
+    the source through a left-anti fallback if 404s must surface.
+    """
+    from ..pipeline.ml import serve_best_model
+
+    registry = spark.read.parquet(registry_path)
+    raw = spark.readStream.schema("key STRING, value STRING").json(source_dir)
+    feats = parse_kafka_records(raw).select(
+        F.upper("ticker").alias(group_col), "event_time", *feature_cols
+    )
+
+    def fb(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = serve_best_model(
+            batch_df,
+            registry,
+            group_col=group_col,
+            feature_cols=list(feature_cols),
+            blob_strategy="broadcast",  # registry is dim-sized here
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        feats.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

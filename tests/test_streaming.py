@@ -733,3 +733,58 @@ def test_kafka_connector_absent_and_wire_fixture_roundtrip(spark, tmp_path):
     b = sorted(tuple(r) for r in spark.read.parquet(out_file).select(cols).collect())
     assert a == b
     assert {r[0] for r in a} == {"AAPL", "MSFT"}  # upper-cased keys
+
+
+@pytest.mark.timeout(300)
+def test_stream_score_best_model_crosses_families(spark, tmp_path):
+    """Streaming serving from the unified registry: a linear winner
+    serves column arithmetic, a tree winner serves its blob — one
+    stream, per-key family routing, retry-idempotent sink."""
+    import numpy as np
+
+    from finance_etl_system_spark.pipeline.ml import unify_registries
+    from finance_etl_system_spark.pipeline.trees import blob_dumps, gbt_fit, gbt_predict
+    from finance_etl_system_spark.streaming.scoring import stream_score_best_model
+
+    def msg(ticker, ts, close, volume):
+        value = {"ticker": ticker, "date": ts[:10], "open": close, "high": close,
+                 "low": close, "close": close, "volume": volume, "timestamp": ts}
+        return json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        msg("AAPL", "2024-01-02T10:00:00", 100.0, 5)
+        + msg("MSFT", "2024-01-02T10:00:00", 3.0, 2)
+        + msg("ZZZZ", "2024-01-02T10:30:00", 1.0, 1)
+    )
+    # linear family wins AAPL (r2 0.9 vs absent), gbt wins MSFT
+    lin = spark.createDataFrame(
+        [("AAPL", "linear_regression", 10, 0.9, 0.1, [2.0, 0.5], 10.0)],
+        "group_key STRING, model_name STRING, n_rows LONG, r2 DOUBLE,"
+        " mse DOUBLE, coefficients ARRAY<DOUBLE>, intercept DOUBLE",
+    )
+    X = np.array([[1.0, 1.0], [2.0, 1.0], [3.0, 2.0], [4.0, 2.0]] * 5)
+    y = (X[:, 0] ** 2 + X[:, 1]).astype(float)
+    model = gbt_fit(X, y, n_trees=5, max_depth=2, min_leaf=1)
+    expect_msft = float(gbt_predict(model, np.array([[3.0, 2.0]]))[0])
+    gbt = spark.createDataFrame(
+        [("MSFT", "gbt_histogram", 20, 0.95, 0.01,
+          bytearray(blob_dumps(model, ["close", "volume"])))],
+        "group_key STRING, model_name STRING, n_rows LONG, r2 DOUBLE,"
+        " mse DOUBLE, model_blob BINARY",
+    )
+    registry = str(tmp_path / "registry")
+    unify_registries(lin, gbt).write.parquet(registry)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_score_best_model(spark, str(src), registry, out, ckpt)
+    q.awaitTermination(120)
+
+    rows = {r.symbol: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"AAPL", "MSFT"}  # no model -> dropped
+    assert rows["AAPL"].model_name == "linear_regression"
+    assert rows["AAPL"].prediction == 10.0 + 2.0 * 100.0 + 0.5 * 5
+    assert rows["MSFT"].model_name == "gbt_histogram"
+    assert rows["MSFT"].prediction == expect_msft
+    assert rows["AAPL"].batch_id == 0
