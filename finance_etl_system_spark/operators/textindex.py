@@ -1,0 +1,170 @@
+"""Persistent inverted text index: build-once/query-many BM25 — the
+search-index LAYOUT twin of the per-query ranker in
+queries/retrieval.py (which re-derives postings from raw text on every
+query). The reference ships documents to an external Elasticsearch
+index (reference spark-job/etl_job.py ES sink); here the index is two
+parquet tables the engine owns:
+
+- ``{path}/postings``  (term, doc_id, tf) PARTITIONED BY bucket,
+  where bucket = pmod(xxhash64(term), n_buckets). A query joins its
+  (bucket, term) pairs against the partition column, so dynamic
+  partition pruning reads only the buckets containing query terms —
+  at 100 TB, |terms|/n_buckets of the index, never a corpus scan.
+- ``{path}/doclen``    (doc_id, dl) — per-doc token counts; corpus
+  stats (N, avgdl) re-aggregate from this doc-count-sized table at
+  query time, so they are never stored stale.
+
+Both tables are APPEND-ONLY: ``append_to_text_index`` adds a new
+batch's postings/doclens and every BM25 statistic (tf, df, dl, N,
+avgdl) is recomputed from the union at query time — incremental
+index maintenance with zero rewrite, the property ES gets from
+segment merging. (Deletes = anti-join compaction, same as any
+append-log table here.)
+
+Scoring is the same Lucene-style BM25 as queries/retrieval.py, and
+the indexed path is pinned result-identical to the scan path in
+tests/test_retrieval_anomaly.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.retrieval import B, K1, STOPWORDS, _s_stem_col
+
+N_BUCKETS = 16
+
+
+def _token_array(text_col, analyzed: bool):
+    arr = F.filter(F.split(F.lower(text_col), " +"), lambda x: x != "")
+    if analyzed:
+        arr = F.transform(
+            F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
+        )
+    return arr
+
+
+def _postings(
+    docs: DataFrame, *, text_col: str, id_col: str, analyzed: bool
+) -> tuple[DataFrame, DataFrame]:
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_token_array(F.col(text_col), analyzed)).alias("term"),
+    )
+    post = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return post, dl
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzed: bool = False,
+) -> None:
+    """Materialize the inverted index (overwrite)."""
+    post, dl = _postings(
+        docs, text_col=text_col, id_col=id_col, analyzed=analyzed
+    )
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzed: bool = False,
+) -> None:
+    """Incremental maintenance: append the new batch's postings and
+    doc lengths. Doc ids must be new (replays: dedup upstream or
+    compact). All BM25 stats re-derive from the union at query time,
+    so no stored statistic goes stale."""
+    post, dl = _postings(
+        new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed
+    )
+    post.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("append").parquet(f"{path}/doclen")
+
+
+def bm25_search_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Query the persisted index: the (bucket, term) pairs of the
+    query — computed with the SAME Spark hash expression the writer
+    used — become a LITERAL partition filter: the |terms|-row frame is
+    collected (query-sized, the one permissible collect class) and
+    pushed as ``bucket IN (...)``, so the pruning happens statically
+    at plan time — every bucket holding no query term is never even
+    listed. df/N/avgdl re-aggregate from the matched postings / the
+    doclen table. Output schema and ranking are identical to the
+    scan-path ranker (rnk, doc_id, bm25, n_terms_hit)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclen = spark.read.parquet(f"{path}/doclen")
+    qterms = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)))
+    )
+    buckets = sorted({r["bucket"] for r in qterms.collect()})  # |terms| rows
+    hits = (
+        postings.filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(qterms), ["bucket", "term"])
+        .select("term", "doc_id", "tf")
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("rnk", "doc_id", "bm25", "n_terms_hit")
+    )

@@ -197,6 +197,24 @@ def q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-inverted-index path (operators/textindex.py):
+    build the postings/doclen tables into a temp dir, then answer the
+    SAME fixed query from the index — bucket-partition-pruned probe,
+    stats re-aggregated from the doclen table. Oracle-checked against
+    the identical _BM25_SQL twin the scan path uses: the index must
+    reproduce the scan ranking bit-for-bit (also pinned, with the
+    incremental-append case, in tests/test_retrieval_anomaly.py)."""
+    import tempfile
+
+    from ..operators.textindex import bm25_search_index, build_text_index
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
+    build_text_index(d, path)
+    return bm25_search_index(spark, path, QUERY_TERMS, k=TOP_K)
+
+
 def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean AND retrieval: only documents containing EVERY query
     term qualify, then BM25-ranked. The conjunctive filter is a
@@ -465,6 +483,7 @@ SELECT * FROM (
 QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_analyzed": q_bm25_search_analyzed,
+    "bm25_search_indexed": q_bm25_search_indexed,
     "search_boolean_and": q_search_boolean_and,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "search_phrase": q_search_phrase,
@@ -472,6 +491,7 @@ QUERIES = {
 ORACLE = {
     "bm25_search": _BM25_SQL,
     "bm25_search_analyzed": _BM25_ANALYZED_SQL,
+    "bm25_search_indexed": _BM25_SQL,
     "search_boolean_and": _BOOLEAN_AND_SQL,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "search_phrase": _SEARCH_PHRASE_SQL,

@@ -208,3 +208,51 @@ def test_analyzer_improves_recall_on_inflected_queries(spark):
     assert s_stem("status") == "status"   # -us exception
     assert s_stem("class") == "class"     # -ss exception
     assert analyze_terms(["The", "Streams"]) == ["stream"]
+
+
+def test_text_index_matches_scan_path_and_prunes(spark, tmp_path):
+    """The persisted inverted index must return EXACTLY the scan-path
+    BM25 ranking, keep doing so after an incremental append, and its
+    probe must dynamic-partition-prune to the query terms' buckets."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        append_to_text_index,
+        bm25_search_index,
+        build_text_index,
+    )
+    from finance_etl_system_spark.plans.inspect import partition_filters
+    from finance_etl_system_spark.queries.retrieval import (
+        QUERY_TERMS,
+        _bm25_scored,
+        _rank_topk,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    want = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in _rank_topk(_bm25_scored(d)).collect()
+    ]
+
+    full = str(tmp_path / "full")
+    build_text_index(d, full)
+    got_df = bm25_search_index(spark, full, QUERY_TERMS)
+    # static partition pruning: the scan lists only query-term buckets
+    assert any(
+        "bucket" in f and " in (" in f.lower()
+        for f in partition_filters(got_df)
+    ), partition_filters(got_df)
+    got = [(r.rnk, r.doc_id, r.bm25, r.n_terms_hit) for r in got_df.collect()]
+    assert got == want
+
+    # incremental maintenance: half the corpus at build, half appended
+    from pyspark.sql import functions as SF
+
+    inc = str(tmp_path / "inc")
+    mid = 250
+    build_text_index(d.filter(SF.col("doc_id") < mid), inc)
+    append_to_text_index(d.filter(SF.col("doc_id") >= mid), inc)
+    got2 = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, inc, QUERY_TERMS).collect()
+    ]
+    assert got2 == want
