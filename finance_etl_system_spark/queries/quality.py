@@ -142,6 +142,100 @@ ORDER BY lang, doc_id
 """
 
 
+# target pretraining mix: EN-heavy with the rest equal — weights sum
+# to 1 and are scaled to the largest FEASIBLE corpus (no upsampling)
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def q_data_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsampling to a TARGET language mix (the
+    pretraining-mix op: hit prescribed per-language shares without
+    upsampling): the largest feasible total is
+    T = min_l floor(n_l / w_l), each language keeps
+    quota_l = floor(T·w_l) docs, chosen by the content-independent
+    Knuth hash — stable across runs, partitionings, and engines.
+
+    Plan: per-lang counts are a |langs|-row aggregate; T is a 1-row
+    broadcast; selection is the same one-window-per-lang rank as the
+    uniform rebalance. Emits per-lang quota bookkeeping so the mix is
+    auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = F.create_map(
+        *[x for kv in _MIX_WEIGHTS.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", w_expr[F.col("lang")])
+    )
+    t = counts.agg(
+        F.min(F.floor(F.col("n") / F.col("w"))).alias("t")
+    )
+    quotas = counts.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        F.floor(F.col("t") * F.col("w")).cast("long").alias("quota"),
+    )
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    rw = Window.partitionBy("lang").orderBy("h", "doc_id")
+    picked = (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(rw))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("doc_id_sum"),  # pins WHICH docs
+        )
+        .join(F.broadcast(quotas), "lang")
+        .select("lang", "n", "quota", "kept", "doc_id_sum")
+        .orderBy("lang")
+    )
+
+
+_W_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+)
+
+_DATA_MIX_TARGET_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n,
+         CASE lang {_W_CASE} END AS w
+  FROM documents GROUP BY lang
+),
+t AS (SELECT MIN(CAST(FLOOR(n / w) AS BIGINT)) AS t FROM counts),
+quotas AS (
+  SELECT lang, n, CAST(FLOOR(t.t * w) AS BIGINT) AS quota
+  FROM counts CROSS JOIN t
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+),
+picked AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r JOIN quotas q ON r.lang = q.lang
+  WHERE r.rn <= q.quota
+)
+SELECT q.lang, q.n, q.quota,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS kept,
+       CAST(SUM(p.doc_id) AS BIGINT) AS doc_id_sum
+FROM quotas q JOIN picked p ON q.lang = p.lang
+GROUP BY q.lang, q.n, q.quota
+ORDER BY q.lang
+"""
+
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: emails and US-style phone numbers replaced with
     typed placeholders, with per-document redaction counts.
@@ -197,12 +291,14 @@ FROM aug ORDER BY doc_id
 
 
 QUERIES = {
+    "data_mix_target": q_data_mix_target,
     "quality_repetition": q_quality_repetition,
     "data_mix_rebalance": q_data_mix_rebalance,
     "pii_scrub": q_pii_scrub,
 }
 
 ORACLE = {
+    "data_mix_target": _DATA_MIX_TARGET_SQL,
     "quality_repetition": _QUALITY_REPETITION_SQL,
     "data_mix_rebalance": _DATA_MIX_REBALANCE_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
