@@ -168,3 +168,30 @@ def bm25_search_index(
         .filter(F.col("rnk") <= k)
         .select("rnk", "doc_id", "bm25", "n_terms_hit")
     )
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, deleted_doc_ids: DataFrame
+) -> None:
+    """Delete lifecycle (the GDPR-erasure composition for the search
+    index): anti-join the postings and doclen tables against the
+    request-sized deletion list and rewrite. Plain-parquet caveat
+    (same as pipeline/etl.py compaction): the rewrite is not atomic —
+    production compacts a quiesced index or staging-swaps. Cost is the
+    full index ONCE per compaction window, amortized over the appends
+    between windows; partition layout (bucket) is preserved."""
+    ids = F.broadcast(deleted_doc_ids.select("doc_id").distinct())
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .join(ids, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    dl = (
+        spark.read.parquet(f"{path}/doclen")
+        .join(ids, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")

@@ -256,3 +256,39 @@ def test_text_index_matches_scan_path_and_prunes(spark, tmp_path):
         for r in bm25_search_index(spark, inc, QUERY_TERMS).collect()
     ]
     assert got2 == want
+
+
+def test_text_index_compaction_removes_deleted_docs(spark, tmp_path):
+    """GDPR-composition for the search index: compacting with a
+    deletion list yields exactly the index of the surviving corpus."""
+    from pyspark.sql import functions as SF
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        bm25_search_index,
+        build_text_index,
+        compact_text_index,
+    )
+    from finance_etl_system_spark.queries.retrieval import QUERY_TERMS
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx")
+    build_text_index(d, path)
+    full = bm25_search_index(spark, path, QUERY_TERMS).collect()
+    victims = [r.doc_id for r in full[:3]]  # delete three top hits
+
+    compact_text_index(
+        spark, path, spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    got = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, path, QUERY_TERMS).collect()
+    ]
+    rebuilt = str(tmp_path / "rebuilt")
+    build_text_index(d.filter(~SF.col("doc_id").isin(victims)), rebuilt)
+    want = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, rebuilt, QUERY_TERMS).collect()
+    ]
+    assert got == want
+    assert not set(victims) & {g[1] for g in got}
