@@ -551,6 +551,155 @@ ORDER BY user_id, fold
 """
 
 
+
+def q_model_performance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of GET /models/performance (reference
+    ml-service/prediction_api.py:270-357: per (symbol, model) the
+    LATEST trained version plus how many versions exist, sorted by
+    performance): the walk-forward folds are the retrain history —
+    each fold is one training run — so the report is argmax-fold per
+    user joined to the per-user version count, ranked by out-of-sample
+    MSE. Pure composition of audited shapes over the oracle-checked
+    walk-forward frame."""
+    wf = q_ml_walk_forward(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("fold").desc())
+    latest = wf.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    counts = wf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("model_count")
+    )
+    return (
+        latest.join(counts, "user_id")
+        .select(
+            "user_id",
+            F.lit("linear_lag").alias("model_name"),
+            "model_count",
+            F.col("fold").alias("latest_fold"),
+            "slope",
+            "intercept",
+            "test_mse",
+        )
+        .orderBy("test_mse", "user_id")
+    )
+
+
+_MODEL_PERFORMANCE_REPORT_SQL = f"""
+WITH wf AS ({_ML_WALK_FORWARD_SQL.replace("ORDER BY user_id, fold", "")}),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY fold DESC) AS rn
+    FROM wf
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS model_count
+  FROM wf GROUP BY user_id
+)
+SELECT l.user_id, 'linear_lag' AS model_name, model_count,
+       fold AS latest_fold, slope, intercept, test_mse
+FROM latest l JOIN counts c ON l.user_id = c.user_id
+ORDER BY test_mse, l.user_id
+"""
+
+
+def q_model_fleet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-health footer of /models/performance (total models,
+    average metric): one row over the walk-forward history. The MSEs
+    are summed as exact MICRO-units (they are 6dp-rounded), so the
+    average is engine-identical regardless of accumulation order."""
+    wf = q_ml_walk_forward(spark, sf_dir)
+    micro = F.round(F.col("test_mse") * 1e6).cast("long")
+    return wf.agg(
+        F.count(F.lit(1)).alias("total_models"),
+        F.countDistinct("user_id").alias("n_symbols"),
+        F.round(
+            F.sum(micro).cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_test_mse"),
+    )
+
+
+_MODEL_FLEET_SUMMARY_SQL = f"""
+WITH wf AS ({_ML_WALK_FORWARD_SQL.replace("ORDER BY user_id, fold", "")})
+SELECT CAST(COUNT(*) AS BIGINT) AS total_models,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_symbols,
+       ROUND(CAST(SUM(CAST(ROUND(test_mse * 1e6) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e6, 6) AS avg_test_mse
+FROM wf
+"""
+
+
+
+_RETRAIN_MIN_NEW = 10  # events beyond the last training cutoff
+
+
+def q_training_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduler's work queue (reference ml-service
+    ml_scheduler.py:46-66 get_symbols_needing_training: symbols with
+    data but no model, or a model older than the retrain interval) —
+    re-expressed deterministically against the DATA instead of
+    wall-clock: a user needs (re)training if they have non-null
+    events but no qualifying walk-forward model ('no_model'), or if
+    at least _RETRAIN_MIN_NEW events arrived after the last fold's
+    training cutoff (the 75% prefix) — 'stale'.
+
+    Plan: one count aggregate over events + a left join to the
+    group-sized model-user set; no window, no wall-clock."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    modeled = (
+        q_ml_walk_forward(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("has_model", F.lit(True))
+    )
+    j = counts.join(modeled, "user_id", "left").withColumn(
+        "has_model", F.coalesce("has_model", F.lit(False))
+    )
+    new_since = (F.col("n_events") - F.floor(F.col("n_events") * 0.75)).cast(
+        "long"
+    )
+    reason = F.when(~F.col("has_model"), F.lit("no_model")).when(
+        new_since >= _RETRAIN_MIN_NEW, F.lit("stale")
+    )
+    return (
+        j.select(
+            "user_id",
+            "n_events",
+            "has_model",
+            new_since.alias("new_since_training"),
+            reason.alias("reason"),
+        )
+        .filter(F.col("reason").isNotNull())
+        .orderBy("user_id")
+    )
+
+
+_TRAINING_BACKLOG_SQL = f"""
+WITH wf AS ({_ML_WALK_FORWARD_SQL.replace("ORDER BY user_id, fold", "")}),
+counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+modeled AS (SELECT DISTINCT user_id FROM wf),
+j AS (
+  SELECT c.user_id, c.n_events,
+         m.user_id IS NOT NULL AS has_model,
+         CAST(c.n_events - FLOOR(c.n_events * 0.75) AS BIGINT)
+           AS new_since_training
+  FROM counts c LEFT JOIN modeled m ON c.user_id = m.user_id
+)
+SELECT user_id, n_events, has_model, new_since_training,
+       CASE WHEN NOT has_model THEN 'no_model'
+            WHEN new_since_training >= {_RETRAIN_MIN_NEW} THEN 'stale' END
+         AS reason
+FROM j
+WHERE (NOT has_model) OR new_since_training >= {_RETRAIN_MIN_NEW}
+ORDER BY user_id
+"""
+
+
 def q_serve_latest_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's serving path (SURVEY §3.3, GET /predict/{symbol}:
     fetch latest indicators → get_best_model ACROSS families → predict
@@ -830,6 +979,9 @@ QUERIES = {
     "ml_train_tree_grid": q_ml_train_tree_grid,
     "ml_best_of_family": q_ml_best_of_family,
     "ml_walk_forward": q_ml_walk_forward,
+    "model_performance_report": q_model_performance_report,
+    "model_fleet_summary": q_model_fleet_summary,
+    "training_backlog": q_training_backlog,
 }
 
 ORACLE = {
@@ -839,4 +991,7 @@ ORACLE = {
     "ml_standardize": _ML_STANDARDIZE_SQL,
     "ml_linreg_monitoring": _ML_LINREG_MONITORING_SQL,
     "ml_walk_forward": _ML_WALK_FORWARD_SQL,
+    "model_performance_report": _MODEL_PERFORMANCE_REPORT_SQL,
+    "model_fleet_summary": _MODEL_FLEET_SUMMARY_SQL,
+    "training_backlog": _TRAINING_BACKLOG_SQL,
 }
