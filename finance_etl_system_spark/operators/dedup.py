@@ -36,11 +36,19 @@ from .text import normalized, tokens
 _MERSENNE = (1 << 31) - 1
 
 
+def content_fingerprint(text_col):
+    """THE exact-dedup fingerprint: sha2-256 over normalized content.
+    Single definition shared by exact_dedup and the incremental corpus
+    build (pipeline/corpus.py) — the increment ≡ rebuild contract
+    depends on both using the identical fingerprint."""
+    return F.sha2(normalized(text_col), 256)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the lowest-id doc per identical normalized content."""
-    hashed = df.withColumn("_fp", F.sha2(normalized(F.col(text_col)), 256))
+    hashed = df.withColumn("_fp", content_fingerprint(F.col(text_col)))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -320,7 +328,7 @@ def minhash_dedup_incremental(
     resolved = best.select(
         "id", "dup_of", F.col("dup_of").alias("matched"), "est_jaccard"
     )
-    for _ in range(64):  # safety bound far above any real chain
+    for _ in range(64):  # bound far above any real chain — see below
         j = resolved.join(pointers, "dup_of", "left")
         if j.filter(F.col("jump").isNotNull()).isEmpty():
             break
@@ -330,6 +338,13 @@ def minhash_dedup_incremental(
             "matched",
             "est_jaccard",
         ).localCheckpoint(eager=True)
+    else:
+        # never exit the bound silently: an unresolved pointer would
+        # hand downstream a canonical that is itself removed
+        raise RuntimeError(
+            "dup_of chains deeper than 64 did not resolve; raise the "
+            "bound or pre-cluster the batch (operators/graph.py)"
+        )
     verdicts = resolved.select("id", "dup_of", "matched", "est_jaccard")
     survivors = new_sig.join(
         verdicts.select("id"), "id", "left_anti"

@@ -316,6 +316,12 @@ def build_ivf_index(
         max_iter=max_iter,
     )
     assigned = kmeans_assign(corpus, model.centroids, vec_col=vec_col)
+    # full rewrite — pin static overwrite so a rebuild over an
+    # existing index never leaves stale cluster partitions behind
+    # (a prior streaming sink may have set the dynamic mode)
+    corpus.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     (
         assigned.select(id_col, vec_col, "cluster")
         .write.mode("overwrite")

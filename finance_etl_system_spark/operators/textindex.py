@@ -31,18 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries.retrieval import B, K1, STOPWORDS, _s_stem_col
+from ..queries.retrieval import B, K1, token_array
 
 N_BUCKETS = 16
-
-
-def _token_array(text_col, analyzed: bool):
-    arr = F.filter(F.split(F.lower(text_col), " +"), lambda x: x != "")
-    if analyzed:
-        arr = F.transform(
-            F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
-        )
-    return arr
 
 
 def _postings(
@@ -50,7 +41,9 @@ def _postings(
 ) -> tuple[DataFrame, DataFrame]:
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_token_array(F.col(text_col), analyzed)).alias("term"),
+        F.explode(token_array(F.col(text_col), analyzed=analyzed)).alias(
+            "term"
+        ),
     )
     post = (
         toks.groupBy("term", "doc_id")
@@ -69,9 +62,17 @@ def build_text_index(
     id_col: str = "doc_id",
     analyzed: bool = False,
 ) -> None:
-    """Materialize the inverted index (overwrite)."""
+    """Materialize the inverted index (overwrite).
+
+    The write pins partitionOverwriteMode=static: this is a FULL
+    rewrite, and a session that previously ran a streaming sink has
+    the conf set to dynamic — which would silently leave stale bucket
+    partitions behind."""
     post, dl = _postings(
         docs, text_col=text_col, id_col=id_col, analyzed=analyzed
+    )
+    docs.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
     post.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
@@ -118,6 +119,9 @@ def bm25_search_index(
     scan-path ranker (rnk, doc_id, bm25, n_terms_hit)."""
     postings = spark.read.parquet(f"{path}/postings")
     doclen = spark.read.parquet(f"{path}/doclen")
+    # set semantics like the scan path's term.isin(terms): a repeated
+    # query term must not double df/tf contributions
+    terms = list(dict.fromkeys(terms))
     qterms = (
         spark.createDataFrame([(t,) for t in terms], "term string")
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)))
@@ -191,6 +195,10 @@ def compact_text_index(
         .join(ids, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
+    # static overwrite: a bucket whose every posting was deleted must
+    # be TRUNCATED — under the dynamic mode a streaming sink may have
+    # left on this session, its old files would silently survive
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     post.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
     )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    content_fingerprint,
     exact_dedup,
     minhash_dedup_incremental,
     minhash_lsh_pairs,
@@ -43,7 +44,7 @@ from ..operators.dedup import (
 from ..operators.graph import connected_components
 from ..operators.packing import prefix_pack
 from ..operators.sampling import train_test_split_by_key
-from ..operators.text import normalized, tokens
+from ..operators.text import tokens
 
 NGRAM = 5
 MIN_TOKENS = 8
@@ -193,7 +194,7 @@ def corpus_increment(
     #    fingerprint history has seen (monotone ids ⇒ history copy is
     #    the rebuild's min-id representative)
     hashed = batch_docs.withColumn(
-        "_fp", F.sha2(normalized(F.col(text_col)), 256)
+        "_fp", content_fingerprint(F.col(text_col))
     )
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
     in_batch = (

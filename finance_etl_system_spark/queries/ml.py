@@ -562,26 +562,24 @@ def q_model_performance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSE. Pure composition of audited shapes over the oracle-checked
     walk-forward frame."""
     wf = q_ml_walk_forward(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("fold").desc())
-    latest = wf.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # ONE aggregation: argmax-fold via max_by(struct) + the version
+    # count — a window + self-join would derive the walk-forward
+    # subplan twice (Spark does not share it across the join)
+    agg = wf.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("fold", "slope", "intercept", "test_mse"), "fold"
+        ).alias("m"),
+        F.count(F.lit(1)).alias("model_count"),
     )
-    counts = wf.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("model_count")
-    )
-    return (
-        latest.join(counts, "user_id")
-        .select(
-            "user_id",
-            F.lit("linear_lag").alias("model_name"),
-            "model_count",
-            F.col("fold").alias("latest_fold"),
-            "slope",
-            "intercept",
-            "test_mse",
-        )
-        .orderBy("test_mse", "user_id")
-    )
+    return agg.select(
+        "user_id",
+        F.lit("linear_lag").alias("model_name"),
+        "model_count",
+        F.col("m.fold").alias("latest_fold"),
+        F.col("m.slope").alias("slope"),
+        F.col("m.intercept").alias("intercept"),
+        F.col("m.test_mse").alias("test_mse"),
+    ).orderBy("test_mse", "user_id")
 
 
 _MODEL_PERFORMANCE_REPORT_SQL = f"""

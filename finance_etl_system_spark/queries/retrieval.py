@@ -87,6 +87,20 @@ def s_stem(t: str) -> str:
     return t
 
 
+def token_array(text_col, *, analyzed: bool = False):
+    """THE tokenizer: lowercase whitespace split, empty tokens
+    dropped; with ``analyzed``, stop-word filter + S-stemmer. The
+    single definition shared by the scan-path ranker AND the
+    persisted index (operators/textindex.py) — any analyzer change
+    lands in both or the index≠scan parity oracle breaks."""
+    arr = F.filter(F.split(F.lower(text_col), " +"), lambda x: x != "")
+    if analyzed:
+        arr = F.transform(
+            F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
+        )
+    return arr
+
+
 def analyze_terms(terms: list[str]) -> list[str]:
     """Analyzer chain for query terms: lowercase, drop stop words,
     S-stem — mirrors what the analyzed corpus tokenizer does."""
@@ -115,12 +129,10 @@ def _bm25_scored(
     shuffles. With ``analyzed``, the corpus tokens pass the stop-word
     + S-stemmer chain (callers must pass ``analyze_terms``-normalized
     query terms)."""
-    arr = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
-    if analyzed:
-        arr = F.transform(
-            F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
-        )
-    toks = d.select("doc_id", F.explode(arr).alias("term"))
+    toks = d.select(
+        "doc_id",
+        F.explode(token_array(F.col("text"), analyzed=analyzed)).alias("term"),
+    )
     # one scan feeds both aggregates; Catalyst reuses the exchange
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
@@ -184,6 +196,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # singular postings too ("streams"→"stream", "queries"→"query")
 ANALYZED_QUERY = ["streams", "merge", "queries"]
 
+# per-process cache of built text indexes, keyed by sf_dir
+_INDEX_CACHE: dict[str, str] = {}
+
 
 def q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for an INFLECTED keyword query through the
@@ -205,13 +220,19 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical _BM25_SQL twin the scan path uses: the index must
     reproduce the scan ranking bit-for-bit (also pinned, with the
     incremental-append case, in tests/test_retrieval_anomaly.py)."""
-    import tempfile
-
     from ..operators.textindex import bm25_search_index, build_text_index
 
-    d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
-    build_text_index(d, path)
+    path = _INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        # ONE build per (process, sf_dir) — repeated invocations hit
+        # the cached index, which is the operator's actual contract
+        # (and keeps bench/oracle reruns from re-paying the build or
+        # leaking temp dirs)
+        path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
+        build_text_index(load_table(spark, sf_dir, "documents"), path)
+        _INDEX_CACHE[sf_dir] = path
     return bm25_search_index(spark, path, QUERY_TERMS, k=TOP_K)
 
 

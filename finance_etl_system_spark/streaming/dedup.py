@@ -39,10 +39,20 @@ _SIG_SCHEMA = "id bigint, sig array<bigint>"
 
 
 def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Missing state dir = first batch → empty table. ONLY the
+    path-not-found case is absorbed: any other read failure (corrupt
+    footer, transient FS error) must raise — silently deduping against
+    an empty history would admit the whole corpus as survivors and
+    permanently corrupt the state table."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(state_dir).select("id", "sig")
-    except Exception:  # noqa: BLE001 — first batch: no state yet
-        return spark.createDataFrame([], _SIG_SCHEMA)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], _SIG_SCHEMA)
+        raise
 
 
 def dedup_increment_batch(
