@@ -57,6 +57,34 @@ def exact_dedup(
     )
 
 
+def exact_dedup_by_priority(
+    df: DataFrame,
+    priority: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Provenance-aware exact dedup: among identical normalized
+    contents, keep the copy from the most TRUSTED source — sources in
+    ``priority`` rank by list position, everything else ranks after
+    (ordered by source name, then lowest id). The production variant
+    of exact_dedup when the same page is crawled from several feeds of
+    unequal quality. Same single content-hash groupBy shape."""
+    rank = F.lit(len(priority))
+    for i, src in reversed(list(enumerate(priority))):
+        rank = F.when(F.col(source_col) == src, F.lit(i)).otherwise(rank)
+    hashed = df.withColumn("_fp", content_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("_fp").orderBy(
+        rank.asc(), F.col(source_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
 def shingles(text_col, n: int = 3):
     """Word n-gram shingle array (distinct) from normalized text."""
     toks = tokens(text_col)

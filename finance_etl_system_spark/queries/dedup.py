@@ -15,6 +15,7 @@ from ..catalog import load_table
 from ..operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
+    exact_dedup_by_priority,
     minhash_dedup_incremental,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -129,6 +130,34 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         e, threshold=0.4, lsh_nbits=64, bands=16, dim=64
     ).orderBy("id_a", "id_b")
+
+
+_PRIORITY = ["src7", "src3"]  # trusted feeds first; rest by name
+
+
+def q_dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 provenance-aware exact dedup: identical contents keep the
+    copy from the most trusted source (priority list, then source
+    name, then lowest id) — the multi-feed crawl case where min-id is
+    the wrong survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_by_priority(d, _PRIORITY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_DEDUP_EXACT_PRIORITY_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1 ELSE 2 END,
+             source, doc_id
+  ) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +353,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_priority": q_dedup_exact_priority,
     "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_safe_split": q_dedup_safe_split,
@@ -336,6 +366,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_exact_priority": _DEDUP_EXACT_PRIORITY_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_safe_split": _DEDUP_SAFE_SPLIT_SQL,
     "dedup_embedding_cosine": _DEDUP_EMBEDDING_COSINE_SQL,
