@@ -337,6 +337,128 @@ ORDER BY doc_id
 """
 
 
+
+_LM_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram model
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter, bigram tier: the 20 most surprising
+    documents under an interpolated bigram model trained on the corpus
+    itself — P(w|v) = λ·c(vw)/c(v·) + (1−λ)·c(w)/total. One step up
+    from q_unigram_surprisal toward the KenLM-style perplexity filters
+    production pipelines run; the backoff makes every scored position
+    finite even for bigrams seen once.
+
+    Scale: bigram events explode once (row-local zip of the token
+    array with its own shift — same trick as phrase search); the
+    per-(doc, bigram) counts shuffle doc-keyed, the bigram table joins
+    back on its own key (data-sized equi join), and the context /
+    unigram tables are vocabulary-sized broadcasts. Ranking is on the
+    6dp-rounded average with doc_id tiebreak."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalized(F.col("text")), " ")
+    tail_len = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, tail_len),
+        F.slice(toks, 2, tail_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bev = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bf = bev.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("bf"))
+    bg = bf.groupBy("bigram").agg(F.sum("bf").alias("cb"))
+    ctx = (
+        bg.withColumn("w1", F.split("bigram", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cctx"))
+    )
+    uni = (
+        d.select(F.explode(F.split(normalized(F.col("text")), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    total = uni.agg(F.sum("ct").alias("total"))
+    lam = F.lit(_LM_LAMBDA)
+    logp = F.log(
+        lam * F.col("cb") / F.col("cctx")
+        + (F.lit(1.0) - lam) * F.col("ct") / F.col("total")
+    )
+    scored = (
+        bf.join(bg, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            (F.sum(F.col("bf") * logp) / F.sum("bf")).alias("alp"),
+        )
+    )
+    w = Window.orderBy(F.round("alp", 6).asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "doc_id",
+            "n_bigrams",
+            F.round("alp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
+        )
+    )
+
+
+_BIGRAM_SURPRISAL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+bev AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+           p -> p[1] || ' ' || p[2])) AS bigram
+  FROM docs
+),
+bf AS (SELECT doc_id, bigram, COUNT(*) AS bf FROM bev GROUP BY doc_id, bigram),
+bg AS (SELECT bigram, SUM(bf) AS cb FROM bf GROUP BY bigram),
+ctx AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, SUM(cb) AS cctx
+  FROM bg GROUP BY 1
+),
+uni AS (
+  SELECT unnest(toks) AS term FROM docs
+),
+unic AS (SELECT term, COUNT(*) AS ct FROM uni GROUP BY term),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM unic),
+scored AS (
+  SELECT bf.doc_id,
+         CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
+         SUM(bf.bf * ln({_LM_LAMBDA} * bg.cb / ctx.cctx
+                        + {1.0 - _LM_LAMBDA} * unic.ct / tot.total))
+           / SUM(bf.bf) AS alp
+  FROM bf
+  JOIN bg USING (bigram)
+  JOIN ctx ON string_split(bf.bigram, ' ')[1] = ctx.w1
+  JOIN unic ON string_split(bf.bigram, ' ')[2] = unic.term
+  CROSS JOIN tot
+  GROUP BY bf.doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY ROUND(alp, 6) ASC, doc_id ASC) AS rnk,
+         doc_id, n_bigrams,
+         ROUND(alp, 6) AS avg_logprob,
+         ROUND(exp(-alp), 2) AS ppl
+  FROM scored
+) WHERE rnk <= 20
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality filter: the 20 most *surprising* documents
     under the corpus's own unigram model — the cheap stand-in for the
@@ -475,6 +597,7 @@ SELECT * FROM (
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "unigram_surprisal": q_unigram_surprisal,
+    "bigram_surprisal": q_bigram_surprisal,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
@@ -488,6 +611,7 @@ QUERIES = {
 ORACLE = {
     "fuzzy_match": _FUZZY_MATCH_SQL,
     "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+    "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "bpe_merge_pairs": _BPE_MERGE_PAIRS_SQL,
     "binary_manifest": _BINARY_MANIFEST_SQL,
     "text_stats": _TEXT_STATS_SQL,
