@@ -233,6 +233,28 @@ def _band_rows(sig: DataFrame, bands: int, rpb: int) -> DataFrame:
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
+def _cap_hot_buckets(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
+    """LSH skew guard: drop band buckets with more than ``max_bucket``
+    members BEFORE the self-join. A bucket of size s produces s(s-1)/2
+    candidate pairs — one boilerplate-induced hot band hash (every doc
+    sharing a cookie banner) turns the band join quadratic at corpus
+    scale. Dropping hot buckets loses only pairs whose EVERY shared
+    band is hot (boilerplate-only similarity — the pairs a dedup
+    wants to ignore anyway); genuinely near-duplicate docs still meet
+    in their content bands. The production cap every large-scale LSH
+    dedup ships (None = off)."""
+    if max_bucket is None:
+        return band_rows
+    sizes = band_rows.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    return (
+        band_rows.join(
+            sizes.filter(F.col("_bn") <= max_bucket), ["band", "bh"]
+        ).drop("_bn")
+    )
+
+
 def _est_jaccard(num_perm: int):
     return F.round(
         F.size(
@@ -259,6 +281,7 @@ def minhash_dedup_incremental(
     verify_threshold: float = 0.5,
     spread: bool | None = None,
     with_new_survivors: bool = False,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, ...]:
     """Daily-increment near-dup dedup — the production pattern: only
     the NEW batch is shingled and signatured; the corpus participates
@@ -302,8 +325,14 @@ def minhash_dedup_incremental(
         spread=spread,
     ).localCheckpoint(eager=False)
 
-    nb = _band_rows(new_sig, bands, rpb)
-    hb = _band_rows(history_sig, bands, rpb)
+    # the hot-bucket cap applies to the UNION view: a bucket's size is
+    # its new+history membership, so a boilerplate band hash is capped
+    # consistently no matter how the corpus is split across batches
+    nb_raw = _band_rows(new_sig, bands, rpb).withColumn("_side", F.lit("n"))
+    hb_raw = _band_rows(history_sig, bands, rpb).withColumn("_side", F.lit("h"))
+    capped = _cap_hot_buckets(nb_raw.unionByName(hb_raw), max_bucket)
+    nb = capped.filter(F.col("_side") == "n").drop("_side")
+    hb = capped.filter(F.col("_side") == "h").drop("_side")
     cand_hist = (
         nb.alias("n")
         .join(hb.alias("h"), ["band", "bh"])
@@ -394,13 +423,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify_threshold: float = 0.0,
     spread: bool | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs ->
     verified with estimated Jaccard (fraction of matching perms).
 
     rows_per_band = num_perm // bands; two docs collide iff some band's
     signature slice matches exactly. The candidate join is on
-    (band_id, band_hash) — never all-pairs.
+    (band_id, band_hash) — never all-pairs. ``max_bucket`` drops hot
+    band buckets before the self-join (see _cap_hot_buckets) — the
+    skew guard for boilerplate-heavy corpora.
     """
     assert num_perm % bands == 0
     rpb = num_perm // bands
@@ -418,7 +450,7 @@ def minhash_lsh_pairs(
     # candidate pairs travel as bare (id, id) — signatures re-join
     # later from the (small) sig table, keeping the band-join shuffle
     # narrow. Band key = one xxhash64 over the band's slice.
-    band_rows = _band_rows(sig, bands, rpb)
+    band_rows = _cap_hot_buckets(_band_rows(sig, bands, rpb), max_bucket)
 
     cands = (
         band_rows.alias("a")

@@ -215,3 +215,29 @@ def test_incremental_dedup_transitive_chain_and_id_collision(spark):
     assert all(r.id != r.dup_of for r in got.values())
     surviving = {r.id for r in updated.collect()}
     assert 10 in surviving and 11 not in surviving and 12 not in surviving
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs_but_keeps_content_matches(spark):
+    """The skew guard: a hot band bucket (here: many IDENTICAL docs)
+    stops generating quadratic candidate pairs under max_bucket, while
+    a small genuine near-dup cluster below the cap is still found."""
+    from finance_etl_system_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = ("cookie banner accept all terms and conditions apply "
+              "subscribe to our newsletter for updates today")
+    real_a = ("distributed joins shuffle rows by key across executors "
+              "so partitions colocate matching records efficiently")
+    rows = [(i, boiler) for i in range(30)]  # hot cluster: 30 clones
+    rows += [(100, real_a), (101, real_a + " indeed")]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    uncapped = minhash_lsh_pairs(d, verify_threshold=0.5).collect()
+    assert len(uncapped) >= 30 * 29 // 2  # quadratic in the hot cluster
+
+    capped = minhash_lsh_pairs(
+        d, verify_threshold=0.5, max_bucket=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in pairs          # genuine near-dup survives
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # hot pairs gone
+    assert len(capped) < len(uncapped)
