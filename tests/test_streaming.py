@@ -788,3 +788,65 @@ def test_stream_score_best_model_crosses_families(spark, tmp_path):
     assert rows["MSFT"].model_name == "gbt_histogram"
     assert rows["MSFT"].prediction == expect_msft
     assert rows["AAPL"].batch_id == 0
+
+
+@pytest.mark.timeout(300)
+def test_stream_index_documents_equals_batch_build(spark, tmp_path):
+    """Streaming index maintenance (the continuous ES-indexer twin):
+    a streamed-in index answers BM25 queries identically to a batch
+    build over the same corpus, a retry of the last batch changes
+    nothing, and two runs over the same source converge."""
+    import json as _json
+    import os
+
+    from finance_etl_system_spark.operators.textindex import (
+        bm25_search_index,
+        build_text_index,
+    )
+    from finance_etl_system_spark.streaming.indexing import (
+        index_batch,
+        stream_index_documents,
+    )
+
+    docs = [
+        (1, "spark streams merge data quickly across partitions"),
+        (2, "the stream merges and shuffles rows by key"),
+        (3, "unrelated prose about cooking pasta tonight"),
+        (4, "another stream document about merge strategies"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate((docs[:2], docs[2:])):
+        p = src / f"b{i}.json"
+        p.write_text(
+            "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in chunk)
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx = str(tmp_path / "stream_idx")
+    q = stream_index_documents(spark, str(src), idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    terms = ["stream", "merge"]
+    got = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, idx, terms).collect()
+    ]
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_text_index(
+        spark.createDataFrame(docs, "doc_id LONG, text STRING"), batch_idx
+    )
+    want = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, batch_idx, terms).collect()
+    ]
+    assert got == want and got
+
+    # retry of the last batch: same batch_id -> index unchanged
+    last = spark.createDataFrame(docs[2:], "doc_id LONG, text STRING")
+    index_batch(last, 1, idx)
+    again = [
+        (r.rnk, r.doc_id, r.bm25, r.n_terms_hit)
+        for r in bm25_search_index(spark, idx, terms).collect()
+    ]
+    assert again == want
