@@ -370,15 +370,137 @@ SELECT o_orderpriority, ref_n, cur_n,
 FROM j ORDER BY o_orderpriority
 """
 
+
+_CUSUM_K = 50   # allowance, ticks ($0.50): slack before drift accrues
+_CUSUM_H = 500  # alarm threshold, ticks ($5.00) — per-unit of n1
+
+
+def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection: a one-sided CUSUM chart per
+    user — the SEQUENTIAL complement of the distributional drift tests
+    (PSI/KS/chi² ask "has the batch shifted"; CUSUM asks "at which
+    OBSERVATION did the level shift"). Reference level μ = the first
+    half's mean; the second half is monitored.
+
+    The recursion S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)) looks
+    sequential, but has the classic closed form
+    S⁺_t = cum_t − min(0, min_{i≤t} cum_i) over the cumulative sums —
+    a running sum + running min, i.e. two WINDOW functions, no
+    recursion. Everything is scaled by n1 (the reference count) so all
+    window arithmetic is exact INTEGER ticks (the SCALE.md window-sum
+    policy): d_t = n1·x_t − S1 − n1·k is a long, and both engines
+    produce identical results bit-for-bit.
+
+    Output per user: monitored count, max S⁺ (in dollars, the drift
+    magnitude), the first alarming observation index (NULL = in
+    control), and the alarm flag."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id")
+    t = F.round(F.col("value") * 100, 0).cast("long")
+    base = (
+        e.select("user_id", "ts", "event_id", t.alias("tick"))
+        .withColumn("idx", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .withColumn("n1", F.floor(F.col("n") / 2).cast("long"))
+    )
+    base = base.withColumn(
+        "s1",
+        F.sum(F.when(F.col("idx") <= F.col("n1"), F.col("tick"))).over(wa),
+    )
+    d = F.when(
+        F.col("idx") > F.col("n1"),
+        F.col("n1") * F.col("tick") - F.col("s1") - F.col("n1") * _CUSUM_K,
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = base.withColumn("cum", F.sum(d).over(run))
+    s_plus = F.col("cum") - F.least(F.min("cum").over(run), F.lit(0))
+    flagged = cum.withColumn("s_plus", s_plus).withColumn(
+        "alarm", F.col("s_plus") > F.col("n1") * _CUSUM_H
+    )
+    mon = flagged.filter(F.col("idx") > F.col("n1"))
+    return (
+        mon.groupBy("user_id", "n1")
+        .agg(
+            F.count(F.lit(1)).alias("n_monitored"),
+            F.round(
+                F.max("s_plus").cast("double") / F.col("n1") / 100.0, 6
+            ).alias("max_cusum"),
+            F.min(F.when(F.col("alarm"), F.col("idx"))).alias(
+                "first_alarm_idx"
+            ),
+            F.max(F.col("alarm").cast("int")).cast("boolean").alias("alarmed"),
+        )
+        .filter(F.col("n1") > 0)
+        .select(
+            "user_id", "n1", "n_monitored", "max_cusum",
+            "first_alarm_idx", "alarmed",
+        )
+        .orderBy("user_id")
+    )
+
+
+_DRIFT_CUSUM_SQL = f"""
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS tick
+  FROM events WHERE value IS NOT NULL
+),
+idxed AS (
+  SELECT user_id, tick,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(FLOOR(COUNT(*) OVER (PARTITION BY user_id) / 2) AS BIGINT) AS n1
+  FROM nn
+),
+withs1 AS (
+  SELECT *,
+         SUM(CASE WHEN idx <= n1 THEN tick END)
+           OVER (PARTITION BY user_id) AS s1
+  FROM idxed
+),
+cum AS (
+  SELECT *,
+         SUM(CASE WHEN idx > n1
+                  THEN n1 * tick - s1 - n1 * {_CUSUM_K} END)
+           OVER (PARTITION BY user_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM withs1
+),
+sp AS (
+  SELECT *,
+         cum - LEAST(MIN(cum) OVER (PARTITION BY user_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS s_plus
+  FROM cum
+)
+SELECT user_id, n1,
+       CAST(COUNT(*) AS BIGINT) AS n_monitored,
+       ROUND(CAST(MAX(s_plus) AS DOUBLE) / n1 / 100.0, 6) AS max_cusum,
+       MIN(CASE WHEN s_plus > n1 * {_CUSUM_H} THEN idx END)
+         AS first_alarm_idx,
+       MAX(CASE WHEN s_plus > n1 * {_CUSUM_H} THEN 1 ELSE 0 END) = 1
+         AS alarmed
+FROM sp
+WHERE idx > n1 AND n1 > 0
+GROUP BY user_id, n1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "drift_ks": q_drift_ks,
     "drift_ks_refined": q_drift_ks_refined,
     "drift_chi2": q_drift_chi2,
+    "drift_cusum": q_drift_cusum,
 }
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
     "drift_ks": _DRIFT_KS_SQL,
     "drift_ks_refined": _DRIFT_KS_REFINED_SQL,
     "drift_chi2": _DRIFT_CHI2_SQL,
+    "drift_cusum": _DRIFT_CUSUM_SQL,
 }

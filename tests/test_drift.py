@@ -4,6 +4,7 @@ exact two-sample KS statistic."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -30,3 +31,44 @@ def test_drift_ks_refined_brackets_exact_ks(spark):
     assert exact <= row.ks_upper + 1e-6
     # centile grid: bracket width ≤ 1/100 + max cur-bin mass
     assert row.ks_upper - row.ks_lower < 0.05
+
+
+def test_drift_cusum_matches_recursion_and_flags_shift(spark, monkeypatch):
+    """The windowed closed form must equal the textbook CUSUM
+    recursion S+_t = max(0, S+_{t-1} + (x_t - mu - k)) exactly, a
+    level-shifted series alarms at the first accumulating index, and a
+    stable series stays in control."""
+    import finance_etl_system_spark.queries.drift as dq
+
+    rows = []
+    for i in range(40):  # u_shift: level jumps +$20 at monitored idx 5
+        v = 100.0 if i < 24 else 120.0
+        rows.append(("u_shift", i, v))
+    for i in range(40):  # u_stable: constant level
+        rows.append(("u_stable", i, 100.0))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, value double"
+    ).withColumn(
+        "ts",
+        F.expr("timestampadd(SECOND, event_id, timestamp'2024-01-01')"),
+    )
+    monkeypatch.setattr(dq, "load_table", lambda s_, d_, n_: df)
+    out = {r.user_id: r for r in dq.q_drift_cusum(spark, "x").collect()}
+
+    # pure-Python recursion for u_shift (mu = first-half mean = 100)
+    k, h, mu = dq._CUSUM_K / 100.0, dq._CUSUM_H / 100.0, 100.0
+    vals = [100.0 if i < 24 else 120.0 for i in range(40)][20:]
+    s = 0.0
+    smax = 0.0
+    first = None
+    for j, x in enumerate(vals):
+        s = max(0.0, s + (x - mu - k))
+        smax = max(smax, s)
+        if first is None and s > h:
+            first = 21 + j  # global idx (1-based, monitored starts at 21)
+    r = out["u_shift"]
+    assert r.alarmed and r.first_alarm_idx == first
+    assert abs(r.max_cusum - smax) < 1e-6
+    r2 = out["u_stable"]
+    assert not r2.alarmed and r2.first_alarm_idx is None
+    assert r2.max_cusum == 0.0
