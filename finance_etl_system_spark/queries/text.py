@@ -604,7 +604,87 @@ SELECT * FROM (
 """
 
 
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality scorecard — the data-vendor triage view an
+    LLM pipeline uses to decide which feeds to keep: volume, size,
+    lexical diversity, language mix, and the exact duplicate rate
+    (1 − distinct fingerprints / docs) per source, in one pass.
+
+    Scale: token/ttr metrics are row-local JVM expressions; the whole
+    report is ONE groupBy(source) with exact integer counts (the dup
+    rate uses count_distinct over the content fingerprint — the
+    scorecard is |sources|-rows, so the distinct expand is bounded by
+    the biggest single source, and approx_count_distinct is the
+    documented swap at extreme scale)."""
+    from ..operators.dedup import content_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    n_tok = F.size(toks).cast("long")
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    base = d.select(
+        "source",
+        n_tok.alias("n_tok"),
+        F.round(ttr, 6).alias("ttr"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum(F.round(F.col("ttr") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("avg_ttr"),
+            F.round(
+                F.sum("is_en").cast("double") / F.count(F.lit(1)), 6
+            ).alias("en_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_SCORECARD_SQL = """
+WITH base AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> ''))
+           AS n_tok,
+         ROUND(len(list_distinct(list_filter(
+                 string_split_regex(lower(text), ' +'), x -> x <> '')))
+               / CAST(greatest(len(list_filter(
+                 string_split_regex(lower(text), ' +'), x -> x <> '')), 1)
+                 AS DOUBLE), 6) AS ttr,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(ttr * 1e6) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e6, 6) AS avg_ttr,
+       ROUND(CAST(SUM(is_en) AS DOUBLE) / COUNT(*), 6) AS en_frac,
+       ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM base
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_scorecard": q_source_scorecard,
     "fuzzy_match": q_fuzzy_match,
     "unigram_surprisal": q_unigram_surprisal,
     "bigram_surprisal": q_bigram_surprisal,
@@ -619,6 +699,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_scorecard": _SOURCE_SCORECARD_SQL,
     "fuzzy_match": _FUZZY_MATCH_SQL,
     "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
