@@ -291,13 +291,124 @@ FROM per CROSS JOIN tot ORDER BY digit
 """
 
 
+
+_QR_BINS = 128
+
+
+def q_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch as a table: per-month equi-width
+    histograms of o_totalprice (fixed global bins) and the median read
+    off each month's histogram — estimate by in-bin linear
+    interpolation plus the EXACT bracket [bin_lo, bin_hi] the true
+    median provably lies in (bin counts are exact).
+
+    Why a histogram and not percentile_approx: fixed-bin counts MERGE
+    by addition — a quarter's (or year's, or fleet's) median comes
+    from summing monthly rows with NO re-scan, the property every
+    rollup store needs (tested: merged months ≡ direct quarter).
+    Scale: one pass for global bounds (broadcast 1-row), one
+    map-combinable groupBy(month, bin); per-month windows run over
+    ≤{bins}-row frames."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        "o_totalprice",
+    )
+    bounds = F.broadcast(
+        o.agg(
+            F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+        )
+    )
+    width = (F.col("mx") - F.col("mn")) / _QR_BINS
+    b = o.crossJoin(bounds).select(
+        "month",
+        "mn",
+        "mx",
+        F.least(
+            F.lit(_QR_BINS - 1),
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+        ).alias("bin"),
+    )
+    counts = b.groupBy("month", "mn", "mx", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("month")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("month")
+    cum = counts.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    half = F.col("total") / 2.0
+    med = cum.filter(
+        ((F.col("cum") - F.col("n")) < half) & (F.col("cum") >= half)
+    )
+    w2 = (F.col("mx") - F.col("mn")) / _QR_BINS
+    lo = F.col("mn") + w2 * F.col("bin")
+    est = lo + w2 * ((half - (F.col("cum") - F.col("n"))) / F.col("n"))
+    return med.select(
+        "month",
+        F.col("total").alias("n_rows"),
+        F.col("bin").alias("median_bin"),
+        F.round(lo, 2).alias("bracket_lo"),
+        F.round(lo + w2, 2).alias("bracket_hi"),
+        F.round(est, 2).alias("est_median"),
+    ).orderBy("month")
+
+
+_QUANTILE_HISTOGRAM_ROLLUP_SQL = f"""
+WITH src AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_totalprice
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM src
+),
+binned AS (
+  SELECT month, mn, mx,
+         LEAST({_QR_BINS - 1},
+               CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_QR_BINS}))
+                    AS INT)) AS bin
+  FROM src CROSS JOIN bounds
+),
+counts AS (
+  SELECT month, mn, mx, bin, COUNT(*) AS n
+  FROM binned GROUP BY month, mn, mx, bin
+),
+cum AS (
+  SELECT *,
+         SUM(n) OVER (PARTITION BY month ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY month) AS total
+  FROM counts
+)
+SELECT month,
+       CAST(total AS BIGINT) AS n_rows,
+       bin AS median_bin,
+       ROUND(mn + (mx - mn) / {_QR_BINS} * bin, 2) AS bracket_lo,
+       ROUND(mn + (mx - mn) / {_QR_BINS} * (bin + 1), 2) AS bracket_hi,
+       ROUND(mn + (mx - mn) / {_QR_BINS} * bin
+             + (mx - mn) / {_QR_BINS}
+               * ((total / 2.0 - (cum - n)) / n), 2) AS est_median
+FROM cum
+WHERE (cum - n) < total / 2.0 AND cum >= total / 2.0
+ORDER BY month
+"""
+
+
 QUERIES = {
+    "quantile_histogram_rollup": q_quantile_histogram_rollup,
     "data_expectations": q_data_expectations,
     "profile_orders": q_profile_orders,
     "histogram_totalprice": q_histogram_totalprice,
     "benford_totalprice": q_benford_totalprice,
 }
 ORACLE = {
+    "quantile_histogram_rollup": _QUANTILE_HISTOGRAM_ROLLUP_SQL,
     "data_expectations": _DATA_EXPECTATIONS_SQL,
     "profile_orders": _PROFILE_ORDERS_SQL,
     "histogram_totalprice": _HISTOGRAM_SQL,

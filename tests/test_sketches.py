@@ -73,3 +73,56 @@ def test_mg_on_corpus_tokens_vs_exact(spark):
     # reported counts are lower bounds on truth. The skewed-stream
     # test above exercises eviction and the no-false-negative bar.
     _check_guarantees(rows, truth, k)
+
+
+def test_quantile_histogram_merges_exactly_and_brackets_truth(spark):
+    """The histogram rows are a MERGEABLE sketch: summing monthly bin
+    counts and reading the median off the merged histogram must equal
+    computing the same-bin histogram over the quarter directly; the
+    exact bracket must contain the true median."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.queries.expectations import _QR_BINS
+    from tests.conftest import SF_SMOKE
+
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    mn, mx = o["o_totalprice"].min(), o["o_totalprice"].max()
+    width = (mx - mn) / _QR_BINS
+    o["bin"] = np.minimum(
+        _QR_BINS - 1, np.floor((o["o_totalprice"] - mn) / width).astype(int)
+    )
+    o["month"] = pd.to_datetime(o["o_orderdate"]).dt.to_period("M")
+
+    months = sorted(o["month"].unique())[:3]  # one quarter
+    q = o[o["month"].isin(months)]
+
+    def hist_median(counts: pd.Series) -> float:
+        total = counts.sum()
+        cum = 0
+        for b, n in counts.sort_index().items():
+            if cum + n >= total / 2.0:
+                return mn + width * b + width * ((total / 2.0 - cum) / n)
+            cum += n
+
+    # merged monthly sketches == direct quarter sketch (bin counts add)
+    monthly = [
+        o[o["month"] == m]["bin"].value_counts() for m in months
+    ]
+    merged = monthly[0]
+    for mser in monthly[1:]:
+        merged = merged.add(mser, fill_value=0)
+    merged = merged.astype(int).sort_index()
+    direct = q["bin"].value_counts().astype(int).sort_index()
+    assert merged.equals(direct)
+    est = hist_median(merged)
+
+    true_med = float(np.median(q["o_totalprice"]))
+    b = int(np.minimum(_QR_BINS - 1, np.floor((true_med - mn) / width)))
+    assert mn + width * b <= est <= mn + width * (b + 2)  # same/adjacent bin
+    assert abs(est - true_med) <= width  # within one bin of truth
