@@ -400,7 +400,68 @@ ORDER BY month
 """
 
 
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of EVERY foreign-key edge in the
+    star schema in one result: per edge, child row count, orphan rows
+    (no matching parent), and distinct orphan keys — the whole-schema
+    expectation a warehouse gate runs nightly.
+
+    Scale: each edge is one left-anti join against its parent's key
+    projection (dim parents broadcast; the two fact-fact edges are
+    key-projected equi joins). Edges evaluate independently and union
+    |edges| 1-row frames — no cross-edge shuffle."""
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        pkeys = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("k")
+        ).distinct()
+        orphans = c.join(pkeys, "k", "left_anti")
+        rows.append(
+            c.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("orphan_rows"),
+                    F.countDistinct("k").alias("orphan_keys"),
+                )
+            ).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "child_rows",
+                "orphan_rows",
+                "orphan_keys",
+                (F.col("orphan_rows") == 0).alias("intact"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("edge")
+
+
+_FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}.{fk}->{p}.{pk}' AS edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS child_rows,
+       CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+       CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS orphan_keys,
+       COUNT(*) = 0 AS intact
+FROM {c} WHERE {fk} NOT IN (SELECT {pk} FROM {p})"""
+    for c, fk, p, pk in _FK_EDGES
+) + "\nORDER BY edge"
+
+
 QUERIES = {
+    "fk_integrity_report": q_fk_integrity_report,
     "quantile_histogram_rollup": q_quantile_histogram_rollup,
     "data_expectations": q_data_expectations,
     "profile_orders": q_profile_orders,
@@ -408,6 +469,7 @@ QUERIES = {
     "benford_totalprice": q_benford_totalprice,
 }
 ORACLE = {
+    "fk_integrity_report": _FK_INTEGRITY_SQL,
     "quantile_histogram_rollup": _QUANTILE_HISTOGRAM_ROLLUP_SQL,
     "data_expectations": _DATA_EXPECTATIONS_SQL,
     "profile_orders": _PROFILE_ORDERS_SQL,
