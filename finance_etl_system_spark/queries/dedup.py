@@ -146,12 +146,18 @@ def q_dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_EXACT_PRIORITY_SQL = """
+_PRIORITY_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {i}" for i, s in enumerate(_PRIORITY))
+    + f" ELSE {len(_PRIORITY)} END"
+)
+
+_DEDUP_EXACT_PRIORITY_SQL = f"""
 SELECT doc_id, lang, source, n_chars
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-    ORDER BY CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1 ELSE 2 END,
+    ORDER BY {_PRIORITY_CASE},
              source, doc_id
   ) AS rn
   FROM documents

@@ -318,7 +318,11 @@ def q_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
         )
     )
-    width = (F.col("mx") - F.col("mn")) / _QR_BINS
+    # epsilon guard: a degenerate all-equal column makes width 0 and
+    # 0/0 = NaN, which the engines cast to DIFFERENT bins
+    width = F.greatest(
+        (F.col("mx") - F.col("mn")) / _QR_BINS, F.lit(1e-12)
+    )
     b = o.crossJoin(bounds).select(
         "month",
         "mn",
@@ -371,7 +375,8 @@ bounds AS (
 binned AS (
   SELECT month, mn, mx,
          LEAST({_QR_BINS - 1},
-               CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_QR_BINS}))
+               CAST(FLOOR((o_totalprice - mn)
+                          / GREATEST((mx - mn) / {_QR_BINS}, 1e-12))
                     AS INT)) AS bin
   FROM src CROSS JOIN bounds
 ),
@@ -425,16 +430,24 @@ def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
-        pkeys = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias("k")
-        ).distinct()
-        orphans = c.join(pkeys, "k", "left_anti")
+        pkeys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        # ONE child scan per edge: left join + conditional counts give
+        # child_rows and both orphan stats together (a NULL fk never
+        # matches -> counted as an orphan, like left_anti would)
+        j = c.join(pkeys, "k", "left")
+        miss = F.col("_hit").isNull()
         rows.append(
-            c.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).alias("orphan_rows"),
-                    F.countDistinct("k").alias("orphan_keys"),
-                )
+            j.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(miss.cast("long")).alias("orphan_rows"),
+                F.countDistinct(F.when(miss, F.col("k"))).alias(
+                    "orphan_keys"
+                ),
             ).select(
                 F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
                 "child_rows",
@@ -449,13 +462,19 @@ def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("edge")
 
 
+# NOT IN would silently mask orphans under NULL keys (NULL NOT IN
+# (...) is never true, and one NULL parent poisons every row); the
+# left-join formulation matches Spark: a NULL fk is an orphan.
 _FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}.{fk}->{p}.{pk}' AS edge,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS child_rows,
-       CAST(COUNT(*) AS BIGINT) AS orphan_rows,
-       CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS orphan_keys,
-       COUNT(*) = 0 AS intact
-FROM {c} WHERE {fk} NOT IN (SELECT {pk} FROM {p})"""
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_rows,
+       CAST(COUNT(DISTINCT CASE WHEN hit IS NULL THEN {fk} END) AS BIGINT)
+         AS orphan_keys,
+       SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) = 0 AS intact
+FROM {c} LEFT JOIN (SELECT DISTINCT {pk} AS pkk, 1 AS hit FROM {p}) par
+  ON {c}.{fk} = par.pkk"""
     for c, fk, p, pk in _FK_EDGES
 ) + "\nORDER BY edge"
 

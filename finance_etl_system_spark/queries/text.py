@@ -449,8 +449,8 @@ tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM unic),
 scored AS (
   SELECT bf.doc_id,
          CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
-         SUM(bf.bf * ln({_LM_LAMBDA} * bg.cb / ctx.cctx
-                        + {1.0 - _LM_LAMBDA} * unic.ct / tot.total))
+         SUM(bf.bf * ln(CAST({_LM_LAMBDA} AS DOUBLE) * bg.cb / ctx.cctx
+                        + CAST({1.0 - _LM_LAMBDA} AS DOUBLE) * unic.ct / tot.total))
            / SUM(bf.bf) AS alp
   FROM bf
   JOIN bg USING (bigram)
@@ -619,7 +619,9 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import content_fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    from ..operators.text import tokens as _tokens
+
+    toks = _tokens(F.col("text"))  # THE canonical tokenizer
     n_tok = F.size(toks).cast("long")
     ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
     base = d.select(
@@ -658,12 +660,12 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_SCORECARD_SQL = """
 WITH base AS (
   SELECT source,
-         len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> ''))
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
            AS n_tok,
-         ROUND(len(list_distinct(list_filter(
-                 string_split_regex(lower(text), ' +'), x -> x <> '')))
-               / CAST(greatest(len(list_filter(
-                 string_split_regex(lower(text), ' +'), x -> x <> '')), 1)
+         ROUND(len(list_distinct(
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               / CAST(greatest(len(
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 1)
                  AS DOUBLE), 6) AS ttr,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
          sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
