@@ -71,10 +71,14 @@ def kmeans_fit(
 ) -> KMeansModel:
     """Fit k-means; returns the model (centroids live on the driver,
     k×d — broadcast back for assignment)."""
+    # Materialize the projected vectors ONCE (eager localCheckpoint,
+    # the pagerank.py iteration discipline): without this every Lloyd
+    # iteration re-scans the source and re-derives the lineage — 10
+    # iterations = 10 full corpus scans.
     src = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    )
+    ).localCheckpoint(eager=True)
     seeds = (
         src.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(k)

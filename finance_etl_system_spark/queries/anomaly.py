@@ -102,39 +102,67 @@ WHERE mad.mad > 0
 
 
 N_BINS = 10
+_BIN_QS = [i / N_BINS for i in range(1, N_BINS)]  # 9 decile edges
 
 
 def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bins of order totalprice with per-bin stats.
+    """Decile bins of order totalprice with per-bin stats —
+    broadcast-edge bucketing, the scale-safe formulation.
 
-    ntile over (o_totalprice, o_orderkey) — the unique key makes the
-    bin assignment deterministic across engines even at ties."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    The previous ntile form was the repo's one single-partition global
+    sort (``Exchange SinglePartition`` + full Sort feeding one
+    WindowExec task — the forbidden shape at 100 TB, and Catalyst's
+    rank-limit rewrite cannot save ntile). This version derives the 9
+    decile edges in ONE map-side-combinable percentile aggregate,
+    broadcasts the 1-row edge frame, and assigns bins by comparison —
+    exactly the drift_psi shape. Bin counts are quantile-edge counts
+    (ties at an edge all land in the lower bin) rather than exact
+    n/10 splits, which is the standard — and distributable —
+    equal-frequency binning semantics.
+
+    Determinism: Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    produce identical interpolated doubles (the engine-portable pair
+    proven by drift_psi/q_percentiles), so the > edge comparisons
+    agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    qs = ", ".join(str(q) for q in _BIN_QS)
+    edges = o.agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc
+            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+        ).alias("bin"),
+        "o_totalprice",
+    )
     return (
-        o.withColumn("bin", F.ntile(N_BINS).over(w))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
+        .orderBy("bin")
     )
 
 
 _FEATURE_BINNING_SQL = f"""
-SELECT bin,
+WITH edges AS (
+  SELECT quantile_cont(o_totalprice, [{", ".join(str(q) for q in _BIN_QS)}]) AS e
+  FROM orders
+)
+SELECT 1 + len(list_filter(e, x -> o_totalprice > x)) AS bin,
        COUNT(*) AS n,
        ROUND(MIN(o_totalprice), 2) AS lo,
        ROUND(MAX(o_totalprice), 2) AS hi,
        ROUND(AVG(o_totalprice), 2) AS avg_price
-FROM (
-  SELECT o_totalprice,
-         ntile({N_BINS}) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
-  FROM orders
-)
-GROUP BY bin
+FROM orders CROSS JOIN edges
+GROUP BY 1
+ORDER BY bin
 """
 
 _ROLL_FRAME = 10  # current row + 10 preceding

@@ -413,6 +413,25 @@ def test_search_phrase_row_local_until_topk(spark):
     assert not has_cartesian_product(df)
 
 
+def test_feature_binning_no_single_partition_sort(spark):
+    """Round-4 verdict's one confirmed scale-killer: the old global
+    ntile planned Exchange SinglePartition + full Sort into one
+    WindowExec task. The broadcast-edge rewrite must plan NO window at
+    all, and the only single-partition exchange allowed is the
+    partial-percentile aggregate (1 row per partition, never data)."""
+    from finance_etl_system_spark.queries.anomaly import q_feature_binning
+
+    plan = _plan(q_feature_binning(spark, SF_SMOKE))
+    assert "Window" not in plan
+    import re
+
+    assert not re.search(r"\bntile\(", plan)  # percentile() contains "ntile"
+    # edge derivation: exactly one scalar-aggregate single-partition
+    # exchange, fed by partial_percentile rows
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "partial_percentile" in plan
+
+
 def test_profile_single_aggregate_pass(spark):
     """The column profiler's metrics ride ONE aggregation over orders:
     exactly one scan of the orders file regardless of how many columns
