@@ -490,8 +490,165 @@ ORDER BY user_id
 """
 
 
+_HIST_BINS = 512
+
+
+def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI with decile edges read off a MERGEABLE equi-width histogram
+    instead of exact percentile — the 100-TB edge-derivation path.
+
+    Exact ``percentile()`` buffers a value→count map per partition
+    (state grows with near-unique data: the round-4 verdict's design
+    risk). Here the reference's decile edges come from a fixed-bin
+    integer-tick histogram: bounds (1-row broadcast) → 512 bin counts
+    (map-side combinable, merge by addition — the
+    quantile_histogram_rollup property) → cumulative over the ≤512-row
+    bin table → each decile's edge is the hi edge of its crossing bin.
+    Aggregation state is O(bins), independent of data size, and
+    monthly histograms roll up to the same edges with no re-scan.
+
+    Everything up to the final fractions is EXACT INTEGER arithmetic
+    (ticks, integer div), so both engines agree bit-for-bit; the
+    fractions derive from exact integer counts. The edges are
+    bracket-quantized (≤ one bin width from the exact decile), which
+    is the documented trade for mergeability — PSI over quantized
+    edges is still a valid reference-grid PSI."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
+    )
+    ref = o.filter(F.col("is_ref"))
+    bounds = ref.agg(F.min("ticks").alias("mn"), F.max("ticks").alias("mx"))
+    hist = (
+        ref.crossJoin(F.broadcast(bounds))
+        .select(
+            "mn",
+            "mx",
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.expr(f"((ticks - mn) * {_HIST_BINS}) div (mx - mn + 1)"),
+            ).alias("bin"),
+        )
+        .groupBy("mn", "mx", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    # decile q's edge = hi edge (in ticks) of the bin where the
+    # cumulative count crosses q/10 of the total — all-integer test
+    edge = (
+        cum.select(
+            "*", F.explode(F.sequence(F.lit(1), F.lit(N_PSI_BUCKETS - 1))).alias("q")
+        )
+        .filter(
+            ((F.col("cum") - F.col("n")) * N_PSI_BUCKETS < F.col("q") * F.col("total"))
+            & (F.col("cum") * N_PSI_BUCKETS >= F.col("q") * F.col("total"))
+        )
+        .select(
+            F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_HIST_BINS}").alias(
+                "edge_tick"
+            )
+        )
+    )
+    edges = edge.agg(F.array_sort(F.collect_list("edge_tick")).alias("e"))
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = F.col("ref_n") / F.col("ref_total")
+    q = F.col("cur_n") / F.col("cur_total")
+    return j.select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("ref_frac"),
+        F.round(q, 6).alias("cur_frac"),
+        F.round(
+            F.when((p > 0) & (q > 0), (q - p) * F.log(q / p)).otherwise(
+                F.lit(None)
+            ),
+            6,
+        ).alias("psi_contrib"),
+    ).orderBy("bucket")
+
+
+_DRIFT_PSI_HISTOGRAM_SQL = f"""
+WITH src AS (
+  SELECT (o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ticks
+  FROM orders
+),
+bounds AS (SELECT MIN(ticks) AS mn, MAX(ticks) AS mx FROM src WHERE is_ref),
+hist AS (
+  SELECT mn, mx,
+         LEAST({_HIST_BINS - 1}, ((ticks - mn) * {_HIST_BINS}) // (mx - mn + 1))
+           AS bin,
+         COUNT(*) AS n
+  FROM src CROSS JOIN bounds WHERE is_ref
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT *,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM hist
+),
+edge AS (
+  SELECT mn + ((bin + 1) * (mx - mn + 1)) // {_HIST_BINS} AS edge_tick
+  FROM cum CROSS JOIN (SELECT unnest(range(1, {N_PSI_BUCKETS})) AS q)
+  WHERE (cum - n) * {N_PSI_BUCKETS} < q * total
+    AND cum * {N_PSI_BUCKETS} >= q * total
+),
+edges AS (SELECT list_sort(list(edge_tick)) AS e FROM edge),
+b AS (
+  SELECT is_ref, 1 + len(list_filter(e, x -> ticks > x)) AS bucket
+  FROM src CROSS JOIN edges
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_n
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total FROM counts)
+SELECT bucket,
+       CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(cur_n AS BIGINT) AS cur_n,
+       ROUND(ref_n / CAST(ref_total AS DOUBLE), 6) AS ref_frac,
+       ROUND(cur_n / CAST(cur_total AS DOUBLE), 6) AS cur_frac,
+       ROUND(CASE WHEN ref_n > 0 AND cur_n > 0
+             THEN (cur_n / CAST(cur_total AS DOUBLE)
+                   - ref_n / CAST(ref_total AS DOUBLE))
+                  * ln((cur_n / CAST(cur_total AS DOUBLE))
+                       / (ref_n / CAST(ref_total AS DOUBLE)))
+             END, 6) AS psi_contrib
+FROM counts CROSS JOIN tot ORDER BY bucket
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
+    "drift_psi_histogram": q_drift_psi_histogram,
     "drift_ks": q_drift_ks,
     "drift_ks_refined": q_drift_ks_refined,
     "drift_chi2": q_drift_chi2,
@@ -499,6 +656,7 @@ QUERIES = {
 }
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
+    "drift_psi_histogram": _DRIFT_PSI_HISTOGRAM_SQL,
     "drift_ks": _DRIFT_KS_SQL,
     "drift_ks_refined": _DRIFT_KS_REFINED_SQL,
     "drift_chi2": _DRIFT_CHI2_SQL,

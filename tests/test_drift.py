@@ -33,6 +33,28 @@ def test_drift_ks_refined_brackets_exact_ks(spark):
     assert row.ks_upper - row.ks_lower < 0.05
 
 
+def test_drift_psi_histogram_edges_track_exact_deciles(spark):
+    """The mergeable-histogram edge derivation must stand in for exact
+    percentile: every bucket's reference mass stays near 1/10 (edges
+    are at most one bin off the exact decile), and the total PSI
+    agrees with the exact-edge formulation to the drift-decision
+    tolerance."""
+    from finance_etl_system_spark.queries.drift import (
+        q_drift_psi,
+        q_drift_psi_histogram,
+    )
+
+    hist_rows = q_drift_psi_histogram(spark, SF_SMOKE).collect()
+    exact_rows = q_drift_psi(spark, SF_SMOKE).collect()
+    assert sum(r.ref_n for r in hist_rows) == sum(r.ref_n for r in exact_rows)
+    # quantized edges: each reference bucket holds ~10% ± one bin mass
+    for r in hist_rows:
+        assert abs(r.ref_frac - 0.1) < 0.03, r
+    psi_h = sum(r.psi_contrib or 0.0 for r in hist_rows)
+    psi_e = sum(r.psi_contrib or 0.0 for r in exact_rows)
+    assert abs(psi_h - psi_e) < 0.02, (psi_h, psi_e)
+
+
 def test_drift_cusum_matches_recursion_and_flags_shift(spark, monkeypatch):
     """The windowed closed form must equal the textbook CUSUM
     recursion S+_t = max(0, S+_{t-1} + (x_t - mu - k)) exactly, a
