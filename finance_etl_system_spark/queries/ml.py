@@ -964,7 +964,98 @@ ORDER BY c_mktsegment
 """
 
 
+def q_accuracy_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONLY declarative view, as an engine query:
+    prediction_accuracy_timeseries (mongo-setup/mongo_init.py:112-137)
+    projects predictions matched to actuals into a per-row
+    accuracy_percent = 100·(1 − |pred − actual| / actual) timeseries.
+
+    Engine twin: the prediction store is the persistence forecast
+    (each symbol-day's close predicts the NEXT calendar day), joined
+    to the actuals frame by (symbol, target_date) — a genuine
+    predictions⋈actuals equi join like the view's $match, not a
+    window lag; days without a matched actual drop out exactly as the
+    view's {actual_price: {$ne: null}} does.
+
+    Scale shape: one scan → one groupBy(symbol, day) argmax close →
+    a self equi join of the daily frame on (symbol, date+1) — both
+    sides pre-shrunk to |symbol×day|, AQE-handled. All closes are
+    integer ticks; the accuracy ratio is the only float, computed
+    with the identical expression on both engines and rounded 6dp."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    s = e.select(
+        F.col("user_id").alias("symbol"),
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts")).alias("k"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("ticks"),
+    )
+    daily = s.groupBy("symbol", "d").agg(
+        F.max(F.struct("k", "event_id", "ticks"))["ticks"].alias("close_ticks")
+    )
+    preds = daily.select(
+        "symbol",
+        F.col("d").alias("prediction_date"),
+        F.date_add("d", 1).alias("target_date"),
+        F.col("close_ticks").alias("pred_ticks"),
+    )
+    actuals = daily.select(
+        "symbol",
+        F.col("d").alias("target_date"),
+        F.col("close_ticks").alias("actual_ticks"),
+    )
+    j = preds.join(actuals, ["symbol", "target_date"]).filter(
+        F.col("actual_ticks") != 0
+    )
+    acc = F.lit(100) * (
+        F.lit(1)
+        - F.abs(F.col("pred_ticks") - F.col("actual_ticks"))
+        / F.col("actual_ticks").cast("double")
+    )
+    return j.select(
+        "symbol",
+        "prediction_date",
+        "target_date",
+        F.round(F.col("pred_ticks") / 100.0, 2).alias("predicted_price"),
+        F.round(F.col("actual_ticks") / 100.0, 2).alias("actual_price"),
+        F.round(acc, 6).alias("accuracy_percent"),
+    ).orderBy("symbol", "target_date")
+
+
+_ACCURACY_TIMESERIES_SQL = """
+WITH s AS (
+  SELECT user_id AS symbol, CAST(ts AS DATE) AS d, epoch_us(ts) AS k,
+         event_id, CAST(ROUND(value * 100) AS BIGINT) AS ticks
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+daily AS (
+  SELECT symbol, d, ticks AS close_ticks FROM (
+    SELECT symbol, d, ticks,
+           ROW_NUMBER() OVER (PARTITION BY symbol, d
+                              ORDER BY k DESC, event_id DESC) AS rn
+    FROM s) WHERE rn = 1
+),
+p AS (
+  SELECT symbol, d AS prediction_date, d + 1 AS target_date,
+         close_ticks AS pred_ticks
+  FROM daily
+)
+SELECT p.symbol, p.prediction_date, a.d AS target_date,
+       ROUND(pred_ticks / 100.0, 2) AS predicted_price,
+       ROUND(a.close_ticks / 100.0, 2) AS actual_price,
+       ROUND(100 * (1 - ABS(pred_ticks - a.close_ticks)
+                        / CAST(a.close_ticks AS DOUBLE)), 6)
+         AS accuracy_percent
+FROM p JOIN daily a ON p.symbol = a.symbol AND p.target_date = a.d
+WHERE a.close_ticks <> 0
+ORDER BY p.symbol, a.d
+"""
+
+
 QUERIES = {
+    "accuracy_timeseries": q_accuracy_timeseries,
     "ml_chrono_split": q_ml_chrono_split,
     "ml_forecast_holt": q_ml_forecast_holt,
     "ml_target_encode": q_ml_target_encode,
@@ -983,6 +1074,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "accuracy_timeseries": _ACCURACY_TIMESERIES_SQL,
     "ml_chrono_split": _ML_CHRONO_SPLIT_SQL,
     "ml_target_encode": _ML_TARGET_ENCODE_SQL,
     "serve_latest_prediction": _serve_latest_sql(),
