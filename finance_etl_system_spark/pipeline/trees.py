@@ -390,6 +390,125 @@ def train_gbt_grid_per_group(
     return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_GRID_SCHEMA)
 
 
+def rf_fit(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    n_trees: int = 20,
+    max_depth: int = 6,
+    min_leaf: int = 3,
+    n_bins: int = 16,
+    max_features: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """Bagged random forest: bootstrap row samples + per-tree random
+    feature subsets (the random-subspace variant) over the histogram
+    tree — the bagged-forest member of the reference's model trio
+    (RandomForestRegressor, ml-service/ml_pipeline.py:90-104).
+
+    Deterministic by construction: the ONLY randomness is a
+    numpy Generator seeded from the caller-supplied ``seed`` (derived
+    from the group key in train_rf_per_group), so replays and
+    stragglers reproduce bit-identical forests — the engine-wide
+    no-rand() policy applies to nondeterminism, not to seeded PRNGs.
+
+    The forest serializes into the SAME gbt-v1 blob format: base = 0,
+    lr = 1/n_trees, trees = the bagged trees — then
+    gbt_predict(blob, X) = mean of tree predictions, so every scoring
+    path (broadcast, cogroup, streaming serve) works on forests with
+    zero new code."""
+    n, p = X.shape
+    if max_features is None:
+        max_features = max(1, int(np.ceil(np.sqrt(p))))
+    rng = np.random.default_rng(seed)
+    edges, binned = _prebin(X, n_bins)
+    trees: list[_TreeArrays] = []
+    for _ in range(n_trees):
+        bidx = rng.integers(0, n, size=n)
+        # per-tree feature subset: unselected features get EMPTY edge
+        # lists, which _fit_tree skips (ncuts == 0) — split indices
+        # stay in original column space, so prediction needs no remap
+        fsub = rng.choice(p, size=max_features, replace=False)
+        tree_edges = [
+            edges[f] if f in fsub else np.empty(0, dtype=np.float64)
+            for f in range(p)
+        ]
+        trees.append(
+            _fit_tree(
+                X[bidx],
+                y[bidx],
+                max_depth=max_depth,
+                min_leaf=min_leaf,
+                edges=tree_edges,
+                binned=binned[bidx],
+            )
+        )
+    return {"base": 0.0, "lr": 1.0 / n_trees, "trees": trees}
+
+
+def train_rf_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    time_col: str | None = None,
+    n_trees: int = 20,
+    max_depth: int = 6,
+    min_leaf: int = 3,
+    n_bins: int = 16,
+    max_features: int | None = None,
+    min_rows: int = 30,
+) -> DataFrame:
+    """Per-group bagged forest — rounds out the reference's
+    RF + LightGBM + LinearRegression trio (ml_pipeline.py:90-104):
+    OLS (pipeline/ml.py) / histogram-GBT / THIS. Same shuffle contract
+    as the other trainers: ONE applyInPandas on ``group_col``; emits
+    the shared _GBT_SCHEMA so unify_registries unions it straight into
+    the cross-family registry. Per-group seed = crc32(group key), so
+    the forest is replay-deterministic yet varies across groups."""
+    import zlib
+
+    fcols = list(feature_cols)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col])
+        if time_col is not None:
+            pdf = pdf.sort_values(time_col)
+        n = len(pdf)
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _GBT_SCHEMA.fields])
+        key = str(pdf[group_col].iloc[0])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
+        y = pdf[target_col].to_numpy(float)
+        model = rf_fit(
+            X,
+            y,
+            n_trees=n_trees,
+            max_depth=max_depth,
+            min_leaf=min_leaf,
+            n_bins=n_bins,
+            max_features=max_features,
+            seed=zlib.crc32(key.encode()),
+        )
+        pred = gbt_predict(model, X)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": ["rf_bagged"],
+                "n_rows": [n],
+                "n_trees": [int(n_trees)],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+                "model_blob": [blob_dumps(model, fcols)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_SCHEMA)
+
+
 # above this many model groups the broadcast-dict strategy risks a
 # driver OOM (millions of groups × ~50 KB blobs) — auto switches to
 # the cogrouped shuffle join, which never materializes models driver-side

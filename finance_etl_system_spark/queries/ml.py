@@ -19,7 +19,7 @@ from ..pipeline.ml import (
     train_ols_per_group,
     train_ridge_grid_per_group,
 )
-from ..pipeline.trees import train_gbt_per_group
+from ..pipeline.trees import train_gbt_per_group, train_rf_per_group
 
 _TRAIN_FRAC = 0.8
 
@@ -335,15 +335,55 @@ def q_ml_train_tree_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def q_ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 bagged-forest family: per-user random forest (bootstrap rows
+    + per-tree feature subsets over the histogram tree,
+    pipeline/trees.py::train_rf_per_group) — the RandomForestRegressor
+    member of the reference's model trio (ml-service/
+    ml_pipeline.py:90-104), completing OLS / GBT / RF. Rows-only
+    driver check (forest fitting is not SQL-expressible);
+    variance-reduction vs a single tree and replay determinism are
+    pinned in tests/test_ml.py. Seeded per-group PRNG ⇒ bit-identical
+    metrics across runs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = (
+        e.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("sma5", F.avg("value").over(w.rowsBetween(-4, 0)))
+        .withColumn("t", F.row_number().over(w))
+    )
+    models = train_rf_per_group(
+        feats,
+        group_col="user_id",
+        feature_cols=["lag1", "lag2", "sma5"],
+        target_col="value",
+        time_col="t",
+        n_trees=10,
+        max_depth=4,
+        min_rows=30,
+    )
+    return models.select(
+        "group_key",
+        "model_name",
+        "n_rows",
+        "n_trees",
+        F.round("r2", 6).alias("r2"),
+        F.round("mse", 6).alias("mse"),
+        F.length("model_blob").alias("blob_bytes"),
+    ).orderBy("group_key")
+
+
 def q_ml_best_of_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9 unified cross-family registry end-to-end: per-user OLS and
-    histogram-GBT trained on the same features, unioned into ONE
-    registry (pipeline/ml.py unify_registries), argmax-r2 winner per
-    user — the reference's get_best_model across families
+    """M9 unified cross-family registry end-to-end: per-user OLS,
+    histogram-GBT AND bagged forest trained on the same features,
+    unioned into ONE registry (pipeline/ml.py unify_registries),
+    argmax-r2 winner per user — the reference's get_best_model across
+    its three families RF/LightGBM/LinearRegression
     (ml-service/ml_pipeline.py:279-301). Rows-only driver check (the
-    GBT branch is not SQL-expressible); family-crossing selection is
-    pinned in tests/test_ml.py::test_unified_registry_best_of_any_family.
-    Deterministic: both trainers are exact/deterministic and r2 ties
+    tree branches are not SQL-expressible); family-crossing selection
+    is pinned in tests/test_ml.py::test_unified_registry_best_of_any_family.
+    Deterministic: every trainer is exact or PRNG-seeded and r2 ties
     break on model_name."""
     from ..pipeline.ml import best_model_per_group, unify_registries
 
@@ -364,7 +404,14 @@ def q_ml_best_of_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, group_col="user_id", feature_cols=fcols,
         target_col="value", time_col="t", n_trees=10, min_rows=30,
     )
-    best = best_model_per_group(unify_registries(ols, gbt))
+    rf = train_rf_per_group(
+        feats, group_col="user_id", feature_cols=fcols,
+        target_col="value", time_col="t", n_trees=10, max_depth=4,
+        min_rows=30,
+    )
+    # both tree families share the blob schema — one union, then the
+    # linear/blob unify; get_best_model spans all three
+    best = best_model_per_group(unify_registries(ols, gbt.unionByName(rf)))
     return best.select(
         "group_key",
         "model_name",
@@ -1066,6 +1113,7 @@ QUERIES = {
     "ml_train_ridge_grid": q_ml_train_ridge_grid,
     "ml_train_tree": q_ml_train_tree,
     "ml_train_tree_grid": q_ml_train_tree_grid,
+    "ml_train_rf": q_ml_train_rf,
     "ml_best_of_family": q_ml_best_of_family,
     "ml_walk_forward": q_ml_walk_forward,
     "model_performance_report": q_model_performance_report,

@@ -240,6 +240,77 @@ def test_gbt_blob_registry_roundtrip(spark, nonlinear_df, tmp_path):
     assert scored2.filter("g = 'zz'").count() == 0
 
 
+def test_rf_beats_single_tree_on_noisy_data():
+    """Bagging's variance reduction, held-out: on a noisy nonlinear
+    response, the 20-tree forest must beat a single full-feature CART
+    of the same depth on UNSEEN data (the property that justifies the
+    bagged-forest family next to GBT)."""
+    import numpy as np
+
+    from finance_etl_system_spark.pipeline.trees import (
+        gbt_fit,
+        gbt_predict,
+        rf_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    x_tr = rng.uniform(-2, 2, size=(500, 5))
+    x_te = rng.uniform(-2, 2, size=(500, 5))
+    f = (
+        lambda x: np.sin(3 * x[:, 0])
+        + x[:, 1] ** 2
+        + x[:, 0] * x[:, 2]
+        - 0.5 * x[:, 3]
+    )
+    y_tr = f(x_tr) + rng.normal(0, 0.7, 500)
+    y_te = f(x_te) + rng.normal(0, 0.7, 500)
+
+    forest = rf_fit(x_tr, y_tr, n_trees=30, max_depth=8, min_leaf=2, seed=1)
+    single = gbt_fit(
+        x_tr, y_tr, n_trees=1, learning_rate=1.0, max_depth=8, min_leaf=2
+    )
+    mse_forest = float(((y_te - gbt_predict(forest, x_te)) ** 2).mean())
+    mse_single = float(((y_te - gbt_predict(single, x_te)) ** 2).mean())
+    assert mse_forest < mse_single, (mse_forest, mse_single)
+
+
+def test_rf_per_group_deterministic_and_scorable(spark, nonlinear_df):
+    """The Spark path: per-group forests are replay-deterministic
+    (seeded from the group key, partitioning-independent), serialize
+    into the shared blob format, and score_from_blob reproduces the
+    trainer's reported MSE bit-for-bit."""
+    from finance_etl_system_spark.pipeline.trees import (
+        score_from_blob,
+        train_rf_per_group,
+    )
+
+    kw = dict(
+        group_col="g", feature_cols=["x"], target_col="y", time_col="t",
+        n_trees=10, max_depth=4,
+    )
+
+    def run():
+        return sorted(
+            (r["group_key"], r["model_name"], r["r2"], r["mse"])
+            for r in train_rf_per_group(
+                nonlinear_df.repartition(7), **kw
+            ).collect()
+        )
+
+    first = run()
+    assert first == run()
+    assert all(name == "rf_bagged" for _, name, _, _ in first)
+
+    models = train_rf_per_group(nonlinear_df, **kw)
+    scored = score_from_blob(
+        nonlinear_df, models, group_col="g", feature_cols=["x"]
+    ).toPandas()
+    reported = {k: m for k, _, _, m in first}
+    for g, grp in scored.groupby("g"):
+        mse = float(((grp["y"] - grp["prediction"]) ** 2).mean())
+        assert abs(mse - reported[g]) < 1e-12
+
+
 def test_gbt_metrics_deterministic_across_runs(spark, nonlinear_df):
     from finance_etl_system_spark.pipeline.trees import train_gbt_per_group
 
