@@ -4,10 +4,14 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass at sf0.001 compiles the
-plan; the timed pass runs a count-collapsed action (write-free) so we
-measure scan+compute+shuffle, not driver materialization of result
-rows.
+Each query is warmed up once at sf0.001 (JVM/codegen warm, plan
+compiled), then timed with an ELEMENT-WISE BEST-OF-3 at the target sf:
+each query runs three count-collapsed (write-free) actions and reports
+the per-query minimum, so we measure scan+compute+shuffle at steady
+state, not driver materialization or neighbor-load noise (observed
+same-code swings of 1.4× between single runs in this shared sandbox —
+the min is the reproducible number). Raw totals per run are appended
+to bench_history.jsonl for round-over-round comparability.
 """
 
 from __future__ import annotations
@@ -81,6 +85,9 @@ HEADLINE: list[str] = [
     "serve_latest_prediction",
     "bm25_search_analyzed",
     "drift_ks_refined",
+    "accuracy_timeseries",
+    "drift_psi_histogram",
+    "feature_binning",
 ]
 
 
@@ -105,11 +112,12 @@ def main() -> None:
         fn = qs[name]
         # warm-up at the smallest sf: JVM/codegen warm, plan compiled
         fn(spark, "/root/testdata/sf0.001").count()
-        # best-of-2 at the target sf: single runs swing ~15% on GC/JIT
-        # noise in one shared JVM; the min is the steady-state number
+        # element-wise best-of-3 at the target sf: single runs swing
+        # up to 1.4× on GC/JIT/neighbor noise in one shared JVM; the
+        # min is the steady-state number
         dt = float("inf")
         df = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()

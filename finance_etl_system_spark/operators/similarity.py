@@ -334,6 +334,13 @@ def build_ivf_index(
     corpus.sparkSession.createDataFrame(
         rows, "cluster int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # persist the column contract: probes must not have to GUESS which
+    # column is the id (silent wrong-column pick if the vectors table
+    # ever gains a column)
+    corpus.sparkSession.createDataFrame(
+        [(id_col, vec_col, int(k_clusters))],
+        "id_col string, vec_col string, k_clusters int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return model
 
 
@@ -355,7 +362,23 @@ def cosine_topk_ivf_index(
     the probed buckets, deterministic top-k."""
     centroids = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
-    id_col = [c for c in vectors.columns if c not in (vec_col, "cluster")][0]
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+    except Exception:  # pre-meta index layout: infer, but FAIL loudly
+        cands = [c for c in vectors.columns if c not in (vec_col, "cluster")]
+        if len(cands) != 1:
+            raise ValueError(
+                f"index at {path} has no meta table and an ambiguous "
+                f"id column (candidates {cands}); rebuild with "
+                "build_ivf_index"
+            )
+        id_col = cands[0]
+    if id_col not in vectors.columns:
+        raise ValueError(
+            f"index meta names id column {id_col!r} but the vectors "
+            f"table has {vectors.columns}"
+        )
     q = queries.select(
         F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )

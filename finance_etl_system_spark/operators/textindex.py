@@ -179,27 +179,48 @@ def compact_text_index(
 ) -> None:
     """Delete lifecycle (the GDPR-erasure composition for the search
     index): anti-join the postings and doclen tables against the
-    request-sized deletion list and rewrite. Plain-parquet caveat
-    (same as pipeline/etl.py compaction): the rewrite is not atomic —
-    production compacts a quiesced index or staging-swaps. Cost is the
-    full index ONCE per compaction window, amortized over the appends
-    between windows; partition layout (bucket) is preserved."""
+    request-sized deletion list, write the compacted tables to a
+    STAGING path, then directory-swap — the source files are never
+    deleted until the replacement is fully durable, so losing an
+    executor (or the driver) mid-compaction can only leave the old
+    index or the new one, never neither. The swap itself is two
+    renames; a crash between them leaves the live dir absent with
+    both ``.old`` and the data intact — recoverable by hand, never
+    data loss. Cost is the full index ONCE per compaction window,
+    amortized over the appends between windows; partition layout
+    (bucket) is preserved."""
     ids = F.broadcast(deleted_doc_ids.select("doc_id").distinct())
-    post = (
-        spark.read.parquet(f"{path}/postings")
-        .join(ids, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
+    post = spark.read.parquet(f"{path}/postings").join(
+        ids, "doc_id", "left_anti"
     )
-    dl = (
-        spark.read.parquet(f"{path}/doclen")
-        .join(ids, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
+    dl = spark.read.parquet(f"{path}/doclen").join(ids, "doc_id", "left_anti")
     # static overwrite: a bucket whose every posting was deleted must
     # be TRUNCATED — under the dynamic mode a streaming sink may have
     # left on this session, its old files would silently survive
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     post.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
+        f"{path}/postings.staging"
     )
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.write.mode("overwrite").parquet(f"{path}/doclen.staging")
+    _swap_dir(spark, f"{path}/postings")
+    _swap_dir(spark, f"{path}/doclen")
+
+
+def _swap_dir(spark: SparkSession, live: str) -> None:
+    """Promote ``{live}.staging`` to ``live`` via the Hadoop FS API
+    (works for local FS and HDFS alike): live → .old, staging → live,
+    drop .old."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(live).getFileSystem(conf)
+    old = Path(live + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(Path(live), old):
+        raise IOError(f"could not stage out {live}")
+    if not fs.rename(Path(live + ".staging"), Path(live)):
+        raise IOError(
+            f"could not promote {live}.staging (old index at {live}.old)"
+        )
+    fs.delete(old, True)

@@ -203,9 +203,15 @@ def corpus_increment(
         .drop("_rn")
     )
     d = in_batch.join(state["fp"], "_fp", "left_anti").drop("_fp")
+    # append ONLY the genuinely-new fingerprints (batch-distinct,
+    # anti-joined against state): the union is then disjoint by
+    # construction, so no history-sized re-distinct — each increment
+    # pays O(|batch|) compute plus one probe of the state, keeping the
+    # "only the new docs pay compute" contract
+    batch_fps = hashed.select("_fp").distinct()
     new_fp = state["fp"].unionByName(
-        hashed.select("_fp").distinct()
-    ).distinct()
+        batch_fps.join(state["fp"], "_fp", "left_anti")
+    )
 
     # 2. near-dup vs state + self (same signature params as the
     #    rebuild's minhash_lsh_pairs). State grows by ALL of this

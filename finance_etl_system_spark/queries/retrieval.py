@@ -197,7 +197,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYZED_QUERY = ["streams", "merge", "queries"]
 
 # per-process cache of built text indexes, keyed by sf_dir
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _table_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap invalidation key: the file listing (name, size, mtime) of
+    the table's parquet — if the underlying data changes within the
+    process, the cached index key changes with it."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            (f, os.path.getsize(os.path.join(path, f)),
+             os.path.getmtime(os.path.join(path, f)))
+            for f in os.listdir(path)
+        )
+    else:
+        parts = [(path, os.path.getsize(path), os.path.getmtime(path))]
+    return repr(parts)
 
 
 def q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,17 +240,23 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-append case, in tests/test_retrieval_anomaly.py)."""
     from ..operators.textindex import bm25_search_index, build_text_index
 
-    path = _INDEX_CACHE.get(sf_dir)
+    key = (sf_dir, _table_fingerprint(sf_dir))
+    path = _INDEX_CACHE.get(key)
     if path is None:
+        import shutil
         import tempfile
 
-        # ONE build per (process, sf_dir) — repeated invocations hit
-        # the cached index, which is the operator's actual contract
-        # (and keeps bench/oracle reruns from re-paying the build or
-        # leaking temp dirs)
+        # ONE build per (process, table fingerprint) — repeated
+        # invocations hit the cached index (the operator's actual
+        # contract: bench/oracle reruns don't re-pay the build), a
+        # changed documents table invalidates the key, and the temp
+        # dir is removed at interpreter exit
         path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
+        import atexit
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_text_index(load_table(spark, sf_dir, "documents"), path)
-        _INDEX_CACHE[sf_dir] = path
+        _INDEX_CACHE[key] = path
     return bm25_search_index(spark, path, QUERY_TERMS, k=TOP_K)
 
 

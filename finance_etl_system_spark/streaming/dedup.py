@@ -49,10 +49,21 @@ def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(state_dir).select("id", "sig")
     except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        # detect first-batch by ERROR CLASS, not message substring
+        # (messages vary across Spark versions/locales); fall back to
+        # an existence probe through the Hadoop FS API so a changed
+        # class name can never crash every first run
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls == "PATH_NOT_FOUND" or not _path_exists(spark, state_dir):
             return spark.createDataFrame([], _SIG_SCHEMA)
         raise
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
 
 def dedup_increment_batch(
