@@ -356,10 +356,19 @@ def cosine_topk_ivf_index(
 ) -> DataFrame:
     """Query a persisted IVF index (build_ivf_index): route each query
     to its nprobe nearest centroids (broadcast k-row table), then scan
-    ONLY those clusters' partitions — the routed frame joins the
-    vectors table on its partition column, so dynamic partition
-    pruning skips every unprobed cluster's files. Exact cosine within
-    the probed buckets, deterministic top-k."""
+    ONLY those clusters' partitions.
+
+    The routed cluster ids are COLLECTED (≤ |queries|·nprobe values —
+    the query-sized collect class, same as bm25_search_index's bucket
+    list) and pushed as a LITERAL ``cluster IN (...)`` partition
+    filter, so the pruning is static and guaranteed at plan time:
+    unprobed partitions are never even listed. (The earlier
+    join-driven formulation planned a dynamicpruningexpression that
+    Spark did not honor at runtime — measured 8/8 partition files read
+    for a 1-cluster probe; the literal filter measurably reads only
+    the probed partitions, see tools/index_probe_check.py and the
+    plan+metrics assert in tests/test_similarity.py.) Exact cosine
+    within the probed buckets, deterministic top-k."""
     centroids = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
     try:
@@ -382,7 +391,13 @@ def cosine_topk_ivf_index(
     q = queries.select(
         F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
-    routed = _route_queries(q, centroids, nprobe)
+    # routing is centroid-table-sized work; checkpoint so the collect
+    # below and the scoring join don't recompute it
+    routed = _route_queries(q, centroids, nprobe).localCheckpoint(eager=True)
+    probed = sorted(
+        r["cluster"] for r in routed.select("cluster").distinct().collect()
+    )
+    vectors = vectors.filter(F.col("cluster").isin(probed))
     c = vectors.select(
         F.col(id_col).alias("cid"),
         "cluster",

@@ -74,9 +74,11 @@ def build_text_index(
     docs.sparkSession.conf.set(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # term-sorted within each bucket file: probe-time term predicates
+    # skip whole row groups off the min/max footer stats
+    post.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
 
 
@@ -95,9 +97,9 @@ def append_to_text_index(
     post, dl = _postings(
         new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed
     )
-    post.write.mode("append").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    post.sortWithinPartitions("term").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     dl.write.mode("append").parquet(f"{path}/doclen")
 
 
@@ -129,15 +131,24 @@ def bm25_search_index(
     buckets = sorted({r["bucket"] for r in qterms.collect()})  # |terms| rows
     hits = (
         postings.filter(F.col("bucket").isin(buckets))
+        # literal term filter INSIDE the probed buckets: pushed to the
+        # parquet scan (PushedFilters: In(term, ...)), so row groups
+        # holding none of the query terms are stat-skipped — the
+        # writer sorts postings by term within each bucket file to
+        # make those stats selective
+        .filter(F.col("term").isin(terms))
         .join(F.broadcast(qterms), ["bucket", "term"])
         .select("term", "doc_id", "tf")
     )
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
+    # df via a window over the matched postings: ONE probe scan total
+    # (the aggregate-and-join-back formulation scanned the probed
+    # buckets twice); |terms| partitions, each df(term)-sized
+    wdf = Window.partitionBy("term")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
+        hits.withColumn("df", F.count(F.lit(1)).over(wdf))
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .withColumn(

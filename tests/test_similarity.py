@@ -165,7 +165,25 @@ def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
     got = cosine_topk_ivf_index(
         spark, path, queries, k=10, nprobe=2
     )
-    assert has_dynamic_partition_pruning(got), partition_filters(got)
+    # static literal pruning: the probed cluster ids are pushed as a
+    # partition filter (cluster IN ...), and the executed scan must
+    # actually SKIP unprobed partitions' files — the earlier
+    # join-driven dynamicpruningexpression planned but never pruned
+    pf = " ".join(partition_filters(got))
+    assert "cluster" in pf and " IN " in pf.upper(), pf
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    one_probe = cosine_topk_ivf_index(
+        spark, path, queries.limit(1), k=10, nprobe=1
+    )
+    total_vecs = e.count()
+    vec_scans = [
+        s for s in executed_metrics(one_probe, execute=True)["scans"]
+        if s["scan_rows"] > model.centroids.shape[0]
+    ]
+    assert vec_scans and all(
+        s["scan_rows"] <= total_vecs / 2 for s in vec_scans
+    ), vec_scans
 
     rows = got.collect()
     by_q = {}

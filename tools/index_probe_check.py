@@ -1,0 +1,112 @@
+"""Probe-side scaling of the PERSISTENT indexes: build once at sf0.1
+and at N× sf0.1, then time ONLY the probe path and record how many
+rows the probe actually scans vs the corpus size — the evidence that
+partition/bucket pruning keeps holding as the data grows (the build
+path is covered by tools/scale_check.py; this isolates the
+query-many side of build-once/query-many).
+
+- IVF: cosine_topk_ivf_index routes a fixed query set to nprobe of
+  k_clusters centroid partitions; dynamic partition pruning should
+  keep probe scan_rows ≈ (nprobe/k)·|corpus| at every scale.
+- BM25 inverted index: bm25_search_index reads only the query terms'
+  hash-bucket partitions of the postings table (static pruning),
+  plus the doclen table for stats.
+
+Usage: python tools/index_probe_check.py [mult]   # default 10
+Prints the markdown rows SCALE.md embeds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def _probe_stats(df) -> tuple[float, int]:
+    """(best-of-3 wall time, scan_rows of one executed probe)."""
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    df.count()  # warm
+    t = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.count()
+        t = min(t, time.time() - t0)
+    m = executed_metrics(df, execute=True)
+    return t, int(m["scan_rows"])
+
+
+def run_ivf(spark, sf_dir: str, label: str) -> None:
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    path = tempfile.mkdtemp(prefix="probe_ivf_")
+    build_ivf_index(e, path, k_clusters=8, id_col="vec_id")
+    # 2 queries × nprobe=1 of 8 clusters: a wide query batch would
+    # legitimately touch every partition, hiding the pruning — the
+    # sharp probe is what the scanned fraction measures
+    queries = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    probe = cosine_topk_ivf_index(spark, path, queries, k=10, nprobe=1)
+    t, scanned = _probe_stats(probe)
+    print(
+        f"| ivf_probe {label} | {n} | {scanned} | "
+        f"{scanned / n:.2f} | {t:.2f} |"
+    )
+
+
+def run_bm25(spark, sf_dir: str, label: str) -> None:
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        bm25_search_index,
+        build_text_index,
+    )
+    from finance_etl_system_spark.queries.retrieval import QUERY_TERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="probe_text_")
+    build_text_index(d, path)
+    postings_n = spark.read.parquet(f"{path}/postings").count()
+    probe = bm25_search_index(spark, path, QUERY_TERMS, k=20)
+    t, scanned = _probe_stats(probe)
+    print(
+        f"| bm25_probe {label} | {postings_n} | {scanned} | "
+        f"{scanned / postings_n:.2f} | {t:.2f} |"
+    )
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from finance_etl_system_spark.session import get_spark
+    from tools.scale_check import synthesize
+
+    spark = get_spark("index-probe-check")
+    scaled_dir = synthesize(spark, mult)
+
+    print("| probe | corpus/postings rows | probe scan_rows | "
+          "scanned frac | best-of-3 (s) |")
+    print("|---|---|---|---|---|")
+    run_ivf(spark, BASE_SF, "1x")
+    run_ivf(spark, scaled_dir, f"{mult}x")
+    run_bm25(spark, BASE_SF, "1x")
+    run_bm25(spark, scaled_dir, f"{mult}x")
+
+
+if __name__ == "__main__":
+    main()

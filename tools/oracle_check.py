@@ -134,6 +134,31 @@ def main() -> int:
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
         f"of {len(names)} queries at {args.sf}"
     )
+    if not args.names:
+        # FULL-registry runs leave an auditable snapshot: the driver
+        # samples only ~50 query names per round, so the all-registry
+        # green lives here, committed with the round
+        import json
+        import os
+
+        try:
+            line = {
+                "ts": round(time.time(), 1),
+                "event": "oracle_check_full",
+                "sf": args.sf,
+                "pass": n_pass,
+                "fail": n_fail,
+                "rows_only": n_rows_only,
+                "total": len(names),
+            }
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "PROGRESS.jsonl",
+            )
+            with open(path, "a") as fh:
+                fh.write(json.dumps(line) + "\n")
+        except OSError:
+            pass
     return 1 if n_fail else 0
 
 
