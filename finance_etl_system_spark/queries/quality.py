@@ -290,7 +290,110 @@ FROM aug ORDER BY doc_id
 """
 
 
+# fraction of the mean per-source char mass each source may keep —
+# the "N tokens per domain" budget of CommonCrawl-style curation,
+# derived from the data so it binds at every scale factor
+_SRC_BUDGET_PCT = 40
+
+
+def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content budget (the domain-cap op of pretraining
+    curation: no single domain may contribute more than its budget of
+    characters/tokens, FineWeb's overrepresentation guard): each
+    source keeps documents in content-independent Knuth-hash order
+    until the cumulative char mass would exceed the budget; the rest
+    are dropped. Budget = {pct}% of the MEAN per-source char total —
+    data-derived, so it binds identically at every sf.
+
+    Plan: one scan → per-source window (hash rank + running char
+    sum, one shuffle on source) against a broadcast 1-row budget;
+    the emitted frame is the |sources|-row audit (docs/chars kept vs
+    total, budget, utilization). All arithmetic is exact integers
+    until the final 6dp ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    budget = totals.agg(
+        (F.floor(F.avg("src_chars") * _SRC_BUDGET_PCT / 100))
+        .cast("long")
+        .alias("budget")
+    )
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.select("source", "doc_id", "n_chars", h.alias("h"))
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .crossJoin(F.broadcast(budget))
+        .withColumn("kept", F.col("cum_chars") <= F.col("budget"))
+    )
+    return (
+        cum.groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.sum("n_chars").alias("chars_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "chars_total",
+            "chars_kept",
+            "budget",
+            F.round(
+                F.col("chars_kept") / F.col("budget").cast("double"), 6
+            ).alias("budget_utilization"),
+        )
+        .orderBy("source")
+    )
+
+
+q_source_token_budget.__doc__ = q_source_token_budget.__doc__.format(
+    pct=_SRC_BUDGET_PCT
+)
+
+
+_SOURCE_TOKEN_BUDGET_SQL = f"""
+WITH budget AS (
+  SELECT CAST(FLOOR(AVG(src_chars) * {_SRC_BUDGET_PCT} / 100) AS BIGINT)
+           AS budget
+  FROM (SELECT source, SUM(n_chars) AS src_chars
+        FROM documents GROUP BY source)
+),
+cum AS (
+  SELECT source, doc_id, n_chars, budget,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+  FROM documents CROSS JOIN budget
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cum_chars <= budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(COALESCE(SUM(CASE WHEN cum_chars <= budget THEN n_chars END), 0)
+            AS BIGINT) AS chars_kept,
+       budget,
+       ROUND(COALESCE(SUM(CASE WHEN cum_chars <= budget THEN n_chars END), 0)
+             / CAST(budget AS DOUBLE), 6) AS budget_utilization
+FROM cum
+GROUP BY source, budget
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_token_budget": q_source_token_budget,
     "data_mix_target": q_data_mix_target,
     "quality_repetition": q_quality_repetition,
     "data_mix_rebalance": q_data_mix_rebalance,
@@ -298,6 +401,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_token_budget": _SOURCE_TOKEN_BUDGET_SQL,
     "data_mix_target": _DATA_MIX_TARGET_SQL,
     "quality_repetition": _QUALITY_REPETITION_SQL,
     "data_mix_rebalance": _DATA_MIX_REBALANCE_SQL,
