@@ -216,3 +216,60 @@ def test_xml_roundtrip_preserves_values(spark, tmp_path):
         (r.n_nationkey, r.n_name, r.n_regionkey) for r in src.collect()
     )
     assert got == want
+
+
+def test_connector_glue_options_and_gating(spark):
+    """Mongo/ES connector glue (sources/connectors.py): option
+    builders produce the exact connector configs (watermark as REAL
+    JSON $match, keyed ES upsert), the NaN scrub is one projection
+    over every float column, and the gated paths fail with a
+    deploy-hint error in this service-less sandbox instead of an
+    opaque ClassNotFound."""
+    import json
+    from datetime import datetime
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.sources.connectors import (
+        es_write_options,
+        mongo_read_options,
+        read_mongo_history,
+        scrub_nan_to_null,
+        write_es_upsert,
+    )
+
+    wm = datetime(2024, 1, 2, 3, 4, 5)
+    opts = mongo_read_options("finance", "stock_AAPL", watermark=wm)
+    assert opts["database"] == "finance"
+    assert opts["collection"] == "stock_AAPL"
+    pipeline = json.loads(opts["aggregation.pipeline"])
+    assert pipeline == [
+        {"$match": {"timestamp": {"$gt": {"$date": "2024-01-02T03:04:05"}}}}
+    ]
+    assert "aggregation.pipeline" not in mongo_read_options("f", "c")
+
+    es = es_write_options("findata_aapl", id_col="row_key")
+    assert es == {
+        "es.resource": "findata_aapl",
+        "es.mapping.id": "row_key",
+        "es.write.operation": "upsert",
+        "es.spark.dataframe.write.null": "true",
+    }
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), "x"), (2, 2.5, "y")], "id int, v double, s string"
+    )
+    got = {r.id: r.v for r in scrub_nan_to_null(df).collect()}
+    assert got[1] is None and got[2] == 2.5
+    # single projection: no chained withColumn tower
+    assert scrub_nan_to_null(df).columns == ["id", "v", "s"]
+
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        read_mongo_history(spark, "finance", "stock_AAPL")
+    keyed = df.withColumn("row_key", F.sha2(F.col("s"), 256))
+    with pytest.raises(RuntimeError, match="elasticsearch-spark"):
+        write_es_upsert(keyed, "findata_aapl")
+    with pytest.raises(ValueError, match="row_key"):
+        write_es_upsert(df, "findata_aapl")
