@@ -281,6 +281,21 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
 
     assert has_dynamic_partition_pruning(joined), partition_filters(joined)
 
+    # runtime proof, not just the plan string (round 5: the IVF probe's
+    # DPP expression planned but never pruned — a window-ranked build
+    # side defeats the rule; THIS shape, filtered dim → fact, must
+    # actually skip the unprobed date partitions at execution
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    total_rows = e.count()
+    fact_scans = [
+        s for s in executed_metrics(joined, execute=True)["scans"]
+        if s["scan_rows"] > 3
+    ]
+    assert fact_scans and all(
+        s["scan_rows"] < total_rows / 2 for s in fact_scans
+    ), fact_scans
+
     got = {str(r.event_date): r.n for r in joined.collect()}
     want = {
         str(r.event_date): r.n
