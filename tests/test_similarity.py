@@ -139,10 +139,11 @@ def test_int8_quantization_roundtrip_bounds(spark):
 
 def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
     """Build-once/query-many IVF: the persisted index answers with the
-    corpus partitioned by cluster, the probe joins on the partition
-    column (dynamic partition pruning — only probed clusters' files
-    are read), self-queries return themselves at rank 1, and recall
-    vs exact brute force is high at nprobe=half the clusters."""
+    corpus partitioned by cluster, the probe pushes the collected
+    routed-cluster set as a LITERAL partition filter (static pruning,
+    asserted on executed scan metrics), self-queries return themselves
+    at rank 1, and recall vs exact brute force is high at nprobe=half
+    the clusters."""
     from finance_etl_system_spark.catalog import load_table
     from finance_etl_system_spark.operators.similarity import (
         build_ivf_index,
@@ -150,7 +151,6 @@ def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
         cosine_topk_ivf_index,
     )
     from finance_etl_system_spark.plans.inspect import (
-        has_dynamic_partition_pruning,
         partition_filters,
     )
 
