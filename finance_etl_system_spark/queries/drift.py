@@ -493,6 +493,94 @@ ORDER BY user_id
 _HIST_BINS = 512
 
 
+def _tick_populations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(is_ref, ticks) — the integer-tick twin of _populations."""
+    return load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
+    )
+
+
+def _tick_hist_edges(o: DataFrame, n_parts: int) -> DataFrame:
+    """n_parts−1 quantile edges (in ticks) of the REFERENCE population
+    read off a {bins}-bin equi-width histogram — 1-row array frame.
+    O(bins) aggregation state, counts merge by addition, all-integer
+    arithmetic (engine-bit-identical); each edge is the hi edge of its
+    crossing bin (≤ one bin width from the exact quantile)."""
+    from pyspark.sql import Window
+
+    ref = o.filter(F.col("is_ref"))
+    bounds = ref.agg(F.min("ticks").alias("mn"), F.max("ticks").alias("mx"))
+    hist = (
+        ref.crossJoin(F.broadcast(bounds))
+        .select(
+            "mn",
+            "mx",
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.expr(f"((ticks - mn) * {_HIST_BINS}) div (mx - mn + 1)"),
+            ).alias("bin"),
+        )
+        .groupBy("mn", "mx", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    edge = (
+        cum.select(
+            "*", F.explode(F.sequence(F.lit(1), F.lit(n_parts - 1))).alias("q")
+        )
+        .filter(
+            ((F.col("cum") - F.col("n")) * n_parts < F.col("q") * F.col("total"))
+            & (F.col("cum") * n_parts >= F.col("q") * F.col("total"))
+        )
+        .select(
+            F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_HIST_BINS}").alias(
+                "edge_tick"
+            )
+        )
+    )
+    return edge.agg(F.array_sort(F.collect_list("edge_tick")).alias("e"))
+
+
+def _hist_edges_ctes(n_parts: int) -> str:
+    """The DuckDB CTE chain mirroring _tick_populations +
+    _tick_hist_edges: defines src / bounds / hist / hcum / edge /
+    edges (edges = 1-row sorted tick array)."""
+    return f"""src AS (
+  SELECT (o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ticks
+  FROM orders
+),
+bounds AS (SELECT MIN(ticks) AS mn, MAX(ticks) AS mx FROM src WHERE is_ref),
+hist AS (
+  SELECT mn, mx,
+         LEAST({_HIST_BINS - 1}, ((ticks - mn) * {_HIST_BINS}) // (mx - mn + 1))
+           AS bin,
+         COUNT(*) AS n
+  FROM src CROSS JOIN bounds WHERE is_ref
+  GROUP BY 1, 2, 3
+),
+hcum AS (
+  SELECT *,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM hist
+),
+edge AS (
+  SELECT mn + ((bin + 1) * (mx - mn + 1)) // {_HIST_BINS} AS edge_tick
+  FROM hcum CROSS JOIN (SELECT unnest(range(1, {n_parts})) AS q)
+  WHERE (cum - n) * {n_parts} < q * total
+    AND cum * {n_parts} >= q * total
+),
+edges AS (SELECT list_sort(list(edge_tick)) AS e FROM edge)"""
+
+
 def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI with decile edges read off a MERGEABLE equi-width histogram
     instead of exact percentile — the 100-TB edge-derivation path.
@@ -513,51 +601,8 @@ def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket-quantized (≤ one bin width from the exact decile), which
     is the documented trade for mergeability — PSI over quantized
     edges is still a valid reference-grid PSI."""
-    o = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
-    )
-    ref = o.filter(F.col("is_ref"))
-    bounds = ref.agg(F.min("ticks").alias("mn"), F.max("ticks").alias("mx"))
-    hist = (
-        ref.crossJoin(F.broadcast(bounds))
-        .select(
-            "mn",
-            "mx",
-            F.least(
-                F.lit(_HIST_BINS - 1),
-                F.expr(f"((ticks - mn) * {_HIST_BINS}) div (mx - mn + 1)"),
-            ).alias("bin"),
-        )
-        .groupBy("mn", "mx", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    from pyspark.sql import Window
-
-    wcum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
-        "total", F.sum("n").over(wall)
-    )
-    # decile q's edge = hi edge (in ticks) of the bin where the
-    # cumulative count crosses q/10 of the total — all-integer test
-    edge = (
-        cum.select(
-            "*", F.explode(F.sequence(F.lit(1), F.lit(N_PSI_BUCKETS - 1))).alias("q")
-        )
-        .filter(
-            ((F.col("cum") - F.col("n")) * N_PSI_BUCKETS < F.col("q") * F.col("total"))
-            & (F.col("cum") * N_PSI_BUCKETS >= F.col("q") * F.col("total"))
-        )
-        .select(
-            F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_HIST_BINS}").alias(
-                "edge_tick"
-            )
-        )
-    )
-    edges = edge.agg(F.array_sort(F.collect_list("edge_tick")).alias("e"))
+    o = _tick_populations(spark, sf_dir)
+    edges = _tick_hist_edges(o, N_PSI_BUCKETS)
     b = o.crossJoin(F.broadcast(edges)).select(
         "is_ref",
         F.aggregate(
@@ -592,34 +637,7 @@ def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_PSI_HISTOGRAM_SQL = f"""
-WITH src AS (
-  SELECT (o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ticks
-  FROM orders
-),
-bounds AS (SELECT MIN(ticks) AS mn, MAX(ticks) AS mx FROM src WHERE is_ref),
-hist AS (
-  SELECT mn, mx,
-         LEAST({_HIST_BINS - 1}, ((ticks - mn) * {_HIST_BINS}) // (mx - mn + 1))
-           AS bin,
-         COUNT(*) AS n
-  FROM src CROSS JOIN bounds WHERE is_ref
-  GROUP BY 1, 2, 3
-),
-cum AS (
-  SELECT *,
-         SUM(n) OVER (ORDER BY bin
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         SUM(n) OVER () AS total
-  FROM hist
-),
-edge AS (
-  SELECT mn + ((bin + 1) * (mx - mn + 1)) // {_HIST_BINS} AS edge_tick
-  FROM cum CROSS JOIN (SELECT unnest(range(1, {N_PSI_BUCKETS})) AS q)
-  WHERE (cum - n) * {N_PSI_BUCKETS} < q * total
-    AND cum * {N_PSI_BUCKETS} >= q * total
-),
-edges AS (SELECT list_sort(list(edge_tick)) AS e FROM edge),
+WITH {_hist_edges_ctes(N_PSI_BUCKETS)},
 b AS (
   SELECT is_ref, 1 + len(list_filter(e, x -> ticks > x)) AS bucket
   FROM src CROSS JOIN edges
@@ -646,9 +664,114 @@ FROM counts CROSS JOIN tot ORDER BY bucket
 """
 
 
+def q_drift_ks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift_ks_refined's two-sided KS bracket with the centile grid
+    read off the mergeable integer-tick histogram instead of exact
+    percentile — completing the drift family's scale-safe edge path
+    (PSI twin: drift_psi_histogram; the bracket algebra is valid for
+    ANY partition of the line, so quantized edges only widen the
+    bracket by at most one bin's mass). Aggregation state is O(bins);
+    the cumulative windows run over the ≤100-row bucket table, never
+    data. All-integer until the final fractions — engine-identical."""
+    from pyspark.sql import Window
+
+    o = _tick_populations(spark, sf_dir)
+    edges = _tick_hist_edges(o, N_KS_BINS)
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_b"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_b"),
+    )
+    totals = counts.agg(
+        F.sum("ref_b").alias("n_ref"), F.sum("cur_b").alias("n_cur")
+    )
+    tot = counts.crossJoin(F.broadcast(totals))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tot.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.col("ref_b") / F.col("n_ref")).alias("p_b"),
+        (F.col("cur_b") / F.col("n_cur")).alias("q_b"),
+        (F.sum("ref_b").over(w) / F.col("n_ref")).alias("cum_p"),
+        (F.sum("cur_b").over(w) / F.col("n_cur")).alias("cum_q"),
+    )
+    wl = Window.orderBy("bucket")
+    d = cum.select(
+        "n_ref",
+        "n_cur",
+        "p_b",
+        "q_b",
+        F.abs(F.col("cum_p") - F.col("cum_q")).alias("d_right"),
+        F.lag(F.abs(F.col("cum_p") - F.col("cum_q")), 1, 0.0)
+        .over(wl)
+        .alias("d_left"),
+    )
+    return d.groupBy("n_ref", "n_cur").agg(
+        F.round(F.max("d_right"), 6).alias("ks_lower"),
+        F.round(
+            F.max(F.col("d_left") + F.greatest("p_b", "q_b")), 6
+        ).alias("ks_upper"),
+    ).select("ks_lower", "ks_upper", "n_ref", "n_cur")
+
+
+_DRIFT_KS_HISTOGRAM_SQL = f"""
+WITH {_hist_edges_ctes(N_KS_BINS)},
+b AS (
+  SELECT is_ref, 1 + len(list_filter(e, x -> ticks > x)) AS bucket
+  FROM src CROSS JOIN edges
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_b,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_b
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT bucket, ref_b, cur_b,
+         (SELECT SUM(ref_b) FROM counts) AS n_ref,
+         (SELECT SUM(cur_b) FROM counts) AS n_cur
+  FROM counts
+),
+cum AS (
+  SELECT bucket, n_ref, n_cur,
+         ref_b / CAST(n_ref AS DOUBLE) AS p_b,
+         cur_b / CAST(n_cur AS DOUBLE) AS q_b,
+         SUM(ref_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(n_ref AS DOUBLE) AS cum_p,
+         SUM(cur_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(n_cur AS DOUBLE) AS cum_q
+  FROM tot
+),
+d AS (
+  SELECT n_ref, n_cur, p_b, q_b,
+         ABS(cum_p - cum_q) AS d_right,
+         COALESCE(LAG(ABS(cum_p - cum_q)) OVER (ORDER BY bucket), 0.0)
+           AS d_left
+  FROM cum
+)
+SELECT ROUND(MAX(d_right), 6) AS ks_lower,
+       ROUND(MAX(d_left + GREATEST(p_b, q_b)), 6) AS ks_upper,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+FROM d GROUP BY n_ref, n_cur
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "drift_psi_histogram": q_drift_psi_histogram,
+    "drift_ks_histogram": q_drift_ks_histogram,
     "drift_ks": q_drift_ks,
     "drift_ks_refined": q_drift_ks_refined,
     "drift_chi2": q_drift_chi2,
@@ -657,6 +780,7 @@ QUERIES = {
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
     "drift_psi_histogram": _DRIFT_PSI_HISTOGRAM_SQL,
+    "drift_ks_histogram": _DRIFT_KS_HISTOGRAM_SQL,
     "drift_ks": _DRIFT_KS_SQL,
     "drift_ks_refined": _DRIFT_KS_REFINED_SQL,
     "drift_chi2": _DRIFT_CHI2_SQL,

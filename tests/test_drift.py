@@ -33,6 +33,32 @@ def test_drift_ks_refined_brackets_exact_ks(spark):
     assert row.ks_upper - row.ks_lower < 0.05
 
 
+def test_drift_ks_histogram_brackets_exact_ks(spark):
+    """The histogram-edge KS bracket must still contain the true
+    exact two-sample KS (the bracket algebra holds for ANY grid;
+    quantized edges only widen it by ≤ one bin's mass)."""
+    from finance_etl_system_spark.queries.drift import (
+        _populations,
+        q_drift_ks_histogram,
+    )
+
+    row = q_drift_ks_histogram(spark, SF_SMOKE).collect()[0]
+    ref, cur = _populations(spark, SF_SMOKE)
+    x = np.sort(np.array([r[0] for r in ref.select("o_totalprice").collect()]))
+    y = np.sort(np.array([r[0] for r in cur.select("o_totalprice").collect()]))
+    pts = np.concatenate([x, y])
+    exact = float(
+        np.abs(
+            np.searchsorted(x, pts, side="right") / len(x)
+            - np.searchsorted(y, pts, side="right") / len(y)
+        ).max()
+    )
+    assert row.n_ref == len(x) and row.n_cur == len(y)
+    assert row.ks_lower <= exact + 1e-6
+    assert exact <= row.ks_upper + 1e-6
+    assert row.ks_upper - row.ks_lower < 0.08  # centile grid + bin slack
+
+
 def test_drift_psi_histogram_edges_track_exact_deciles(spark):
     """The mergeable-histogram edge derivation must stand in for exact
     percentile: every bucket's reference mass stays near 1/10 (edges
