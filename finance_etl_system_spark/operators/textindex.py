@@ -37,17 +37,29 @@ N_BUCKETS = 16
 
 
 def _postings(
-    docs: DataFrame, *, text_col: str, id_col: str, analyzed: bool
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    analyzed: bool,
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
+    """``positions=True`` makes the index POSITIONAL: each posting
+    carries the sorted token positions (Lucene's term-positions
+    payload), enabling indexed phrase queries. Payload cost is one
+    int per token occurrence — the standard IR trade."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_array(F.col(text_col), analyzed=analyzed)).alias(
-            "term"
+        F.posexplode(token_array(F.col(text_col), analyzed=analyzed)).alias(
+            "pos", "term"
         ),
     )
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("pos"))
     post = (
         toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(*aggs)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)))
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -61,6 +73,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzed: bool = False,
+    positions: bool = False,
 ) -> None:
     """Materialize the inverted index (overwrite).
 
@@ -69,7 +82,8 @@ def build_text_index(
     the conf set to dynamic — which would silently leave stale bucket
     partitions behind."""
     post, dl = _postings(
-        docs, text_col=text_col, id_col=id_col, analyzed=analyzed
+        docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
+        positions=positions,
     )
     docs.sparkSession.conf.set(
         "spark.sql.sources.partitionOverwriteMode", "static"
@@ -89,13 +103,16 @@ def append_to_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzed: bool = False,
+    positions: bool = False,
 ) -> None:
     """Incremental maintenance: append the new batch's postings and
     doc lengths. Doc ids must be new (replays: dedup upstream or
     compact). All BM25 stats re-derive from the union at query time,
-    so no stored statistic goes stale."""
+    so no stored statistic goes stale. ``positions`` must match the
+    index's build flag (schema parity on append)."""
     post, dl = _postings(
-        new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed
+        new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
+        positions=positions,
     )
     post.sortWithinPartitions("term").write.mode("append").partitionBy(
         "bucket"
@@ -182,6 +199,65 @@ def bm25_search_index(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("rnk", "doc_id", "bm25", "n_terms_hit")
+    )
+
+
+def phrase_search_index(
+    spark: SparkSession,
+    path: str,
+    phrase_terms: list[str],
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Exact-phrase retrieval FROM the positional index (built with
+    ``positions=True``): the Lucene phrase-query plan. Each phrase
+    term's postings are read bucket-pruned + term-filtered (same
+    static pruning as bm25_search_index), the ≤|terms| per-term
+    frames equi-join on doc_id (every leg is
+    |matching postings|-sized, never the corpus), and an occurrence
+    is a position p in term 0's list with p+i present in term i's
+    list for every i — evaluated as a row-local array filter, no
+    explode. Output (rnk, doc_id, n_occurrences) is pinned identical
+    to the scan-path q_search_phrase ranker."""
+    if len(phrase_terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    postings = spark.read.parquet(f"{path}/postings")
+    if "pos" not in postings.columns:
+        raise ValueError(
+            f"index at {path} has no positions — rebuild with "
+            "build_text_index(..., positions=True)"
+        )
+    qterms = (
+        spark.createDataFrame([(t,) for t in set(phrase_terms)], "term string")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)))
+    )
+    buckets = sorted({r["bucket"] for r in qterms.collect()})
+    pruned = postings.filter(
+        F.col("bucket").isin(buckets)
+        & F.col("term").isin(list(set(phrase_terms)))
+    )
+    joined = None
+    for i, t in enumerate(phrase_terms):
+        leg = pruned.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"pos_{i}")
+        )
+        joined = leg if joined is None else joined.join(leg, "doc_id")
+
+    def chain(p):
+        cond = F.lit(True)
+        for i in range(1, len(phrase_terms)):
+            cond = cond & F.array_contains(F.col(f"pos_{i}"), p + i)
+        return cond
+
+    scored = joined.select(
+        "doc_id",
+        F.size(F.filter(F.col("pos_0"), chain)).alias("n_occurrences"),
+    ).filter(F.col("n_occurrences") > 0)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("rnk", "doc_id", "n_occurrences")
     )
 
 

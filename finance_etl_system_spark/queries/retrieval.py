@@ -501,6 +501,34 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval from the POSITIONAL inverted index
+    (operators/textindex.py, built with positions=True) — the Lucene
+    phrase-query twin of q_search_phrase's row-local scan. The scan
+    is right for one-off phrases; a phrase-query WORKLOAD pays the
+    positional index once and answers each phrase from
+    bucket-pruned, |matching-postings|-sized joins. Oracle-checked
+    against the identical scan-path SQL: the index must reproduce
+    the scan ranking bit-for-bit (also pinned, with the
+    append case, in tests/test_retrieval_anomaly.py)."""
+    from ..operators.textindex import build_text_index, phrase_search_index
+
+    key = (sf_dir + "#positional", _table_fingerprint(sf_dir))
+    path = _INDEX_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_posindex_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_text_index(
+            load_table(spark, sf_dir, "documents"), path, positions=True
+        )
+        _INDEX_CACHE[key] = path
+    return phrase_search_index(spark, path, PHRASE.split(" "), k=TOP_K)
+
+
 _SEARCH_PHRASE_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
@@ -532,6 +560,7 @@ QUERIES = {
     "search_boolean_and": q_search_boolean_and,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "search_phrase": q_search_phrase,
+    "search_phrase_indexed": q_search_phrase_indexed,
 }
 ORACLE = {
     "bm25_search": _BM25_SQL,
@@ -540,4 +569,7 @@ ORACLE = {
     "search_boolean_and": _BOOLEAN_AND_SQL,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "search_phrase": _SEARCH_PHRASE_SQL,
+    # the indexed path must reproduce the scan ranking bit-for-bit —
+    # its oracle IS the scan path's SQL (the bm25_search_indexed rule)
+    "search_phrase_indexed": _SEARCH_PHRASE_SQL,
 }

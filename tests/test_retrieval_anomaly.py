@@ -258,6 +258,62 @@ def test_text_index_matches_scan_path_and_prunes(spark, tmp_path):
     assert got2 == want
 
 
+def test_positional_index_phrase_matches_scan_path(spark, tmp_path):
+    """The positional index's phrase query must return EXACTLY the
+    scan-path q_search_phrase ranking, keep doing so after an
+    incremental append, and refuse a positionless index loudly."""
+    import pytest
+
+    from pyspark.sql import functions as SF
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        append_to_text_index,
+        build_text_index,
+        phrase_search_index,
+    )
+    from finance_etl_system_spark.queries.retrieval import (
+        PHRASE,
+        q_search_phrase,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    want = [
+        (r.rnk, r.doc_id, r.n_occurrences)
+        for r in q_search_phrase(spark, SF_SMOKE).collect()
+    ]
+    assert want  # the fixture phrase matches something
+
+    full = str(tmp_path / "pos")
+    build_text_index(d, full, positions=True)
+    got = [
+        (r.rnk, r.doc_id, r.n_occurrences)
+        for r in phrase_search_index(
+            spark, full, PHRASE.split(" ")
+        ).collect()
+    ]
+    assert got == want
+
+    # incremental append keeps phrase parity
+    inc = str(tmp_path / "pos_inc")
+    mid = 250
+    build_text_index(d.filter(SF.col("doc_id") < mid), inc, positions=True)
+    append_to_text_index(
+        d.filter(SF.col("doc_id") >= mid), inc, positions=True
+    )
+    got2 = [
+        (r.rnk, r.doc_id, r.n_occurrences)
+        for r in phrase_search_index(spark, inc, PHRASE.split(" ")).collect()
+    ]
+    assert got2 == want
+
+    # a tf-only index cannot answer phrase queries — loud failure
+    flat = str(tmp_path / "flat")
+    build_text_index(d, flat)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search_index(spark, flat, PHRASE.split(" "))
+
+
 def test_text_index_compaction_removes_deleted_docs(spark, tmp_path):
     """GDPR-composition for the search index: compacting with a
     deletion list yields exactly the index of the surviving corpus."""
