@@ -126,6 +126,7 @@ def bm25_search_index(
     terms: list[str],
     *,
     k: int = 20,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Query the persisted index: the (bucket, term) pairs of the
     query — computed with the SAME Spark hash expression the writer
@@ -194,6 +195,11 @@ def bm25_search_index(
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    if require_all_terms:
+        # boolean-AND retrieval: conjunctive predicate on the per-doc
+        # aggregate, same as the scan path's q_search_boolean_and —
+        # costs nothing beyond the ranker
+        scored = scored.filter(F.col("n_terms_hit") == len(terms))
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -238,25 +238,9 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical _BM25_SQL twin the scan path uses: the index must
     reproduce the scan ranking bit-for-bit (also pinned, with the
     incremental-append case, in tests/test_retrieval_anomaly.py)."""
-    from ..operators.textindex import bm25_search_index, build_text_index
+    from ..operators.textindex import bm25_search_index
 
-    key = (sf_dir, _table_fingerprint(sf_dir))
-    path = _INDEX_CACHE.get(key)
-    if path is None:
-        import shutil
-        import tempfile
-
-        # ONE build per (process, table fingerprint) — repeated
-        # invocations hit the cached index (the operator's actual
-        # contract: bench/oracle reruns don't re-pay the build), a
-        # changed documents table invalidates the key, and the temp
-        # dir is removed at interpreter exit
-        path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
-        import atexit
-
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        build_text_index(load_table(spark, sf_dir, "documents"), path)
-        _INDEX_CACHE[key] = path
+    path = _cached_text_index(spark, sf_dir)
     return bm25_search_index(spark, path, QUERY_TERMS, k=TOP_K)
 
 
@@ -501,6 +485,40 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """The process-cached tf index q_bm25_search_indexed builds —
+    shared by every indexed-retrieval query so the build is paid
+    once per (process, table fingerprint)."""
+    from ..operators.textindex import build_text_index
+
+    key = (sf_dir, _table_fingerprint(sf_dir))
+    path = _INDEX_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_text_index(load_table(spark, sf_dir, "documents"), path)
+        _INDEX_CACHE[key] = path
+    return path
+
+
+def q_search_boolean_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval FROM the persisted index: only documents
+    containing EVERY query term qualify, then BM25-ranked — the
+    indexed twin of q_search_boolean_and (conjunctive predicate on
+    the per-doc aggregate, zero extra probe cost). Oracle = the scan
+    path's SQL: identical ranking required."""
+    from ..operators.textindex import bm25_search_index
+
+    path = _cached_text_index(spark, sf_dir)
+    return bm25_search_index(
+        spark, path, BOOL_TERMS, k=TOP_K, require_all_terms=True
+    )
+
+
 def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase retrieval from the POSITIONAL inverted index
     (operators/textindex.py, built with positions=True) — the Lucene
@@ -558,6 +576,7 @@ QUERIES = {
     "bm25_search_analyzed": q_bm25_search_analyzed,
     "bm25_search_indexed": q_bm25_search_indexed,
     "search_boolean_and": q_search_boolean_and,
+    "search_boolean_indexed": q_search_boolean_indexed,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "search_phrase": q_search_phrase,
     "search_phrase_indexed": q_search_phrase_indexed,
@@ -567,6 +586,7 @@ ORACLE = {
     "bm25_search_analyzed": _BM25_ANALYZED_SQL,
     "bm25_search_indexed": _BM25_SQL,
     "search_boolean_and": _BOOLEAN_AND_SQL,
+    "search_boolean_indexed": _BOOLEAN_AND_SQL,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "search_phrase": _SEARCH_PHRASE_SQL,
     # the indexed path must reproduce the scan ranking bit-for-bit —
