@@ -371,10 +371,15 @@ def cosine_topk_ivf_index(
     within the probed buckets, deterministic top-k."""
     centroids = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
+    # the meta table names the INDEX's columns; the caller's vec_col
+    # keeps naming the QUERY frame's vector column — conflating the
+    # two would silently score with the wrong query column whenever
+    # the names differ
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        id_col, index_vec_col = meta["id_col"], meta["vec_col"]
     except Exception:  # pre-meta index layout: infer, but FAIL loudly
+        index_vec_col = vec_col
         cands = [c for c in vectors.columns if c not in (vec_col, "cluster")]
         if len(cands) != 1:
             raise ValueError(
@@ -383,11 +388,12 @@ def cosine_topk_ivf_index(
                 "build_ivf_index"
             )
         id_col = cands[0]
-    if id_col not in vectors.columns:
-        raise ValueError(
-            f"index meta names id column {id_col!r} but the vectors "
-            f"table has {vectors.columns}"
-        )
+    for col, what in ((id_col, "id"), (index_vec_col, "vector")):
+        if col not in vectors.columns:
+            raise ValueError(
+                f"index meta names {what} column {col!r} but the vectors "
+                f"table has {vectors.columns}"
+            )
     q = queries.select(
         F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -401,7 +407,7 @@ def cosine_topk_ivf_index(
     c = vectors.select(
         F.col(id_col).alias("cid"),
         "cluster",
-        _as_double(F.col(vec_col)).alias("cv"),
+        _as_double(F.col(index_vec_col)).alias("cv"),
     )
     scored = c.join(F.broadcast(routed), "cluster").select(
         "qid",

@@ -89,10 +89,13 @@ def build_text_index(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
     # term-sorted within each bucket file: probe-time term predicates
-    # skip whole row groups off the min/max footer stats
-    post.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
+    # skip whole row groups off the min/max footer stats. The sort
+    # MUST lead with the write's partition column — FileFormatWriter
+    # requires bucket ordering and would inject its own sort over a
+    # term-only order, fragmenting the term runs when it spills
+    post.sortWithinPartitions("bucket", "term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
 
 
@@ -114,9 +117,9 @@ def append_to_text_index(
         new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
         positions=positions,
     )
-    post.sortWithinPartitions("term").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
+    post.sortWithinPartitions("bucket", "term").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
     dl.write.mode("append").parquet(f"{path}/doclen")
 
 
@@ -291,9 +294,11 @@ def compact_text_index(
     # be TRUNCATED — under the dynamic mode a streaming sink may have
     # left on this session, its old files would silently survive
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings.staging"
-    )
+    # preserve the term-sorted file layout the probes' row-group
+    # skipping relies on — a compaction must not degrade the index
+    post.sortWithinPartitions("bucket", "term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings.staging")
     dl.write.mode("overwrite").parquet(f"{path}/doclen.staging")
     _swap_dir(spark, f"{path}/postings")
     _swap_dir(spark, f"{path}/doclen")

@@ -485,22 +485,29 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cached_text_index(spark: SparkSession, sf_dir: str) -> str:
-    """The process-cached tf index q_bm25_search_indexed builds —
-    shared by every indexed-retrieval query so the build is paid
-    once per (process, table fingerprint)."""
+def _cached_text_index(
+    spark: SparkSession, sf_dir: str, *, positions: bool = False
+) -> str:
+    """The process-cached index the indexed-retrieval queries share:
+    ONE build per (process, table fingerprint, positional-flag) — a
+    changed documents table invalidates the key, the temp dir is
+    removed at interpreter exit."""
     from ..operators.textindex import build_text_index
 
-    key = (sf_dir, _table_fingerprint(sf_dir))
+    suffix = "#positional" if positions else ""
+    key = (sf_dir + suffix, _table_fingerprint(sf_dir))
     path = _INDEX_CACHE.get(key)
     if path is None:
         import atexit
         import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="spark_graft_textindex_")
+        prefix = "spark_graft_posindex_" if positions else "spark_graft_textindex_"
+        path = tempfile.mkdtemp(prefix=prefix)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        build_text_index(load_table(spark, sf_dir, "documents"), path)
+        build_text_index(
+            load_table(spark, sf_dir, "documents"), path, positions=positions
+        )
         _INDEX_CACHE[key] = path
     return path
 
@@ -529,21 +536,9 @@ def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the identical scan-path SQL: the index must reproduce
     the scan ranking bit-for-bit (also pinned, with the
     append case, in tests/test_retrieval_anomaly.py)."""
-    from ..operators.textindex import build_text_index, phrase_search_index
+    from ..operators.textindex import phrase_search_index
 
-    key = (sf_dir + "#positional", _table_fingerprint(sf_dir))
-    path = _INDEX_CACHE.get(key)
-    if path is None:
-        import atexit
-        import shutil
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="spark_graft_posindex_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        build_text_index(
-            load_table(spark, sf_dir, "documents"), path, positions=True
-        )
-        _INDEX_CACHE[key] = path
+    path = _cached_text_index(spark, sf_dir, positions=True)
     return phrase_search_index(spark, path, PHRASE.split(" "), k=TOP_K)
 
 

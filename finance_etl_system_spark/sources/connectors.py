@@ -32,7 +32,7 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import json
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,11 +57,18 @@ def mongo_read_options(
         "readPreference.name": read_preference,
     }
     if watermark is not None:
-        match = {
-            "$match": {
-                watermark_field: {"$gt": {"$date": watermark.isoformat()}}
-            }
-        }
+        # BSON extended JSON requires an ISO-8601 string WITH a zone
+        # designator — a bare isoformat() of a naive datetime fails
+        # BsonDocument.parse (or shifts the watermark on lenient
+        # parsers). Naive watermarks are declared UTC, aware ones are
+        # converted to it.
+        wm = (
+            watermark.replace(tzinfo=timezone.utc)
+            if watermark.tzinfo is None
+            else watermark.astimezone(timezone.utc)
+        )
+        iso = wm.isoformat().replace("+00:00", "Z")
+        match = {"$match": {watermark_field: {"$gt": {"$date": iso}}}}
         opts["aggregation.pipeline"] = json.dumps([match])
     return opts
 

@@ -245,9 +245,17 @@ def test_connector_glue_options_and_gating(spark):
     assert opts["database"] == "finance"
     assert opts["collection"] == "stock_AAPL"
     pipeline = json.loads(opts["aggregation.pipeline"])
+    # BSON extended JSON: zone designator REQUIRED (naive = UTC)
     assert pipeline == [
-        {"$match": {"timestamp": {"$gt": {"$date": "2024-01-02T03:04:05"}}}}
+        {"$match": {"timestamp": {"$gt": {"$date": "2024-01-02T03:04:05Z"}}}}
     ]
+    from datetime import timedelta, timezone as tz
+
+    aware = datetime(2024, 1, 2, 5, 4, 5, tzinfo=tz(timedelta(hours=2)))
+    p2 = json.loads(
+        mongo_read_options("f", "c", watermark=aware)["aggregation.pipeline"]
+    )
+    assert p2[0]["$match"]["timestamp"]["$gt"]["$date"] == "2024-01-02T03:04:05Z"
     assert "aggregation.pipeline" not in mongo_read_options("f", "c")
 
     es = es_write_options("findata_aapl", id_col="row_key")
