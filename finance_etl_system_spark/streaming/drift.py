@@ -1,0 +1,180 @@
+"""Continuous drift monitoring: PSI per micro-batch against a frozen
+reference grid — the streaming sibling of queries/drift.py (batch
+asks "has this snapshot shifted"; this watches the LIVE feed and
+answers per micro-batch AND cumulatively, the ml-ops loop the
+reference runs hourly from a scheduler — ml-service/ml_scheduler.py
+monitor job — expressed as a stream instead of a poll).
+
+Design (all shapes proven by the batch drift family):
+
+- the reference edges are derived ONCE, offline, from the training
+  snapshot (exact percentile at fixture scale, the mergeable tick
+  histogram at 100 TB — drift_psi_histogram's path) and passed in as
+  a plain list: the monitor never rescans the reference;
+- each micro-batch pays ONE map-side-combinable bucket-count
+  aggregate (bucket = count of edges below the value — same literal
+  broadcast-comparison as drift_psi), appended to a counts log
+  partitioned by batch_id with dynamic-partition overwrite, so a
+  retried batch rewrites its own partition (effectively-once, the
+  streaming/quality.py contract);
+- per-batch PSI and CUMULATIVE PSI (all batches so far vs the
+  reference) are recomputed from the counts log — ≤ batches×buckets
+  rows, aggregate-sized — and written to a verdict log the same
+  idempotent way. Counts merge by addition, so the cumulative PSI is
+  exactly the batch PSI of the concatenated stream (tested).
+
+State is the counts log itself: no driver-held state, no growth in
+executor memory; a monitor restart resumes from the checkpoint and
+the log. Alarm rule: psi > 0.2 (the canonical action threshold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PSI_ALARM = 0.2
+
+
+def bucketize_counts(batch: DataFrame, value_col: str, edges: list[float]) -> DataFrame:
+    """(bucket, n) for one frame: bucket = 1 + #edges strictly below
+    the value — identical semantics to drift_psi's broadcast-edge
+    assignment, but with the edges inlined as literals (they are a
+    frozen, grid-sized constant here)."""
+    e = F.array(*[F.lit(float(x)) for x in edges])
+    b = batch.filter(F.col(value_col).isNotNull()).select(
+        F.aggregate(
+            e,
+            F.lit(1),
+            lambda acc, edge: acc
+            + F.when(F.col(value_col) > edge, 1).otherwise(0),
+        ).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def psi_from_counts(
+    counts: dict[int, int], ref_fracs: dict[int, float]
+) -> float:
+    """Σ (q_i − p_i)·ln(q_i/p_i) over buckets present in both (the
+    drift_psi contribution rule); pure python over grid-sized dicts."""
+    total = sum(counts.values())
+    if total == 0:
+        return 0.0
+    psi = 0.0
+    for bucket, p in ref_fracs.items():
+        q = counts.get(bucket, 0) / total
+        if p > 0 and q > 0:
+            psi += (q - p) * math.log(q / p)
+    return psi
+
+
+def drift_monitor_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    value_col: str,
+    edges: list[float],
+    ref_fracs: dict[int, float],
+    counts_dir: str,
+    verdict_dir: str,
+) -> None:
+    """One micro-batch through the monitor (foreachBatch body).
+    Idempotent under same-batch_id retry: both sinks are partitioned
+    by batch_id and written with dynamic-partition overwrite."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    counts = bucketize_counts(batch_df, value_col, edges).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    counts.write.mode("overwrite").partitionBy("batch_id").parquet(counts_dir)
+
+    # grid-sized collects: |buckets| rows for this batch, |buckets|
+    # for the cumulative log — never data
+    log = spark.read.parquet(counts_dir)
+    batch_counts = {
+        r["bucket"]: r["sum(n)"]
+        for r in counts.groupBy("bucket").agg(F.sum("n")).collect()
+    }
+    cum_counts = {
+        r["bucket"]: r["sum(n)"]
+        for r in log.groupBy("bucket").agg(F.sum("n")).collect()
+    }
+    psi_batch = psi_from_counts(batch_counts, ref_fracs)
+    psi_cum = psi_from_counts(cum_counts, ref_fracs)
+    verdict = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(sum(batch_counts.values())),
+                int(sum(cum_counts.values())),
+                round(psi_batch, 6),
+                round(psi_cum, 6),
+                bool(psi_batch > PSI_ALARM),
+            )
+        ],
+        "batch_id long, n_batch long, n_total long, psi_batch double,"
+        " psi_cum double, alarm boolean",
+    )
+    verdict.write.mode("overwrite").partitionBy("batch_id").parquet(
+        verdict_dir
+    )
+
+
+def reference_grid(
+    ref: DataFrame, value_col: str, n_buckets: int = 10
+) -> tuple[list[float], dict[int, float]]:
+    """Freeze the reference grid: exact-percentile edges plus the
+    reference's own bucket fractions. Run OFFLINE on the training
+    snapshot (at 100 TB derive the edges from the mergeable tick
+    histogram instead — queries/drift.py::_tick_hist_edges)."""
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    edges = ref.agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("e")
+    ).collect()[0]["e"]
+    edges = [float(x) for x in edges]
+    counts = {
+        r["bucket"]: r["n"]
+        for r in bucketize_counts(ref, value_col, edges).collect()
+    }
+    total = sum(counts.values())
+    fracs = {b: n / total for b, n in counts.items()}
+    return edges, fracs
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    *,
+    value_col: str,
+    edges: list[float],
+    ref_fracs: dict[int, float],
+    counts_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire the monitor to a file-source stream (availableNow — the
+    test harness path; swap the source for Kafka in production, the
+    batch body is source-agnostic). Returns the started query."""
+    src = spark.readStream.schema(schema).json(source_dir)
+    return (
+        src.writeStream.foreachBatch(
+            lambda df, bid: drift_monitor_batch(
+                df,
+                bid,
+                value_col=value_col,
+                edges=edges,
+                ref_fracs=ref_fracs,
+                counts_dir=counts_dir,
+                verdict_dir=verdict_dir,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -850,3 +850,84 @@ def test_stream_index_documents_equals_batch_build(spark, tmp_path):
         for r in bm25_search_index(spark, idx, terms).collect()
     ]
     assert again == want
+
+
+def test_stream_drift_monitor_psi_alarm_and_idempotency(spark, tmp_path):
+    """Streaming PSI monitor (streaming/drift.py): an in-distribution
+    batch stays quiet, a shifted batch alarms, the cumulative PSI
+    equals the PSI of the concatenated stream (counts merge by
+    addition), and a same-batch_id retry rewrites its own partition
+    instead of duplicating."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.streaming.drift import (
+        PSI_ALARM,
+        bucketize_counts,
+        drift_monitor_batch,
+        psi_from_counts,
+        reference_grid,
+        stream_drift_monitor,
+    )
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    edges, fracs = reference_grid(ref, "v")
+    assert len(edges) == 9 and abs(sum(fracs.values()) - 1.0) < 1e-9
+
+    src = tmp_path / "src"
+    src.mkdir()
+    counts_dir = str(tmp_path / "counts")
+    verdict_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_drift_monitor(
+            spark, str(src), "v double",
+            value_col="v", edges=edges, ref_fracs=fracs,
+            counts_dir=counts_dir, verdict_dir=verdict_dir,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # batch 0: same distribution -> quiet
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"v": float(i % 100)}) for i in range(500))
+    )
+    run()
+    v0 = spark.read.parquet(verdict_dir).collect()
+    assert len(v0) == 1 and not v0[0].alarm and v0[0].psi_batch < 0.05
+
+    # batch 1: shifted upward -> alarm
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"v": float(60 + i % 40)}) for i in range(500))
+    )
+    run()
+    v = {r.batch_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert len(v) == 2
+    assert v[1].alarm and v[1].psi_batch > PSI_ALARM
+
+    # cumulative PSI == PSI of the concatenated stream
+    both = spark.createDataFrame(
+        [(float(i % 100),) for i in range(500)]
+        + [(float(60 + i % 40),) for i in range(500)],
+        "v double",
+    )
+    want = psi_from_counts(
+        {r["bucket"]: r["n"] for r in bucketize_counts(both, "v", edges).collect()},
+        fracs,
+    )
+    assert abs(v[1].psi_cum - round(want, 6)) < 1e-9
+
+    # same-batch_id retry: rewrites its partition, verdicts unchanged
+    replay = spark.createDataFrame(
+        [(float(60 + i % 40),) for i in range(500)], "v double"
+    )
+    drift_monitor_batch(
+        replay, 1, value_col="v", edges=edges, ref_fracs=fracs,
+        counts_dir=counts_dir, verdict_dir=verdict_dir,
+    )
+    again = {r.batch_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert len(again) == 2 and again[1] == v[1]
