@@ -45,6 +45,10 @@ def index_batch(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         post.withColumn("batch_id", F.lit(batch_id))
+        # (partition cols, term) sort: keeps each bucket file
+        # term-clustered so probe-time term predicates row-group-skip
+        # — same layout contract as the batch writers
+        .sortWithinPartitions("batch_id", "bucket", "term")
         .write.mode("overwrite")
         .partitionBy("batch_id", "bucket")
         .parquet(f"{index_path}/postings")
