@@ -390,6 +390,11 @@ def train_gbt_grid_per_group(
     return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_GRID_SCHEMA)
 
 
+_RF_SCHEMA = T.StructType(
+    _GBT_SCHEMA.fields + [T.StructField("oob_mse", T.DoubleType())]
+)
+
+
 def rf_fit(
     X: np.ndarray,
     y: np.ndarray,
@@ -412,6 +417,11 @@ def rf_fit(
     stragglers reproduce bit-identical forests — the engine-wide
     no-rand() policy applies to nondeterminism, not to seeded PRNGs.
 
+    The returned model carries ``oob_mse``: each row scored only by
+    the trees whose bootstrap missed it (~36.8% per tree) — the
+    forest's built-in held-out error, no validation split needed
+    (the reference gets this from GridSearchCV's CV score).
+
     The forest serializes into the SAME gbt-v1 blob format: base = 0,
     lr = 1/n_trees, trees = the bagged trees — then
     gbt_predict(blob, X) = mean of tree predictions, so every scoring
@@ -423,6 +433,10 @@ def rf_fit(
     rng = np.random.default_rng(seed)
     edges, binned = _prebin(X, n_bins)
     trees: list[_TreeArrays] = []
+    # out-of-bag accumulator: each row is scored only by trees whose
+    # bootstrap missed it — the forest's built-in held-out estimate
+    oob_sum = np.zeros(n)
+    oob_cnt = np.zeros(n, dtype=np.int64)
     for _ in range(n_trees):
         bidx = rng.integers(0, n, size=n)
         # per-tree feature subset: unselected features get EMPTY edge
@@ -433,17 +447,32 @@ def rf_fit(
             edges[f] if f in fsub else np.empty(0, dtype=np.float64)
             for f in range(p)
         ]
-        trees.append(
-            _fit_tree(
-                X[bidx],
-                y[bidx],
-                max_depth=max_depth,
-                min_leaf=min_leaf,
-                edges=tree_edges,
-                binned=binned[bidx],
-            )
+        tree = _fit_tree(
+            X[bidx],
+            y[bidx],
+            max_depth=max_depth,
+            min_leaf=min_leaf,
+            edges=tree_edges,
+            binned=binned[bidx],
         )
-    return {"base": 0.0, "lr": 1.0 / n_trees, "trees": trees}
+        trees.append(tree)
+        oob = np.ones(n, dtype=bool)
+        oob[bidx] = False
+        if oob.any():
+            oob_sum[oob] += _tree_predict(tree, X[oob])
+            oob_cnt[oob] += 1
+    seen = oob_cnt > 0
+    oob_mse = (
+        float((((oob_sum[seen] / oob_cnt[seen]) - y[seen]) ** 2).mean())
+        if seen.any()
+        else float("nan")
+    )
+    return {
+        "base": 0.0,
+        "lr": 1.0 / n_trees,
+        "trees": trees,
+        "oob_mse": oob_mse,
+    }
 
 
 def train_rf_per_group(
@@ -465,8 +494,10 @@ def train_rf_per_group(
     OLS (pipeline/ml.py) / histogram-GBT / THIS. Same shuffle contract
     as the other trainers: ONE applyInPandas on ``group_col``; emits
     the shared _GBT_SCHEMA so unify_registries unions it straight into
-    the cross-family registry. Per-group seed = crc32(group key), so
-    the forest is replay-deterministic yet varies across groups."""
+    the cross-family registry (``oob_mse`` is the one extra column —
+    drop it before a cross-family union). Per-group seed =
+    crc32(group key), so the forest is replay-deterministic yet
+    varies across groups."""
     import zlib
 
     fcols = list(feature_cols)
@@ -477,7 +508,7 @@ def train_rf_per_group(
             pdf = pdf.sort_values(time_col)
         n = len(pdf)
         if n < min_rows:
-            return pd.DataFrame(columns=[f.name for f in _GBT_SCHEMA.fields])
+            return pd.DataFrame(columns=[f.name for f in _RF_SCHEMA.fields])
         key = str(pdf[group_col].iloc[0])
         X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
         y = pdf[target_col].to_numpy(float)
@@ -503,10 +534,11 @@ def train_rf_per_group(
                 "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
                 "mse": [ss_res / n],
                 "model_blob": [blob_dumps(model, fcols)],
+                "oob_mse": [model["oob_mse"]],
             }
         )
 
-    return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_SCHEMA)
+    return df.groupBy(group_col).applyInPandas(fit, schema=_RF_SCHEMA)
 
 
 # above this many model groups the broadcast-dict strategy risks a

@@ -370,6 +370,7 @@ def q_ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trees",
         F.round("r2", 6).alias("r2"),
         F.round("mse", 6).alias("mse"),
+        F.round("oob_mse", 6).alias("oob_mse"),
         F.length("model_blob").alias("blob_bytes"),
     ).orderBy("group_key")
 
@@ -409,9 +410,12 @@ def q_ml_best_of_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_col="value", time_col="t", n_trees=10, max_depth=4,
         min_rows=30,
     )
-    # both tree families share the blob schema — one union, then the
-    # linear/blob unify; get_best_model spans all three
-    best = best_model_per_group(unify_registries(ols, gbt.unionByName(rf)))
+    # both tree families share the blob schema (oob_mse is RF-only
+    # diagnostics) — one union, then the linear/blob unify;
+    # get_best_model spans all three
+    best = best_model_per_group(
+        unify_registries(ols, gbt.unionByName(rf.drop("oob_mse")))
+    )
     return best.select(
         "group_key",
         "model_name",

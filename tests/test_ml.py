@@ -273,6 +273,13 @@ def test_rf_beats_single_tree_on_noisy_data():
     mse_single = float(((y_te - gbt_predict(single, x_te)) ** 2).mean())
     assert mse_forest < mse_single, (mse_forest, mse_single)
 
+    # OOB error is the forest's built-in held-out estimate: it must
+    # sit near the true test error and above the optimistic train fit
+    mse_train = float(((y_tr - gbt_predict(forest, x_tr)) ** 2).mean())
+    oob = forest["oob_mse"]
+    assert mse_train < oob, (mse_train, oob)
+    assert abs(oob - mse_forest) / mse_forest < 0.5, (oob, mse_forest)
+
 
 def test_rf_per_group_deterministic_and_scorable(spark, nonlinear_df):
     """The Spark path: per-group forests are replay-deterministic
