@@ -66,9 +66,59 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-sample corpus curation (the standard
+    topic-diversity step before pretraining: embed → cluster → keep
+    an equal quota per cluster so no dense region of embedding space
+    dominates the mix — the semantic sibling of
+    data_mix_rebalance's per-language quotas). Every cluster keeps
+    exactly ``min(cluster size)`` vectors, chosen by the
+    content-independent Knuth hash (stable across runs,
+    partitionings, and engines).
+
+    Rows-only (the k-means half is not SQL-expressible); quota
+    exactness, determinism, and hash-selection stability are pinned
+    in tests/test_clustering_pca.py. Emits the |clusters|-row audit:
+    total, quota, kept, kept share — the auditable bookkeeping every
+    mix op in this engine ships."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=_K, max_iter=5)
+    assigned = kmeans_assign(e, model.centroids).select("vec_id", "cluster")
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("quota"))
+    h = (
+        (F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("h", "vec_id")
+    kept = (
+        assigned.select("cluster", "vec_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .withColumn("kept", F.col("rn") <= F.col("quota"))
+    )
+    return (
+        kept.groupBy("cluster", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+        .select(
+            "cluster",
+            "n_total",
+            "quota",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("kept_frac"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "pca_embeddings": q_pca_embeddings,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 ORACLE: dict[str, str] = {}

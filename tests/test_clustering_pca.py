@@ -143,3 +143,26 @@ def test_unsupervised_query_entries_run(spark):
     pc = q_pca_embeddings(spark, SF_SMOKE).collect()
     assert sum(r["n_vectors"] for r in pc) == 500
     assert "avg_pc4" in pc[0].asDict()
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Cluster-then-sample: every cluster keeps exactly min(cluster
+    size) vectors, kept counts are deterministic across runs and
+    partitionings, and totals reconcile with the corpus."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.queries.unsupervised import (
+        q_cluster_balanced_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_cluster_balanced_sample(spark, SF_SMOKE).collect()
+    assert rows
+    quota = rows[0].quota
+    assert all(r.quota == quota for r in rows)
+    assert all(r.n_kept == quota for r in rows)  # exact per-cluster quota
+    assert quota == min(r.n_total for r in rows)
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_total for r in rows) == n_corpus
+
+    again = q_cluster_balanced_sample(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
