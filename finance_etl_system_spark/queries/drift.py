@@ -768,8 +768,119 @@ FROM d GROUP BY n_ref, n_cur
 """
 
 
+def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT PSI — the "which slice drifted" report: the global
+    drift_psi score can stay quiet while one segment shifts hard the
+    other way; slicing by o_orderpriority localizes the alarm (the
+    standard ml-ops segment-drift view). One shared edge aggregate
+    over the whole reference (broadcast 1-row), ONE scan producing
+    (segment, bucket, is_ref) counts map-side-combinably, then the
+    PSI sum per segment over the |segments|×|buckets| count table.
+    Segments with an empty side report NULL psi (insufficient data),
+    not a fake zero. Fixture-exact percentile edges — at 100 TB the
+    histogram substitution applies verbatim (SCALE.md)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        F.col("o_orderpriority").alias("segment"),
+        "o_totalprice",
+    )
+    qs = ", ".join(str(q) for q in _PSI_QS)
+    edges = o.filter(F.col("is_ref")).agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
+    )
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "segment",
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc
+            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("segment", "bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+    )
+    from pyspark.sql import Window
+
+    wseg = Window.partitionBy("segment")
+    frac = counts.withColumn(
+        "ref_total", F.sum("ref_n").over(wseg)
+    ).withColumn("cur_total", F.sum("cur_n").over(wseg))
+    p = F.col("ref_n") / F.col("ref_total")
+    q = F.col("cur_n") / F.col("cur_total")
+    contrib = F.when((p > 0) & (q > 0), (q - p) * F.log(q / p))
+    return (
+        frac.groupBy("segment")
+        .agg(
+            F.max("ref_total").alias("ref_n"),
+            F.max("cur_total").alias("cur_n"),
+            F.round(F.sum(contrib), 6).alias("psi"),
+            F.count(F.when(contrib.isNotNull(), 1)).alias("n_buckets_used"),
+        )
+        .select(
+            "segment",
+            "ref_n",
+            "cur_n",
+            F.when(
+                (F.col("ref_n") > 0) & (F.col("cur_n") > 0), F.col("psi")
+            ).alias("psi"),
+            "n_buckets_used",
+        )
+        .orderBy("segment")
+    )
+
+
+_DRIFT_PSI_BY_SEGMENT_SQL = f"""
+WITH o AS (
+  SELECT (o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
+         o_orderpriority AS segment, o_totalprice
+  FROM orders
+),
+e AS (
+  SELECT quantile_cont(o_totalprice, [{", ".join(str(q) for q in _PSI_QS)}])
+           AS e
+  FROM o WHERE is_ref
+),
+b AS (
+  SELECT segment, is_ref,
+         1 + len(list_filter(e, x -> o_totalprice > x)) AS bucket
+  FROM o CROSS JOIN e
+),
+counts AS (
+  SELECT segment, bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_n
+  FROM b GROUP BY segment, bucket
+),
+frac AS (
+  SELECT *,
+         SUM(ref_n) OVER (PARTITION BY segment) AS ref_total,
+         SUM(cur_n) OVER (PARTITION BY segment) AS cur_total
+  FROM counts
+)
+SELECT segment,
+       CAST(MAX(ref_total) AS BIGINT) AS ref_n,
+       CAST(MAX(cur_total) AS BIGINT) AS cur_n,
+       CASE WHEN MAX(ref_total) > 0 AND MAX(cur_total) > 0 THEN
+         ROUND(SUM(CASE WHEN ref_n > 0 AND cur_n > 0 THEN
+           (cur_n / CAST(cur_total AS DOUBLE)
+            - ref_n / CAST(ref_total AS DOUBLE))
+           * ln((cur_n / CAST(cur_total AS DOUBLE))
+                / (ref_n / CAST(ref_total AS DOUBLE))) END), 6)
+       END AS psi,
+       CAST(COUNT(CASE WHEN ref_n > 0 AND cur_n > 0 THEN 1 END) AS BIGINT)
+         AS n_buckets_used
+FROM frac
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
+    "drift_psi_by_segment": q_drift_psi_by_segment,
     "drift_psi_histogram": q_drift_psi_histogram,
     "drift_ks_histogram": q_drift_ks_histogram,
     "drift_ks": q_drift_ks,
@@ -779,6 +890,7 @@ QUERIES = {
 }
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
+    "drift_psi_by_segment": _DRIFT_PSI_BY_SEGMENT_SQL,
     "drift_psi_histogram": _DRIFT_PSI_HISTOGRAM_SQL,
     "drift_ks_histogram": _DRIFT_KS_HISTOGRAM_SQL,
     "drift_ks": _DRIFT_KS_SQL,
