@@ -35,6 +35,28 @@ from ..queries.retrieval import B, K1, token_array
 
 N_BUCKETS = 16
 
+# empty-index read fallbacks: a corpus with zero tokens writes only
+# partition metadata (no parquet files), which cannot be
+# schema-inferred on read — an empty index must answer queries with
+# empty results, not UNABLE_TO_INFER_SCHEMA
+_POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, bucket bigint"
+_POSTINGS_POS_SCHEMA = _POSTINGS_SCHEMA + ", pos array<int>"
+_DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
+
+
+def _read_index_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read an index table; ONLY the empty/missing cases fall back to
+    an empty frame (by error class — a corrupt index still raises)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return spark.createDataFrame([], schema)
+        raise
+
 
 def _postings(
     docs: DataFrame,
@@ -140,8 +162,8 @@ def bm25_search_index(
     listed. df/N/avgdl re-aggregate from the matched postings / the
     doclen table. Output schema and ranking are identical to the
     scan-path ranker (rnk, doc_id, bm25, n_terms_hit)."""
-    postings = spark.read.parquet(f"{path}/postings")
-    doclen = spark.read.parquet(f"{path}/doclen")
+    postings = _read_index_table(spark, f"{path}/postings", _POSTINGS_SCHEMA)
+    doclen = _read_index_table(spark, f"{path}/doclen", _DOCLEN_SCHEMA)
     # set semantics like the scan path's term.isin(terms): a repeated
     # query term must not double df/tf contributions
     terms = list(dict.fromkeys(terms))
@@ -230,7 +252,9 @@ def phrase_search_index(
     to the scan-path q_search_phrase ranker."""
     if len(phrase_terms) < 2:
         raise ValueError("phrase needs >= 2 terms")
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = _read_index_table(
+        spark, f"{path}/postings", _POSTINGS_POS_SCHEMA
+    )
     if "pos" not in postings.columns:
         raise ValueError(
             f"index at {path} has no positions — rebuild with "

@@ -235,3 +235,51 @@ def test_asof_tolerance_rejects_string_on_column(spark):
     right = spark.createDataFrame([("a", "x", 1.0)], "k string, t string, v double")
     with _pytest.raises(TypeError, match="tolerance_seconds"):
         asof_join(left, right, "t", by=["k"], tolerance_seconds=5.0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    phrase=st.tuples(
+        st.sampled_from(["alpha", "beta", "gamma"]),
+        st.sampled_from(["alpha", "beta", "gamma"]),
+    ),
+)
+@settings(**_SETTINGS)
+def test_positional_phrase_index_matches_python_count(
+    spark, tmp_path_factory, docs, phrase
+):
+    """Indexed phrase occurrence counts must equal a brute-force
+    python scan for ANY corpus/phrase — including repeated-term
+    phrases ("alpha alpha") and empty documents."""
+    from finance_etl_system_spark.operators.textindex import (
+        build_text_index,
+        phrase_search_index,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path_factory.mktemp("posidx"))
+    build_text_index(frame, path, positions=True)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_index(
+            spark, path, list(phrase), k=100
+        ).collect()
+    }
+    for i, words in enumerate(docs):
+        want = sum(
+            1
+            for j in range(len(words) - 1)
+            if (words[j], words[j + 1]) == phrase
+        )
+        assert got.get(i, 0) == want, (i, words, phrase, got)
