@@ -122,7 +122,9 @@ def test_feature_binning_equal_frequency(spark):
     n = len(orders)
     assert [r.bin for r in rows] == list(range(1, N_BINS + 1))
     assert sum(r.n for r in rows) == n
-    # ntile sizes differ by at most 1 and bins are ordered, non-overlapping
+    # quantile-edge bins over near-unique values: sizes within 1 of
+    # n/10 (interpolated edges land between order statistics), bins
+    # ordered and non-overlapping
     sizes = [r.n for r in rows]
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
