@@ -45,15 +45,19 @@ _DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
 
 
 def _read_index_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """Read an index table; ONLY the empty/missing cases fall back to
-    an empty frame (by error class — a corrupt index still raises)."""
+    """Read an index table; ONLY the built-but-empty case falls back
+    to an empty frame. build_text_index always creates the dir (an
+    empty corpus leaves _SUCCESS and no parquet files →
+    UNABLE_TO_INFER_SCHEMA), so PATH_NOT_FOUND can only mean a typo'd
+    or never-built path — that must RAISE, not silently return zero
+    hits; a corrupt index raises too."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
         cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-        if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if cls == "UNABLE_TO_INFER_SCHEMA":
             return spark.createDataFrame([], schema)
         raise
 
@@ -249,7 +253,12 @@ def phrase_search_index(
     is a position p in term 0's list with p+i present in term i's
     list for every i — evaluated as a row-local array filter, no
     explode. Output (rnk, doc_id, n_occurrences) is pinned identical
-    to the scan-path q_search_phrase ranker."""
+    to the scan-path q_search_phrase ranker.
+
+    A tf-only (positions=False) index refuses phrase queries with a
+    ValueError once it holds any postings; an index that is still
+    EMPTY cannot reveal its build flag and answers with an empty
+    result either way (correct for both flags)."""
     if len(phrase_terms) < 2:
         raise ValueError("phrase needs >= 2 terms")
     postings = _read_index_table(

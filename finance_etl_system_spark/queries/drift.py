@@ -808,8 +808,14 @@ def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = counts.withColumn(
         "ref_total", F.sum("ref_n").over(wseg)
     ).withColumn("cur_total", F.sum("cur_n").over(wseg))
-    p = F.col("ref_n") / F.col("ref_total")
-    q = F.col("cur_n") / F.col("cur_total")
+    # guard the totals: a segment present on only ONE side of the
+    # split has ref_total or cur_total 0, and under ANSI mode (the
+    # Spark 4 default this engine runs with) a bare division would
+    # throw DIVIDE_BY_ZERO instead of the documented NULL psi — the
+    # fixture has every priority on both sides, so only this guard
+    # (not the oracle) covers the one-sided-segment case
+    p = F.when(F.col("ref_total") > 0, F.col("ref_n") / F.col("ref_total"))
+    q = F.when(F.col("cur_total") > 0, F.col("cur_n") / F.col("cur_total"))
     contrib = F.when((p > 0) & (q > 0), (q - p) * F.log(q / p))
     return (
         frac.groupBy("segment")

@@ -83,7 +83,14 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix op in this engine ships."""
     e = load_table(spark, sf_dir, "embeddings")
     model = kmeans_fit(e, k=_K, max_iter=5)
-    assigned = kmeans_assign(e, model.centroids).select("vec_id", "cluster")
+    # materialize the assignment ONCE: it feeds both the quota branch
+    # and the kept branch — uncached, the corpus-wide distance pass
+    # would run twice in one plan
+    assigned = (
+        kmeans_assign(e, model.centroids)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
     counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     quota = counts.agg(F.min("n").alias("quota"))
     h = (

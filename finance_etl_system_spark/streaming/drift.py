@@ -87,19 +87,25 @@ def drift_monitor_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    counts = bucketize_counts(batch_df, value_col, edges).withColumn(
-        "batch_id", F.lit(batch_id)
+    # ONE grid-sized collect per batch: the collected rows feed BOTH
+    # the counts-log write and the per-batch PSI, so the batch is
+    # scanned exactly once (write-then-reaggregate would scan twice)
+    rows = bucketize_counts(batch_df, value_col, edges).collect()
+    if not rows:
+        # every monitored value in the batch was NULL: nothing to
+        # count, and writing zero partitions would leave a
+        # schema-less dir that breaks the next read
+        return
+    batch_counts = {r["bucket"]: r["n"] for r in rows}
+    counts = spark.createDataFrame(
+        [(b, n, int(batch_id)) for b, n in batch_counts.items()],
+        "bucket int, n bigint, batch_id long",
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     counts.write.mode("overwrite").partitionBy("batch_id").parquet(counts_dir)
 
-    # grid-sized collects: |buckets| rows for this batch, |buckets|
-    # for the cumulative log — never data
+    # cumulative side: |batches|×|buckets| rows — grid-sized
     log = spark.read.parquet(counts_dir)
-    batch_counts = {
-        r["bucket"]: r["sum(n)"]
-        for r in counts.groupBy("bucket").agg(F.sum("n")).collect()
-    }
     cum_counts = {
         r["bucket"]: r["sum(n)"]
         for r in log.groupBy("bucket").agg(F.sum("n")).collect()

@@ -120,3 +120,31 @@ def test_drift_cusum_matches_recursion_and_flags_shift(spark, monkeypatch):
     r2 = out["u_stable"]
     assert not r2.alarmed and r2.first_alarm_idx is None
     assert r2.max_cusum == 0.0
+
+
+def test_drift_psi_by_segment_one_sided_segment_yields_null(spark, tmp_path):
+    """A segment present on only ONE side of the split must report
+    NULL psi, not throw DIVIDE_BY_ZERO (ANSI mode, the Spark 4
+    default this engine runs under). The TPC-H fixture has every
+    priority on both sides, so this needs a synthetic table."""
+    from finance_etl_system_spark.queries.drift import q_drift_psi_by_segment
+
+    rows = []
+    # segment "BOTH": 20 ref + 20 cur rows; "REFONLY": ref rows only
+    for i in range(20):
+        rows.append(("1996-06-01", "BOTH", 100.0 + i))
+        rows.append(("1997-06-01", "BOTH", 120.0 + i))
+        rows.append(("1996-06-01", "REFONLY", 50.0 + i))
+    df = spark.createDataFrame(
+        rows, "o_orderdate string, o_orderpriority string, o_totalprice double"
+    ).select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r.segment: r for r in q_drift_psi_by_segment(spark, str(tmp_path)).collect()}
+    assert set(got) == {"BOTH", "REFONLY"}
+    assert got["REFONLY"].cur_n == 0 and got["REFONLY"].psi is None
+    assert got["BOTH"].psi is not None
