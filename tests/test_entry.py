@@ -25,3 +25,16 @@ def test_every_query_runs_at_smoke_sf(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips headline names missing from queries()
+    (`if n in qs`) — a renamed query would silently shrink the bench
+    and corrupt round-over-round comparability. Pin the contract."""
+    import __spark_entry__ as entry
+    from bench import HEADLINE
+
+    qs = set(entry.queries())
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(HEADLINE) == len(set(HEADLINE))  # no duplicate timings
