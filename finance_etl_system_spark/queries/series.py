@@ -231,6 +231,69 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+def q_temporal_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-correct dimension lookup: every event joined to the
+    SCD2 purchase-state version (q_scd2_user_state's intervals) valid
+    AT ITS TIMESTAMP — the batch twin of
+    streaming/enrich.py::temporal_enrich, and the semantics a
+    current-version-only lookup (the reference's consumer upsert
+    loop) gets wrong on replays. Events before a user's first version
+    keep NULL state (left semantics, no guessed version).
+
+    Plan: the dim is one window pass over the purchase slice
+    (user-keyed, dim-sized), broadcast into a single fact-scan hash
+    join on user_id with the interval conjuncts as post-filters —
+    one shuffle total (the dim's)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = purch.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round("value", 2).alias("state_value"),
+    )
+    cond = (
+        (ev["user_id"] == dim["d_user"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (ev["ts"] < dim["valid_to"]))
+    )
+    return (
+        ev.join(F.broadcast(dim), cond, "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            "state_value",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_TEMPORAL_ENRICH_EVENTS_SQL = """
+WITH dim AS (
+  SELECT user_id AS d_user,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         ROUND(value, 2) AS state_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id,
+       e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       e.event_type,
+       dim.state_value
+FROM events e
+LEFT JOIN dim
+  ON e.user_id = dim.d_user
+ AND e.ts >= dim.valid_from
+ AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+ORDER BY e.user_id, e.event_id
+"""
+
+
 def q_tz_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone-aware market-hours filter: UTC event times shifted to
     exchange-local (America/New_York), kept only within the 09:30-16:00
@@ -345,6 +408,7 @@ ORDER BY user_id
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_user_state": q_scd2_user_state,
+    "temporal_enrich_events": q_temporal_enrich_events,
     "tz_market_hours": q_tz_market_hours,
     "stats_corr": q_stats_corr,
     "nation_roster": q_nation_roster,
@@ -355,6 +419,7 @@ QUERIES = {
 ORACLE = {
     "gapfill_daily": _GAPFILL_DAILY_SQL,
     "scd2_user_state": _SCD2_USER_STATE_SQL,
+    "temporal_enrich_events": _TEMPORAL_ENRICH_EVENTS_SQL,
     "tz_market_hours": _TZ_MARKET_HOURS_SQL,
     "stats_corr": _STATS_CORR_SQL,
     "nation_roster": _NATION_ROSTER_SQL,

@@ -931,3 +931,94 @@ def test_stream_drift_monitor_psi_alarm_and_idempotency(spark, tmp_path):
     )
     again = {r.batch_id: r for r in spark.read.parquet(verdict_dir).collect()}
     assert len(again) == 2 and again[1] == v[1]
+
+
+def test_stream_enrich_temporal_scd2_versions(spark, tmp_path):
+    """Temporal enrichment: each event gets the dim VERSION valid at
+    its event time (not the current one), pre-history events pass
+    through with NULL attributes under how=left, a same-batch_id
+    retry rewrites its own partition, and the batch kernel matches a
+    python brute-force over the intervals."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.streaming.enrich import (
+        stream_enrich_batch,
+        stream_enrich_temporal,
+        temporal_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", "2024-01-10 00:00:00", "bronze"),
+            ("u1", "2024-01-10 00:00:00", None, "gold"),
+            ("u2", "2024-01-05 00:00:00", None, "silver"),
+        ],
+        "user_id string, valid_from string, valid_to string, tier string",
+    ).select(
+        "user_id",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "tier",
+    )
+
+    events = [
+        ("u1", "2024-01-02 12:00:00", 1),   # bronze era
+        ("u1", "2024-01-10 00:00:00", 2),   # boundary: gold starts
+        ("u1", "2024-01-20 12:00:00", 3),   # gold era
+        ("u2", "2024-01-01 12:00:00", 4),   # before u2's first version
+        ("u2", "2024-01-06 12:00:00", 5),   # silver era
+    ]
+    want = {1: "bronze", 2: "gold", 3: "gold", 4: None, 5: "silver"}
+
+    # batch kernel parity
+    ev = spark.createDataFrame(
+        events, "user_id string, ts string, eid int"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "eid")
+    got = {
+        r.eid: r.tier
+        for r in temporal_enrich(ev, dim, key="user_id").collect()
+    }
+    assert got == want
+    # inner mode drops the unmatched event
+    inner = temporal_enrich(ev, dim, key="user_id", how="inner")
+    assert {r.eid for r in inner.collect()} == {1, 2, 3, 5}
+
+    # streamed in two batches through the same checkpoint
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_enrich_temporal(
+            spark, str(src), "user_id string, ts timestamp, eid int",
+            dim, out, ckpt, key="user_id",
+        )
+        q.awaitTermination(120)
+
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "ts": t, "eid": e})
+            for u, t, e in events[:3]
+        )
+    )
+    run()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "ts": t, "eid": e})
+            for u, t, e in events[3:]
+        )
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {r.eid: r.tier for r in rows} == want
+    assert len(rows) == len(events)
+
+    # retry idempotency: re-running batch 1 rewrites its partition
+    replay = spark.createDataFrame(
+        events[3:], "user_id string, ts string, eid int"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "eid")
+    stream_enrich_batch(replay, 1, dim=dim, out_dir=out, key="user_id")
+    again = spark.read.parquet(out).collect()
+    assert {r.eid: r.tier for r in again} == want and len(again) == len(events)
