@@ -7,27 +7,33 @@ controls sharding explicitly:
 
 - shard id = pmod(xxhash64(id), n_shards): content-addressed and
   deterministic, so a re-export after an idempotent pipeline replay
-  produces byte-identical shard MEMBERSHIP (file bytes also match
-  when the writer sorts within shards, below);
-- one output file per shard: repartition BY the shard column into
-  n_shards partitions keyed on shard, sortWithinPartitions(shard, id)
-  → each task writes exactly one shard's rows in deterministic order,
-  `partitionBy("shard")` lays them out as shard=N/ dirs;
-- a manifest parquet (shard, n_docs, n_chars) written alongside —
-  the trainer's integrity check (row counts per shard) without
-  re-reading the shards.
+  produces identical shard membership and identical per-shard row
+  order (sortWithinPartitions below);
+- the write hash-repartitions on the shard column and lays rows out
+  as ``shard=N/`` dirs via partitionBy. A task can carry MORE THAN
+  ONE shard (hash buckets collide; ~1/e of tasks sit empty at
+  n_shards == tasks), so for a wide write pick
+  n_shards ≳ 2–3× cluster cores; each shard still lands wholly in
+  one task, written in deterministic (shard, id) order;
+- ``{path}/meta`` records the id column's type so the reader never
+  guesses (a hardcoded bigint would silently NULL string ids);
+- ``{path}/manifest`` (one row per shard, INCLUDING empty shards
+  with n_docs = 0 — empty shards write no dir, consumers iterate the
+  manifest, not the directory listing) is aggregated from the
+  WRITTEN shards, so it describes what is actually on disk even if
+  the source frame changes between actions.
 
 Scale: the shard shuffle is ONE hash exchange of the final corpus
-(unavoidable — shard membership is a global property); n_shards
-bounds the writer parallelism, so pick n_shards ≥ cluster cores for
-the write to stay wide. No driver-side anything: the manifest is a
-|shards|-row aggregate.
+(unavoidable — shard membership is a global property); the manifest
+pass re-reads the written JSONL once (no re-hash of the source). No
+driver-side anything: the manifest is a |shards|-row aggregate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def write_jsonl_shards(
@@ -39,9 +45,12 @@ def write_jsonl_shards(
     text_col: str = "text",
 ) -> DataFrame:
     """Export (id, text) as ``{path}/shards/shard=N/`` JSONL plus
-    ``{path}/manifest`` parquet; returns the manifest frame."""
+    ``{path}/meta`` and ``{path}/manifest``; returns the manifest
+    frame (one row per shard, empty shards included)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.json()
     sharded = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int")
@@ -56,30 +65,56 @@ def write_jsonl_shards(
         .partitionBy("shard")
         .json(f"{path}/shards")
     )
-    manifest = (
-        sharded.groupBy("shard")
+    spark.createDataFrame(
+        [(id_type, int(n_shards))], "id_type string, n_shards int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    # manifest FROM the written shards (describes the bytes on disk),
+    # padded to every shard id so the fixed-count contract is explicit
+    written = (
+        read_jsonl_shards(spark, path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).alias("n_chars"),
         )
+    )
+    all_shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    manifest = (
+        all_shards.join(written, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        )
         .orderBy("shard")
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
-    return manifest
+    return spark.read.parquet(f"{path}/manifest").orderBy("shard")
 
 
 def read_jsonl_shards(spark: SparkSession, path: str) -> DataFrame:
-    """Read an exported shard set back (shard partition column is
-    restored from the directory layout)."""
-    return spark.read.schema("id bigint, text string, shard int").json(
-        f"{path}/shards"
+    """Read an exported shard set back with the EXPORTED id type (from
+    the meta table; shard is restored from the directory layout)."""
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        id_type = T._parse_datatype_json_string(meta["id_type"])
+    except Exception:  # pre-meta export: the original bigint contract
+        id_type = T.LongType()
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("text", T.StringType()),
+            T.StructField("shard", T.IntegerType()),
+        ]
     )
+    return spark.read.schema(schema).json(f"{path}/shards")
 
 
 def validate_shard_export(spark: SparkSession, path: str) -> DataFrame:
     """Integrity check the trainer runs before a job: re-count the
-    shards and anti-compare against the manifest. Returns the
-    per-shard verdict frame (empty mismatch columns = clean)."""
+    shards and compare against the manifest (empty shards legitimately
+    have no dir — they must still appear in the manifest with 0).
+    Returns the per-shard verdict frame."""
     actual = (
         read_jsonl_shards(spark, path)
         .groupBy("shard")
@@ -94,16 +129,16 @@ def validate_shard_export(spark: SparkSession, path: str) -> DataFrame:
         .select(
             "shard",
             "n_docs",
-            "actual_docs",
+            F.coalesce("actual_docs", F.lit(0)).alias("actual_docs"),
             "n_chars",
-            "actual_chars",
+            F.coalesce("actual_chars", F.lit(0)).alias("actual_chars"),
             (
                 F.coalesce(F.col("n_docs"), F.lit(-1))
-                == F.coalesce(F.col("actual_docs"), F.lit(-2))
+                == F.coalesce(F.col("actual_docs"), F.lit(0))
             ).alias("docs_match"),
             (
                 F.coalesce(F.col("n_chars"), F.lit(-1))
-                == F.coalesce(F.col("actual_chars"), F.lit(-2))
+                == F.coalesce(F.col("actual_chars"), F.lit(0))
             ).alias("chars_match"),
         )
         .orderBy("shard")

@@ -325,3 +325,34 @@ def test_jsonl_shard_export_roundtrip_and_manifest(spark, tmp_path):
     spark.createDataFrame(m).write.mode("overwrite").parquet(f"{path}/manifest")
     bad = {r.shard: r for r in validate_shard_export(spark, path).collect()}
     assert not bad[int(m.loc[0, "shard"])].docs_match
+
+
+def test_jsonl_shard_export_string_ids_and_empty_shards(spark, tmp_path):
+    """Non-bigint ids must roundtrip via the meta table (a hardcoded
+    reader schema would silently NULL them), and a shard count larger
+    than the corpus yields manifest rows with n_docs=0 for every
+    empty shard — the fixed-count contract — with a clean verdict."""
+    from finance_etl_system_spark.sources.export import (
+        read_jsonl_shards,
+        validate_shard_export,
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", "alpha beta"), ("doc-b", "gamma")],
+        "content_hash string, text string",
+    )
+    path = str(tmp_path / "exp")
+    manifest = write_jsonl_shards(
+        df, path, n_shards=8, id_col="content_hash"
+    ).collect()
+    assert [r.shard for r in manifest] == list(range(8))
+    assert sum(r.n_docs for r in manifest) == 2
+    assert sum(1 for r in manifest if r.n_docs == 0) == 6
+
+    back = {r.id: r.text for r in read_jsonl_shards(spark, path).collect()}
+    assert back == {"doc-a": "alpha beta", "doc-b": "gamma"}  # ids intact
+
+    verdict = validate_shard_export(spark, path).collect()
+    assert len(verdict) == 8
+    assert all(r.docs_match and r.chars_match for r in verdict)

@@ -27,6 +27,8 @@ def main() -> int:
         help="compare the most recent run against the Nth-most-recent",
     )
     args = ap.parse_args()
+    if args.last < 2:
+        ap.error("--last must be >= 2 (2 = compare against the previous run)")
 
     path = os.path.join(REPO, "bench_history.jsonl")
     runs = [json.loads(line) for line in open(path) if line.strip()]
@@ -50,7 +52,10 @@ def main() -> int:
     if added:
         print(f"added: {', '.join(added)}")
     if dropped:
+        # a query leaving the bench is the worst regression: its time
+        # goes to zero and the total silently improves — hard failure
         print(f"DROPPED (investigate): {', '.join(dropped)}")
+        return 1
     if regressions:
         print(f"\nregressions beyond {args.threshold}x:")
         for name, a, b, r in sorted(regressions, key=lambda t: -t[3]):
