@@ -101,6 +101,157 @@ WHERE mad.mad > 0
 """
 
 
+_MAD_BINS = 256
+
+
+def q_anomaly_mad_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly_mad's per-type robust stats with GROUPED medians read
+    off per-type integer-tick histograms instead of exact
+    percentile — the 100-TB edge path for keyed quantiles (the
+    global-quantile twin is drift_psi_histogram; this is the
+    per-group form, the shape a per-feature monitor runs at scale).
+
+    Two histogram rounds, each O(bins) state per (type, partition):
+    (1) per-type value histogram → median = hi edge of the crossing
+    bin; (2) per-type |value − med| histogram → MAD the same way.
+    Cumulative windows run over ≤bins-row frames PER TYPE
+    (partitioned — never a global sort). Everything is exact integer
+    arithmetic until the final rounding, so both engines agree
+    bit-for-bit. Output: the per-type audit (n, quantized median/MAD
+    in dollars, flagged count under the same 3.5·1.4826 robust-z cut
+    as anomaly_mad, evaluated in scaled integers)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("t")
+    )
+
+    def hist_quantile(src: DataFrame, col: str, out: str) -> DataFrame:
+        """Per-type median of ``col`` (ticks) via a {bins}-bin
+        histogram: returns (event_type, {out}) with the median
+        quantized to its crossing bin's hi edge."""
+        bounds = src.groupBy("event_type").agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        )
+        hist = (
+            src.join(F.broadcast(bounds), "event_type")
+            .select(
+                "event_type",
+                "mn",
+                "mx",
+                F.least(
+                    F.lit(_MAD_BINS - 1),
+                    F.expr(f"(({col} - mn) * {_MAD_BINS}) div (mx - mn + 1)"),
+                ).alias("bin"),
+            )
+            .groupBy("event_type", "mn", "mx", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("event_type")
+        cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+            "total", F.sum("n").over(wall)
+        )
+        med = cum.filter(
+            ((F.col("cum") - F.col("n")) * 2 < F.col("total"))
+            & (F.col("cum") * 2 >= F.col("total"))
+        )
+        return med.select(
+            "event_type",
+            F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_MAD_BINS}").alias(
+                out
+            ),
+        )
+
+    med = hist_quantile(s, "t", "med_tick")
+    dev = s.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_tick", F.abs(F.col("t") - F.col("med_tick")).alias("d")
+    )
+    mad = hist_quantile(dev, "d", "mad_tick")
+    # robust-z cut in scaled integers: |dev| > 3.5·1.4826·mad
+    # ⇔ dev·10000 > 51891·mad — exact longs on both engines
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_tick", "mad_tick")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("mad_tick") > 0)
+                    & (F.col("d") * 10000 > F.lit(51891) * F.col("mad_tick")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "n",
+        F.round(F.col("med_tick") / 100.0, 2).alias("est_median"),
+        F.round(F.col("mad_tick") / 100.0, 2).alias("est_mad"),
+        "n_flagged",
+    ).orderBy("event_type")
+
+
+def _hist_quantile_sql(src: str, col: str, out: str) -> str:
+    """DuckDB CTE chain mirroring hist_quantile over CTE ``src``."""
+    return f"""{out}_bounds AS (
+  SELECT event_type, MIN({col}) AS mn, MAX({col}) AS mx
+  FROM {src} GROUP BY event_type
+),
+{out}_hist AS (
+  SELECT s.event_type, mn, mx,
+         LEAST({_MAD_BINS - 1},
+               (({col} - mn) * {_MAD_BINS}) // (mx - mn + 1)) AS bin,
+         COUNT(*) AS n
+  FROM {src} s JOIN {out}_bounds b USING (event_type)
+  GROUP BY 1, 2, 3, 4
+),
+{out}_cum AS (
+  SELECT *,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM {out}_hist
+),
+{out} AS (
+  SELECT event_type,
+         mn + ((bin + 1) * (mx - mn + 1)) // {_MAD_BINS} AS {out}_tick
+  FROM {out}_cum
+  WHERE (cum - n) * 2 < total AND cum * 2 >= total
+)"""
+
+
+_ANOMALY_MAD_HISTOGRAM_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS t
+  FROM events WHERE value IS NOT NULL
+),
+{_hist_quantile_sql("s", "t", "med")},
+dev AS (
+  SELECT s.event_type, med.med_tick, ABS(s.t - med.med_tick) AS d
+  FROM s JOIN med USING (event_type)
+),
+{_hist_quantile_sql("dev", "d", "mad")}
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(dev.med_tick / 100.0, 2) AS est_median,
+       ROUND(mad.mad_tick / 100.0, 2) AS est_mad,
+       CAST(SUM(CASE WHEN mad.mad_tick > 0
+                      AND dev.d * 10000 > 51891 * mad.mad_tick
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type, dev.med_tick, mad.mad_tick
+ORDER BY dev.event_type
+"""
+
+
 N_BINS = 10
 _BIN_QS = [i / N_BINS for i in range(1, N_BINS)]  # 9 decile edges
 
@@ -245,11 +396,13 @@ FROM w
 
 QUERIES = {
     "anomaly_mad": q_anomaly_mad,
+    "anomaly_mad_histogram": q_anomaly_mad_histogram,
     "feature_binning": q_feature_binning,
     "rolling_robust_outliers": q_rolling_robust_outliers,
 }
 ORACLE = {
     "anomaly_mad": _ANOMALY_MAD_SQL,
+    "anomaly_mad_histogram": _ANOMALY_MAD_HISTOGRAM_SQL,
     "feature_binning": _FEATURE_BINNING_SQL,
     "rolling_robust_outliers": _ROLLING_ROBUST_SQL,
 }

@@ -350,3 +350,39 @@ def test_text_index_compaction_removes_deleted_docs(spark, tmp_path):
     ]
     assert got == want
     assert not set(victims) & {g[1] for g in got}
+
+
+def test_anomaly_mad_histogram_tracks_exact(spark):
+    """The grouped-histogram median/MAD must sit within one bin width
+    of the exact per-type values, and the flagged count must be close
+    to the exact rule's (quantized thresholds move borderline events
+    only)."""
+    import pandas as pd
+
+    from finance_etl_system_spark.queries.anomaly import (
+        _MAD_BINS,
+        q_anomaly_mad,
+        q_anomaly_mad_histogram,
+    )
+
+    hist = {r.event_type: r for r in q_anomaly_mad_histogram(spark, SF_SMOKE).collect()}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["value"])
+    for etype, grp in ev.groupby("event_type"):
+        v = grp["value"]
+        binw = (v.max() - v.min()) / _MAD_BINS
+        r = hist[etype]
+        assert abs(r.est_median - v.median()) <= binw + 0.02, (etype, r)
+        exact_mad = (v - v.median()).abs().median()
+        assert abs(r.est_mad - exact_mad) <= binw + 0.02, (etype, r)
+        assert r.n == len(grp)
+    exact_flags = (
+        q_anomaly_mad(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    exact = {r.event_type: r["count"] for r in exact_flags}
+    for etype, r in hist.items():
+        assert abs(r.n_flagged - exact.get(etype, 0)) <= max(
+            3, 0.3 * exact.get(etype, 0)
+        ), (etype, r.n_flagged, exact.get(etype, 0))
