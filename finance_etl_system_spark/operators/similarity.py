@@ -375,10 +375,23 @@ def cosine_topk_ivf_index(
     # keeps naming the QUERY frame's vector column — conflating the
     # two would silently score with the wrong query column whenever
     # the names differ
+    # ONLY the missing-meta (pre-meta index layout) case may fall back
+    # to inference — a transiently unreadable or corrupt meta table
+    # must raise, not silently risk the wrong-column pick the meta
+    # table exists to prevent
+    from pyspark.errors import AnalysisException
+
+    meta = None
     try:
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        meta = rows[0] if rows else None
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+    if meta is not None:
         id_col, index_vec_col = meta["id_col"], meta["vec_col"]
-    except Exception:  # pre-meta index layout: infer, but FAIL loudly
+    else:  # pre-meta index layout: infer, but FAIL loudly
         index_vec_col = vec_col
         cands = [c for c in vectors.columns if c not in (vec_col, "cluster")]
         if len(cands) != 1:

@@ -44,6 +44,33 @@ _POSTINGS_POS_SCHEMA = _POSTINGS_SCHEMA + ", pos array<int>"
 _DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
 
 
+_META_SCHEMA = "positions boolean, analyzed boolean, n_buckets int"
+
+
+def _write_meta(
+    spark: SparkSession, path: str, *, positions: bool, analyzed: bool
+) -> None:
+    spark.createDataFrame(
+        [(positions, analyzed, N_BUCKETS)], _META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    """Index build flags, or None for a pre-meta index. Only the
+    missing-path case degrades to None — a corrupt meta must raise,
+    not silently fall back to schema probing."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+    return row.asDict() if row is not None else None
+
+
 def _read_index_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read an index table; ONLY the built-but-empty case falls back
     to an empty frame. build_text_index always creates the dir (an
@@ -123,6 +150,11 @@ def build_text_index(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    # persist the build flags: append_to_text_index validates against
+    # this so a wrong-flag append cannot write mixed-schema postings
+    _write_meta(
+        docs.sparkSession, path, positions=positions, analyzed=analyzed
+    )
 
 
 def append_to_text_index(
@@ -137,8 +169,38 @@ def append_to_text_index(
     """Incremental maintenance: append the new batch's postings and
     doc lengths. Doc ids must be new (replays: dedup upstream or
     compact). All BM25 stats re-derive from the union at query time,
-    so no stored statistic goes stale. ``positions`` must match the
-    index's build flag (schema parity on append)."""
+    so no stored statistic goes stale.
+
+    ``positions``/``analyzed`` are VALIDATED against the meta table
+    the build wrote: a mismatched append would otherwise write
+    mixed-schema postings files (phrase_search_index then reads
+    ``pos`` as NULL for the tf-only files and silently drops
+    occurrences) or mix analyzer token streams (silently wrong df/tf).
+    Pre-meta indexes fall back to probing the existing postings schema
+    for the positions flag (analyzed is unprobable there — trusted)."""
+    spark = new_docs.sparkSession
+    meta = _read_meta(spark, path)
+    if meta is not None:
+        for flag, want in (("positions", positions), ("analyzed", analyzed)):
+            if bool(meta[flag]) != bool(want):
+                raise ValueError(
+                    f"append {flag}={want} to an index built with "
+                    f"{flag}={bool(meta[flag])} at {path} — mixed-schema "
+                    "postings would silently corrupt query results; "
+                    "rebuild with build_text_index or match the flag"
+                )
+    else:
+        existing = _read_index_table(
+            spark, f"{path}/postings",
+            _POSTINGS_POS_SCHEMA if positions else _POSTINGS_SCHEMA,
+        )
+        if positions != ("pos" in existing.columns):
+            raise ValueError(
+                f"append positions={positions} to an index whose postings "
+                f"{'lack' if positions else 'carry'} a pos column at {path}"
+            )
+        # heal forward: give the legacy index a meta table
+        _write_meta(spark, path, positions=positions, analyzed=analyzed)
     post, dl = _postings(
         new_docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
         positions=positions,
@@ -317,7 +379,15 @@ def compact_text_index(
     both ``.old`` and the data intact — recoverable by hand, never
     data loss. Cost is the full index ONCE per compaction window,
     amortized over the appends between windows; partition layout
-    (bucket) is preserved."""
+    (bucket) is preserved.
+
+    The two tables swap in DOCLEN-FIRST order: a crash between the
+    swaps leaves compacted doclen with stale postings — deleted docs
+    then drop out of results anyway (scoring inner-joins doclen), with
+    only df mildly inflated until the next compaction; the reverse
+    order would have n_docs/avgdl silently INCLUDE deleted docs in
+    every score. Either half-state is detected by
+    ``verify_text_index``."""
     ids = F.broadcast(deleted_doc_ids.select("doc_id").distinct())
     post = spark.read.parquet(f"{path}/postings").join(
         ids, "doc_id", "left_anti"
@@ -333,8 +403,30 @@ def compact_text_index(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings.staging")
     dl.write.mode("overwrite").parquet(f"{path}/doclen.staging")
-    _swap_dir(spark, f"{path}/postings")
     _swap_dir(spark, f"{path}/doclen")
+    _swap_dir(spark, f"{path}/postings")
+
+
+def verify_text_index(spark: SparkSession, path: str) -> dict:
+    """Consistency check for the cross-table crash window: every
+    posting's doc_id must have a doclen row (doclen ids ⊇ postings
+    doc_ids). Returns {"consistent": bool, "orphan_postings_docs": n,
+    "doclen_only_docs": n}; orphans (posting without doclen) mean a
+    compaction died after the doclen swap — re-run compaction to heal.
+    doclen-only docs are legal mid-window states only in the reverse
+    (never-used) order, so they are reported too. Both sides reduce to
+    doc-count-sized distinct sets before the anti-joins."""
+    post_docs = (
+        spark.read.parquet(f"{path}/postings").select("doc_id").distinct()
+    )
+    dl_docs = spark.read.parquet(f"{path}/doclen").select("doc_id").distinct()
+    orphans = post_docs.join(dl_docs, "doc_id", "left_anti").count()
+    dl_only = dl_docs.join(post_docs, "doc_id", "left_anti").count()
+    return {
+        "consistent": orphans == 0,
+        "orphan_postings_docs": orphans,
+        "doclen_only_docs": dl_only,
+    }
 
 
 def _swap_dir(spark: SparkSession, live: str) -> None:

@@ -201,20 +201,32 @@ _INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _table_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """Cheap invalidation key: the file listing (name, size, mtime) of
-    the table's parquet — if the underlying data changes within the
-    process, the cached index key changes with it."""
+    """Cheap invalidation key: the RECURSIVE file listing (relative
+    name, size, mtime) of the table's parquet — a partitioned/nested
+    directory layout fingerprints its leaf files, not just the
+    top-level partition dirs, so a leaf-file rewrite invalidates the
+    cached index. Non-local sf_dirs (hdfs://, s3a://, anything
+    os.path cannot see) fall back to the plain path key — the
+    pre-fingerprint cache behavior; load_table still reads them fine
+    and the cache just won't auto-invalidate on remote mutation."""
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(path):
-        parts = sorted(
-            (f, os.path.getsize(os.path.join(path, f)),
-             os.path.getmtime(os.path.join(path, f)))
-            for f in os.listdir(path)
-        )
-    else:
+        parts = []
+        for root, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic walk order
+            rel = os.path.relpath(root, path)
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                parts.append(
+                    (os.path.join(rel, f), os.path.getsize(fp),
+                     os.path.getmtime(fp))
+                )
+    elif os.path.isfile(path):
         parts = [(path, os.path.getsize(path), os.path.getmtime(path))]
+    else:
+        return path  # remote or unreadable path: key by name only
     return repr(parts)
 
 

@@ -95,10 +95,18 @@ def write_jsonl_shards(
 def read_jsonl_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read an exported shard set back with the EXPORTED id type (from
     the meta table; shard is restored from the directory layout)."""
+    # ONLY a missing meta table (pre-meta export) falls back to the
+    # original bigint contract; a corrupt/unreadable meta must raise,
+    # not silently mis-type ids
+    from pyspark.errors import AnalysisException
+
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         id_type = T._parse_datatype_json_string(meta["id_type"])
-    except Exception:  # pre-meta export: the original bigint contract
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         id_type = T.LongType()
     schema = T.StructType(
         [

@@ -83,7 +83,17 @@ def drift_monitor_batch(
 ) -> None:
     """One micro-batch through the monitor (foreachBatch body).
     Idempotent under same-batch_id retry: both sinks are partitioned
-    by batch_id and written with dynamic-partition overwrite."""
+    by batch_id and written with dynamic-partition overwrite.
+
+    An all-NULL (or value-free) batch still writes its verdict row
+    (n_batch=0, psi_batch=0, alarm=false) so the verdict log never
+    gaps — only the counts-log write is skipped (zero counted rows).
+    Retry semantics for psi_cum: a retried OLD batch recomputes
+    psi_cum over ALL counts-log partitions present at retry time, not
+    the prefix up to its batch_id — cumulative PSI is order-free
+    (counts merge by addition), so the retried row converges to the
+    same value the NEWEST batch would report, which is the monitored
+    quantity; per-prefix history is not a goal of this log."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -91,25 +101,36 @@ def drift_monitor_batch(
     # the counts-log write and the per-batch PSI, so the batch is
     # scanned exactly once (write-then-reaggregate would scan twice)
     rows = bucketize_counts(batch_df, value_col, edges).collect()
-    if not rows:
-        # every monitored value in the batch was NULL: nothing to
-        # count, and writing zero partitions would leave a
-        # schema-less dir that breaks the next read
-        return
     batch_counts = {r["bucket"]: r["n"] for r in rows}
-    counts = spark.createDataFrame(
-        [(b, n, int(batch_id)) for b, n in batch_counts.items()],
-        "bucket int, n bigint, batch_id long",
-    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    counts.write.mode("overwrite").partitionBy("batch_id").parquet(counts_dir)
+    if batch_counts:
+        counts = spark.createDataFrame(
+            [(b, n, int(batch_id)) for b, n in batch_counts.items()],
+            "bucket int, n bigint, batch_id long",
+        )
+        counts.write.mode("overwrite").partitionBy("batch_id").parquet(
+            counts_dir
+        )
+    # else: every monitored value in the batch was NULL — nothing to
+    # count (writing zero partitions would leave a schema-less dir
+    # that breaks the next read), but the verdict row below still
+    # lands so the log has one row per non-empty batch
 
-    # cumulative side: |batches|×|buckets| rows — grid-sized
-    log = spark.read.parquet(counts_dir)
-    cum_counts = {
-        r["bucket"]: r["sum(n)"]
-        for r in log.groupBy("bucket").agg(F.sum("n")).collect()
-    }
+    # cumulative side: |batches|×|buckets| rows — grid-sized. The log
+    # dir may not exist yet if every batch so far was all-NULL.
+    from pyspark.errors import AnalysisException
+
+    try:
+        log = spark.read.parquet(counts_dir)
+        cum_counts = {
+            r["bucket"]: r["sum(n)"]
+            for r in log.groupBy("bucket").agg(F.sum("n")).collect()
+        }
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        cum_counts = {}
     psi_batch = psi_from_counts(batch_counts, ref_fracs)
     psi_cum = psi_from_counts(cum_counts, ref_fracs)
     verdict = spark.createDataFrame(

@@ -352,6 +352,117 @@ def test_text_index_compaction_removes_deleted_docs(spark, tmp_path):
     assert not set(victims) & {g[1] for g in got}
 
 
+def test_text_index_append_flag_mismatch_raises(spark, tmp_path):
+    """A wrong-flag append must RAISE, not write mixed-schema postings
+    that silently drop phrase occurrences: the build persists its
+    positions/analyzed flags in a meta table and appends validate
+    against it. A pre-meta (legacy) index falls back to probing the
+    postings schema."""
+    import shutil
+
+    import pytest
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        append_to_text_index,
+        build_text_index,
+        verify_text_index,
+    )
+    from pyspark.sql import functions as SF
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    head, tail = d.filter(SF.col("doc_id") < 100), d.filter(
+        (SF.col("doc_id") >= 100) & (SF.col("doc_id") < 150)
+    )
+
+    pos_idx = str(tmp_path / "pos")
+    build_text_index(head, pos_idx, positions=True)
+    with pytest.raises(ValueError, match="positions=False"):
+        append_to_text_index(tail, pos_idx)  # tf-only into positional
+
+    flat_idx = str(tmp_path / "flat")
+    build_text_index(head, flat_idx, analyzed=True)
+    with pytest.raises(ValueError, match="positions=True"):
+        append_to_text_index(tail, flat_idx, analyzed=True, positions=True)
+    with pytest.raises(ValueError, match="analyzed=False"):
+        append_to_text_index(tail, flat_idx)  # raw into analyzed
+    # the matching append still works
+    append_to_text_index(tail, flat_idx, analyzed=True)
+    assert verify_text_index(spark, flat_idx)["consistent"]
+
+    # legacy index without meta: schema probe still rejects the
+    # mismatch, and a good append heals a meta table into place
+    legacy = str(tmp_path / "legacy")
+    build_text_index(head, legacy, positions=True)
+    shutil.rmtree(f"{legacy}/meta")
+    with pytest.raises(ValueError, match="pos column"):
+        append_to_text_index(tail, legacy)
+    append_to_text_index(tail, legacy, positions=True)
+    import os
+
+    assert os.path.isdir(f"{legacy}/meta")
+
+
+def test_text_index_verify_detects_half_compaction(spark, tmp_path):
+    """verify_text_index flags the cross-table crash window: doclen
+    compacted but postings stale (doclen-first swap order) shows up as
+    orphan postings docs."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.textindex import (
+        build_text_index,
+        verify_text_index,
+    )
+    from pyspark.sql import functions as SF
+
+    d = load_table(spark, SF_SMOKE, "documents").filter(
+        SF.col("doc_id") < 100
+    )
+    path = str(tmp_path / "idx")
+    build_text_index(d, path)
+    assert verify_text_index(spark, path) == {
+        "consistent": True,
+        "orphan_postings_docs": 0,
+        "doclen_only_docs": 0,
+    }
+
+    # simulate a crash after the doclen swap: doclen loses 10 docs,
+    # postings keep them
+    dl = spark.read.parquet(f"{path}/doclen").filter(
+        SF.col("doc_id") >= 10
+    ).localCheckpoint(eager=True)
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    rep = verify_text_index(spark, path)
+    assert not rep["consistent"]
+    assert rep["orphan_postings_docs"] == 10
+
+
+def test_table_fingerprint_recursive_and_remote(tmp_path):
+    """_table_fingerprint must see leaf files of a PARTITIONED layout
+    (a leaf rewrite changes the key) and fall back to a plain path key
+    for non-local sf_dirs instead of raising."""
+    import os
+
+    from finance_etl_system_spark.queries.retrieval import (
+        _table_fingerprint,
+    )
+
+    sf = tmp_path / "sf"
+    part = sf / "documents.parquet" / "bucket=3"
+    part.mkdir(parents=True)
+    leaf = part / "part-0.parquet"
+    leaf.write_bytes(b"v1")
+    fp1 = _table_fingerprint(str(sf))
+    assert "bucket=3" in fp1 and "part-0.parquet" in fp1
+
+    leaf.write_bytes(b"v2-longer")  # size change → new key
+    assert _table_fingerprint(str(sf)) != fp1
+
+    # non-local paths: plain key, no FileNotFoundError
+    assert _table_fingerprint("hdfs://nn/warehouse/sf0.1") == os.path.join(
+        "hdfs://nn/warehouse/sf0.1", "documents.parquet"
+    )
+
+
 def test_anomaly_mad_histogram_tracks_exact(spark):
     """The grouped-histogram median/MAD must sit within one bin width
     of the exact per-type values, and the flagged count must be close

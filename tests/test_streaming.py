@@ -933,6 +933,57 @@ def test_stream_drift_monitor_psi_alarm_and_idempotency(spark, tmp_path):
     assert len(again) == 2 and again[1] == v[1]
 
 
+def test_stream_drift_monitor_all_null_batch_writes_verdict(spark, tmp_path):
+    """An all-NULL batch must still land a verdict row (n_batch=0,
+    alarm=false) so the verdict log never gaps — including as the
+    FIRST batch, when no counts log exists yet."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.streaming.drift import (
+        drift_monitor_batch,
+        reference_grid,
+    )
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    edges, fracs = reference_grid(ref, "v")
+    counts_dir = str(tmp_path / "counts")
+    verdict_dir = str(tmp_path / "verdicts")
+
+    # batch 0 is all-NULL and FIRST: no counts dir exists yet
+    nulls = spark.createDataFrame([(None,)] * 5, "v double")
+    drift_monitor_batch(
+        nulls, 0, value_col="v", edges=edges, ref_fracs=fracs,
+        counts_dir=counts_dir, verdict_dir=verdict_dir,
+    )
+    v0 = spark.read.parquet(verdict_dir).collect()
+    assert len(v0) == 1
+    assert v0[0].n_batch == 0 and v0[0].n_total == 0 and not v0[0].alarm
+    assert v0[0].psi_batch == 0.0 and v0[0].psi_cum == 0.0
+    import os
+
+    assert not os.path.exists(counts_dir)  # no schema-less counts dir
+
+    # batch 1 has data; batch 2 all-NULL again — verdict continues,
+    # psi_cum reflects only counted batches
+    data = spark.createDataFrame(
+        [(float(i % 100),) for i in range(500)], "v double"
+    )
+    drift_monitor_batch(
+        data, 1, value_col="v", edges=edges, ref_fracs=fracs,
+        counts_dir=counts_dir, verdict_dir=verdict_dir,
+    )
+    drift_monitor_batch(
+        nulls, 2, value_col="v", edges=edges, ref_fracs=fracs,
+        counts_dir=counts_dir, verdict_dir=verdict_dir,
+    )
+    v = {r.batch_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert set(v) == {0, 1, 2}
+    assert v[2].n_batch == 0 and v[2].n_total == 500
+    assert v[2].psi_cum == v[1].psi_cum  # nulls add nothing
+
+
 def test_stream_enrich_temporal_scd2_versions(spark, tmp_path):
     """Temporal enrichment: each event gets the dim VERSION valid at
     its event time (not the current one), pre-history events pass
