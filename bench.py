@@ -3,6 +3,9 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+Per-query IO counters (scan rows/bytes, shuffle write) go to the
+``bench_io.json`` sidecar so the stdout line stays inside the driver's
+tail-capture window.
 
 Each query is warmed up once at sf0.001 (JVM/codegen warm, plan
 compiled), then timed with an ELEMENT-WISE BEST-OF-3 at the target sf:
@@ -136,14 +139,24 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — metrics are best-effort
             pass
 
+    # The driver captures a bounded tail of stdout; per-query io dicts
+    # pushed the headline line past that window for four rounds
+    # (BENCH_r* "parsed": null). Keep the stdout line compact and park
+    # the io counters in a sidecar file instead.
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "io": io,
         "sf": sf,
     }
+    try:
+        io_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_io.json")
+        with open(io_path, "w") as fh:
+            json.dump({"sf": sf, "io": io}, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     print(json.dumps(line))
 
     # Persist per-run history in-repo: the driver's BENCH_r*.json tails
