@@ -547,12 +547,14 @@ def _tick_hist_edges(o: DataFrame, n_parts: int) -> DataFrame:
     return edge.agg(F.array_sort(F.collect_list("edge_tick")).alias("e"))
 
 
-def _hist_edges_ctes(n_parts: int) -> str:
+def _hist_edges_ctes(n_parts: int, extra_src_cols: str = "") -> str:
     """The DuckDB CTE chain mirroring _tick_populations +
     _tick_hist_edges: defines src / bounds / hist / hcum / edge /
-    edges (edges = 1-row sorted tick array)."""
+    edges (edges = 1-row sorted tick array). ``extra_src_cols``
+    threads passenger columns (e.g. the segment) through src; the
+    edge derivation ignores them."""
     return f"""src AS (
-  SELECT (o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
+  SELECT {extra_src_cols}(o_orderdate < DATE '{SPLIT_DATE}') AS is_ref,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ticks
   FROM orders
 ),
@@ -768,36 +770,10 @@ FROM d GROUP BY n_ref, n_cur
 """
 
 
-def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-SEGMENT PSI — the "which slice drifted" report: the global
-    drift_psi score can stay quiet while one segment shifts hard the
-    other way; slicing by o_orderpriority localizes the alarm (the
-    standard ml-ops segment-drift view). One shared edge aggregate
-    over the whole reference (broadcast 1-row), ONE scan producing
-    (segment, bucket, is_ref) counts map-side-combinably, then the
-    PSI sum per segment over the |segments|×|buckets| count table.
-    Segments with an empty side report NULL psi (insufficient data),
-    not a fake zero. Fixture-exact percentile edges — at 100 TB the
-    histogram substitution applies verbatim (SCALE.md)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
-        F.col("o_orderpriority").alias("segment"),
-        "o_totalprice",
-    )
-    qs = ", ".join(str(q) for q in _PSI_QS)
-    edges = o.filter(F.col("is_ref")).agg(
-        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
-    )
-    b = o.crossJoin(F.broadcast(edges)).select(
-        "segment",
-        "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc
-            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
-        ).alias("bucket"),
-    )
+def _segment_psi(b: DataFrame) -> DataFrame:
+    """(segment, is_ref, bucket) → per-segment PSI report. Shared by
+    the exact-percentile and histogram-edge by-segment queries; see
+    q_drift_psi_by_segment for the shape discussion."""
     counts = b.groupBy("segment", "bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
@@ -836,6 +812,106 @@ def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT PSI — the "which slice drifted" report: the global
+    drift_psi score can stay quiet while one segment shifts hard the
+    other way; slicing by o_orderpriority localizes the alarm (the
+    standard ml-ops segment-drift view). One shared edge aggregate
+    over the whole reference (broadcast 1-row), ONE scan producing
+    (segment, bucket, is_ref) counts map-side-combinably, then the
+    PSI sum per segment over the |segments|×|buckets| count table.
+    Segments with an empty side report NULL psi (insufficient data),
+    not a fake zero. Fixture-exact percentile edges — at 100 TB use
+    q_drift_psi_by_segment_histogram, the same report with mergeable
+    O(bins) edge derivation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        F.col("o_orderpriority").alias("segment"),
+        "o_totalprice",
+    )
+    qs = ", ".join(str(q) for q in _PSI_QS)
+    edges = o.filter(F.col("is_ref")).agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
+    )
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "segment",
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc
+            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    return _segment_psi(b)
+
+
+def q_drift_psi_by_segment_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_drift_psi_by_segment with the decile edges read off the
+    mergeable integer-tick histogram (_tick_hist_edges) instead of
+    exact percentile — the 100-TB edge path for the segment report,
+    same as drift_psi_histogram is for the global one. The edges stay
+    SHARED (derived from the whole reference population): per-segment
+    drift must be measured against one common grid or the per-segment
+    scores are not comparable. O(bins) aggregation state, all-integer
+    until the final fractions — engine-bit-identical, oracle-PASS."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"),
+        F.col("o_orderpriority").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
+    )
+    edges = _tick_hist_edges(o, N_PSI_BUCKETS)
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "segment",
+        "is_ref",
+        F.aggregate(
+            F.col("e"),
+            F.lit(1),
+            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    return _segment_psi(b)
+
+
+_DRIFT_PSI_BY_SEGMENT_HISTOGRAM_SQL = f"""
+WITH {_hist_edges_ctes(N_PSI_BUCKETS,
+                       extra_src_cols="o_orderpriority AS segment, ")},
+b AS (
+  SELECT segment, is_ref, 1 + len(list_filter(e, x -> ticks > x)) AS bucket
+  FROM src CROSS JOIN edges
+),
+counts AS (
+  SELECT segment, bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_n
+  FROM b GROUP BY segment, bucket
+),
+frac AS (
+  SELECT *,
+         SUM(ref_n) OVER (PARTITION BY segment) AS ref_total,
+         SUM(cur_n) OVER (PARTITION BY segment) AS cur_total
+  FROM counts
+)
+SELECT segment,
+       CAST(MAX(ref_total) AS BIGINT) AS ref_n,
+       CAST(MAX(cur_total) AS BIGINT) AS cur_n,
+       CASE WHEN MAX(ref_total) > 0 AND MAX(cur_total) > 0 THEN
+         ROUND(SUM(CASE WHEN ref_n > 0 AND cur_n > 0 THEN
+           (cur_n / CAST(cur_total AS DOUBLE)
+            - ref_n / CAST(ref_total AS DOUBLE))
+           * ln((cur_n / CAST(cur_total AS DOUBLE))
+                / (ref_n / CAST(ref_total AS DOUBLE))) END), 6)
+       END AS psi,
+       CAST(COUNT(CASE WHEN ref_n > 0 AND cur_n > 0 THEN 1 END) AS BIGINT)
+         AS n_buckets_used
+FROM frac
+GROUP BY segment
+ORDER BY segment
+"""
 
 
 _DRIFT_PSI_BY_SEGMENT_SQL = f"""
@@ -887,6 +963,7 @@ ORDER BY segment
 QUERIES = {
     "drift_psi": q_drift_psi,
     "drift_psi_by_segment": q_drift_psi_by_segment,
+    "drift_psi_by_segment_histogram": q_drift_psi_by_segment_histogram,
     "drift_psi_histogram": q_drift_psi_histogram,
     "drift_ks_histogram": q_drift_ks_histogram,
     "drift_ks": q_drift_ks,
@@ -897,6 +974,7 @@ QUERIES = {
 ORACLE = {
     "drift_psi": _DRIFT_PSI_SQL,
     "drift_psi_by_segment": _DRIFT_PSI_BY_SEGMENT_SQL,
+    "drift_psi_by_segment_histogram": _DRIFT_PSI_BY_SEGMENT_HISTOGRAM_SQL,
     "drift_psi_histogram": _DRIFT_PSI_HISTOGRAM_SQL,
     "drift_ks_histogram": _DRIFT_KS_HISTOGRAM_SQL,
     "drift_ks": _DRIFT_KS_SQL,

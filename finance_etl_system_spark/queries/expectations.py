@@ -123,6 +123,129 @@ SELECT check_name, metric, passed FROM (
 ) ORDER BY check_name
 """
 
+APPROX_RSD = 0.05   # HLL relative standard deviation
+APPROX_TOL = 0.15   # pass tolerance = 3×rsd: an exact-unique column
+                    # cannot fail, a >15%-duplicated one cannot pass
+
+
+def q_data_expectations_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_data_expectations with the uniqueness check's exact
+    ``countDistinct`` swapped for ``approx_count_distinct`` (HLL) —
+    the 100-TB form of the suite. Exact distinct on a near-unique key
+    shuffles every distinct value (state grows with the data — the
+    one >2× row in the 10× scale table); the HLL sketch is fixed-size
+    (~1.5 KB at rsd 0.05), map-side mergeable, and rides the SAME
+    single HashAggregate as the other metrics, so the whole suite
+    stays two jobs with O(1) aggregation state per metric.
+
+    The trade is surfaced in the contract, not hidden: the
+    uniqueness row reports a NULL metric (the estimate is
+    engine-specific — publishing it would invite cross-engine
+    comparison of sketch internals) and a TOLERANCE verdict
+    ``est/n ≥ 1 − 3·rsd``; the estimate sits within rsd of truth
+    w.h.p., so an exactly-unique key always passes and a heavily
+    duplicated one always fails — borderline (~15% dup) columns are
+    the documented gray zone, use the exact suite there. Accuracy of
+    the estimate itself is pinned in tests/test_validate.py. The
+    other five checks are unchanged and exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    one = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.approx_count_distinct("o_orderkey", APPROX_RSD).alias("uniq_ok"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(STATUS_DOMAIN), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "neg_price"
+        ),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_li"))
+    )
+    m = one.crossJoin(orphans)
+
+    null_d = F.lit(None).cast("double")
+    checks = [
+        (
+            "completeness_o_custkey",
+            F.round(F.col("nn_cust") / F.col("n"), 6),
+            F.col("nn_cust") / F.col("n") == 1.0,
+        ),
+        (
+            "uniqueness_o_orderkey_approx",
+            null_d,
+            F.col("uniq_ok") / F.col("n") >= 1.0 - APPROX_TOL,
+        ),
+        ("min_o_totalprice_nonneg", F.round(F.col("min_price"), 6),
+         F.col("min_price") >= 0),
+        ("status_in_domain", F.col("bad_status").cast("double"),
+         F.col("bad_status") == 0),
+        ("nonnegative_totalprice", F.col("neg_price").cast("double"),
+         F.col("neg_price") == 0),
+        ("no_orphan_lineitems", F.col("orphan_li").cast("double"),
+         F.col("orphan_li") == 0),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            metric.alias("metric"),
+            passed.alias("passed"),
+        )
+        for name, metric, passed in checks
+    ]
+    return (
+        m.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+        .orderBy("check_name")
+    )
+
+
+# the oracle computes the uniqueness verdict from the EXACT distinct
+# count: both engines must agree on pass/fail (the estimate is within
+# rsd ≪ the tolerance), while the engine-specific estimate itself is
+# excluded from the hashed output (NULL metric on both sides)
+_DATA_EXPECTATIONS_APPROX_SQL = f"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn_cust,
+         COUNT(DISTINCT o_orderkey) AS uniq_ok,
+         MIN(o_totalprice) AS min_price,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price
+  FROM orders
+),
+orph AS (
+  SELECT COUNT(*) AS orphan_li FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT check_name, metric, passed FROM (
+  SELECT 'completeness_o_custkey' AS check_name,
+         ROUND(CAST(nn_cust AS DOUBLE) / n, 6) AS metric,
+         CAST(nn_cust AS DOUBLE) / n = 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey_approx',
+         CAST(NULL AS DOUBLE),
+         CAST(uniq_ok AS DOUBLE) / n >= 1.0 - {APPROX_TOL} FROM m
+  UNION ALL
+  SELECT 'min_o_totalprice_nonneg', ROUND(min_price, 6), min_price >= 0 FROM m
+  UNION ALL
+  SELECT 'status_in_domain', CAST(bad_status AS DOUBLE), bad_status = 0 FROM m
+  UNION ALL
+  SELECT 'nonnegative_totalprice', CAST(neg_price AS DOUBLE), neg_price = 0
+  FROM m
+  UNION ALL
+  SELECT 'no_orphan_lineitems', CAST(orphan_li AS DOUBLE), orphan_li = 0
+  FROM orph
+) ORDER BY check_name
+"""
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of ``orders`` in one aggregate pass
     (operators/profile.py): per column — row/null/distinct counts,
@@ -483,6 +606,7 @@ QUERIES = {
     "fk_integrity_report": q_fk_integrity_report,
     "quantile_histogram_rollup": q_quantile_histogram_rollup,
     "data_expectations": q_data_expectations,
+    "data_expectations_approx": q_data_expectations_approx,
     "profile_orders": q_profile_orders,
     "histogram_totalprice": q_histogram_totalprice,
     "benford_totalprice": q_benford_totalprice,
@@ -491,6 +615,7 @@ ORACLE = {
     "fk_integrity_report": _FK_INTEGRITY_SQL,
     "quantile_histogram_rollup": _QUANTILE_HISTOGRAM_ROLLUP_SQL,
     "data_expectations": _DATA_EXPECTATIONS_SQL,
+    "data_expectations_approx": _DATA_EXPECTATIONS_APPROX_SQL,
     "profile_orders": _PROFILE_ORDERS_SQL,
     "histogram_totalprice": _HISTOGRAM_SQL,
     "benford_totalprice": _BENFORD_SQL,

@@ -86,3 +86,44 @@ def test_compaction_reduces_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 100
     assert got.select("symbol").distinct().count() == 2
+
+
+def test_data_expectations_approx_estimate_and_verdicts(spark):
+    """The HLL twin of the expectation suite: the sketch's distinct
+    estimate must sit within 3×rsd of the exact count, every verdict
+    must agree with the exact suite's on the fixture, and a heavily
+    duplicated key must FAIL the tolerance check while a unique one
+    passes."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.queries.expectations import (
+        APPROX_RSD,
+        APPROX_TOL,
+        q_data_expectations,
+        q_data_expectations_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    exact = o.select(F.countDistinct("o_orderkey")).first()[0]
+    est = o.select(
+        F.approx_count_distinct("o_orderkey", APPROX_RSD)
+    ).first()[0]
+    assert abs(est - exact) / exact <= 3 * APPROX_RSD
+
+    a = {r.check_name: r for r in q_data_expectations_approx(spark, sf).collect()}
+    e = {r.check_name: r for r in q_data_expectations(spark, sf).collect()}
+    assert a["uniqueness_o_orderkey_approx"].passed
+    assert a["uniqueness_o_orderkey_approx"].metric is None
+    for name, row in e.items():
+        if name != "uniqueness_o_orderkey":
+            assert a[name].passed == row.passed
+            assert a[name].metric == row.metric
+
+    # tolerance semantics: ~50% duplication must fail, unique passes
+    dup = spark.range(1000).select((F.col("id") % 500).alias("k"))
+    n, d = dup.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("k", APPROX_RSD)
+    ).first()
+    assert d / n < 1.0 - APPROX_TOL  # the gate the approx check applies
