@@ -242,16 +242,23 @@ def _cap_hot_buckets(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
     band is hot (boilerplate-only similarity — the pairs a dedup
     wants to ignore anyway); genuinely near-duplicate docs still meet
     in their content bands. The production cap every large-scale LSH
-    dedup ships (None = off)."""
+    dedup ships (None = off).
+
+    Implemented as ONE count-over-window on the band key, not a
+    groupBy+join: the join form duplicated the band-rows subtree (and
+    with a lazily-checkpointed signature table upstream, recomputed
+    the pandas-UDF signatures once per copy inside the same job —
+    measured 34 s vs 6 s at the 10× replica); the window pays a
+    single (band, bh) shuffle and keeps the subtree linear."""
     if max_bucket is None:
         return band_rows
-    sizes = band_rows.groupBy("band", "bh").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
     return (
-        band_rows.join(
-            sizes.filter(F.col("_bn") <= max_bucket), ["band", "bh"]
-        ).drop("_bn")
+        band_rows.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
     )
 
 
@@ -323,7 +330,7 @@ def minhash_dedup_incremental(
         num_perm=num_perm,
         seed=seed,
         spread=spread,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     # the hot-bucket cap applies to the UNION view: a bucket's size is
     # its new+history membership, so a boilerplate band hash is capped
@@ -445,7 +452,11 @@ def minhash_lsh_pairs(
         seed=seed,
         spread=spread,
     )
-    sig = sig.localCheckpoint(eager=False)  # reused 3× below
+    # EAGER: the sig subtree appears 3× below (band rows + both sides
+    # of the signature re-join); a lazy checkpoint only dedupes across
+    # jobs, so within the single collect job the pandas-UDF signature
+    # computation would run once per appearance
+    sig = sig.localCheckpoint(eager=True)
 
     # candidate pairs travel as bare (id, id) — signatures re-join
     # later from the (small) sig table, keeping the band-join shuffle
@@ -469,6 +480,68 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= verify_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def lsh_candidate_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    spread: bool | None = None,
+    max_bucket: int | None = None,
+) -> dict:
+    """Measure what the hot-bucket cap actually bounds: band-bucket
+    population and CANDIDATE-PAIR counts for one (corpus, cap)
+    configuration — the observability side of _cap_hot_buckets.
+
+    Returns {n_docs, n_band_rows, n_buckets, max_bucket_size,
+    band_rows_dropped, candidate_pairs, pair_bound}. ``pair_bound``
+    is the per-bucket worst case Σ min(s, cap)·(min(s, cap)−1)/2
+    over PRE-cap bucket sizes s — the capped candidate count can
+    never exceed it (pairs can only dedup down across bands), which
+    is the invariant the cap experiment certifies: with a cap, the
+    candidate volume is bounded by |buckets|·cap² no matter how the
+    data's duplicate structure grows. All aggregates here are
+    bucket-table-sized; nothing collects per-doc data."""
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm,
+        seed=seed, spread=spread,
+    ).localCheckpoint(eager=True)
+    raw = _band_rows(sig, bands, rpb)
+    sizes = raw.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("s"))
+    cap = F.lit(max_bucket) if max_bucket is not None else F.col("s")
+    kept = F.when(F.col("s") <= cap, F.col("s")).otherwise(F.lit(0))
+    agg = sizes.agg(
+        F.sum("s").alias("n_band_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("s").alias("max_bucket_size"),
+        F.sum(F.col("s") - kept).alias("band_rows_dropped"),
+        F.sum(kept * (kept - 1) / 2).alias("pair_bound"),
+    ).first()
+    capped = _cap_hot_buckets(raw, max_bucket)
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .count()
+    )
+    return {
+        "n_docs": sig.count(),
+        "n_band_rows": int(agg["n_band_rows"]),
+        "n_buckets": int(agg["n_buckets"]),
+        "max_bucket_size": int(agg["max_bucket_size"]),
+        "band_rows_dropped": int(agg["band_rows_dropped"]),
+        "candidate_pairs": int(pairs),
+        "pair_bound": int(agg["pair_bound"]),
+    }
 
 
 _SIMHASH_BITS = 64
@@ -625,7 +698,7 @@ def embedding_cosine_pairs(
         # band join otherwise carries dim-double arrays ×bands rows).
         sig = base.withColumn(
             "sig", signature_udf(planes)(F.col("v"))
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         band_rows = sig.select(
             "id",
             F.explode(

@@ -127,13 +127,20 @@ def build_text_index(
     id_col: str = "doc_id",
     analyzed: bool = False,
     positions: bool = False,
+    parquet_block_bytes: int | None = None,
 ) -> None:
     """Materialize the inverted index (overwrite).
 
     The write pins partitionOverwriteMode=static: this is a FULL
     rewrite, and a session that previously ran a streaming sink has
     the conf set to dynamic — which would silently leave stale bucket
-    partitions behind."""
+    partitions behind.
+
+    ``parquet_block_bytes`` caps the postings row-group size. The
+    term-level skipping below only bites when a bucket spans MANY row
+    groups; at production scale the default 128 MB groups give that
+    for free, while fixture-scale probes (tools/index_probe_check.py)
+    pass a small value so the skipping is measurable at 100k rows."""
     post, dl = _postings(
         docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
         positions=positions,
@@ -146,9 +153,12 @@ def build_text_index(
     # MUST lead with the write's partition column — FileFormatWriter
     # requires bucket ordering and would inject its own sort over a
     # term-only order, fragmenting the term runs when it spills
-    post.sortWithinPartitions("bucket", "term").write.mode(
+    writer = post.sortWithinPartitions("bucket", "term").write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
+    )
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size", int(parquet_block_bytes))
+    writer.partitionBy("bucket").parquet(f"{path}/postings")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
     # persist the build flags: append_to_text_index validates against
     # this so a wrong-flag append cannot write mixed-schema postings

@@ -241,3 +241,43 @@ def test_lsh_hot_bucket_cap_bounds_pairs_but_keeps_content_matches(spark):
     assert (100, 101) in pairs          # genuine near-dup survives
     assert not any(a < 30 and b < 30 for a, b in pairs)  # hot pairs gone
     assert len(capped) < len(uncapped)
+
+
+def test_lsh_candidate_stats_bound_holds(spark):
+    """lsh_candidate_stats certifies the cap's invariant: candidate
+    pairs never exceed Σ C(min(size, cap), 2) over pre-cap buckets,
+    so capped candidate volume is bounded by |buckets|·cap² however
+    the duplicate structure grows — the measured basis for the
+    SCALE.md cap table (tools/lsh_cap_check.py)."""
+    from finance_etl_system_spark.operators.dedup import (
+        lsh_candidate_stats,
+        minhash_lsh_pairs,
+    )
+
+    boiler = ("cookie banner accept all terms and conditions apply "
+              "subscribe to our newsletter for updates today")
+    rows = [(i, boiler) for i in range(30)]  # one hot 30-clone cluster
+    rows += [(100 + i, f"unique document number {i} about spark joins "
+              f"and shuffle partitioning strategy {i}") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    free = lsh_candidate_stats(d)
+    assert free["candidate_pairs"] <= free["pair_bound"]
+    assert free["candidate_pairs"] >= 30 * 29 // 2  # quadratic clone core
+    assert free["band_rows_dropped"] == 0
+    assert free["max_bucket_size"] >= 30
+
+    tight = lsh_candidate_stats(d, max_bucket=10)
+    assert tight["candidate_pairs"] <= tight["pair_bound"]
+    # the clone cluster's buckets (size 30 > 10) are dropped wholesale:
+    # the bound collapses from quadratic-in-30 to cap-bounded
+    assert tight["pair_bound"] < free["pair_bound"]
+    assert tight["candidate_pairs"] < 30 * 29 // 2
+    assert tight["band_rows_dropped"] > 0
+
+    # the stats' pair count is the REAL band join's pair count: the
+    # pipeline at verify_threshold=0 emits exactly that many pairs
+    assert (
+        minhash_lsh_pairs(d, verify_threshold=0.0, max_bucket=10).count()
+        == tight["candidate_pairs"]
+    )

@@ -1,12 +1,20 @@
-"""Round-over-round bench regression report.
+"""Round-over-round bench regression report, noise-normalized.
 
-Compares the last two runs in bench_history.jsonl element-wise and
-flags per-query deltas beyond a noise threshold — the check a judge
-(or CI) runs before trusting a headline number. Exit code 1 when any
-query regressed beyond --threshold (default 1.5x, chosen above the
-observed same-code neighbor-load swing).
+Single sandbox runs of the same code swing up to ~1.4-1.6x on
+neighbor load (adjudicated in round-5 VERDICT.md: 57 untouched
+queries inflated near-uniformly between driver runs). So this
+compares ELEMENT-WISE MINIMA over run WINDOWS, not single runs: the
+newest --window runs vs the --window runs before them, per-query min
+within each group (a query added mid-window takes its min over the
+runs that contain it). The min across several runs is the
+reproducible steady-state number; comparing mins cancels the
+environmental swing that a single-run diff mistakes for regression.
 
-Usage: python tools/bench_diff.py [--threshold 1.5] [--last N]
+Prints a human table plus ONE machine-readable JSON line (last line
+of stdout, `"event": "bench_diff"`) for PROGRESS.jsonl. Exit 1 when a
+query regressed beyond --threshold or left the bench entirely.
+
+Usage: python tools/bench_diff.py [--threshold 1.5] [--window 3]
 """
 
 from __future__ import annotations
@@ -19,50 +27,79 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _elementwise_min(runs: list[dict]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for r in runs:
+        for name, t in r["queries"].items():
+            out[name] = min(out.get(name, float("inf")), t)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument(
-        "--last", type=int, default=2,
-        help="compare the most recent run against the Nth-most-recent",
+        "--window", type=int, default=3,
+        help="runs per comparison group (element-wise min within each)",
     )
     args = ap.parse_args()
-    if args.last < 2:
-        ap.error("--last must be >= 2 (2 = compare against the previous run)")
+    if args.window < 1:
+        ap.error("--window must be >= 1")
 
     path = os.path.join(REPO, "bench_history.jsonl")
     runs = [json.loads(line) for line in open(path) if line.strip()]
-    if len(runs) < args.last:
-        print(f"need >= {args.last} runs in bench_history.jsonl")
+    k = args.window
+    if len(runs) < 2 * k:
+        # degrade to the largest balanced split available
+        k = max(1, len(runs) // 2)
+    if len(runs) < 2:
+        print("need >= 2 runs in bench_history.jsonl")
         return 0
-    new, old = runs[-1], runs[-args.last]
-    shared = sorted(set(new["queries"]) & set(old["queries"]))
-    added = sorted(set(new["queries"]) - set(old["queries"]))
-    dropped = sorted(set(old["queries"]) - set(new["queries"]))
+    new_runs, old_runs = runs[-k:], runs[-2 * k:-k]
+    new, old = _elementwise_min(new_runs), _elementwise_min(old_runs)
+    shared = sorted(set(new) & set(old))
+    added = sorted(set(new) - set(old))
+    dropped = sorted(set(old) - set(new))
+
+    print(f"old window: {len(old_runs)} runs ending ts={old_runs[-1]['ts']}, "
+          f"min-total {sum(old[q] for q in shared):.2f}s on shared queries")
+    print(f"new window: {len(new_runs)} runs ending ts={new_runs[-1]['ts']}, "
+          f"min-total {sum(new[q] for q in shared):.2f}s on shared queries")
 
     regressions = []
-    print(f"old run: ts={old['ts']} total={old['value']}s "
-          f"({len(old['queries'])} queries)")
-    print(f"new run: ts={new['ts']} total={new['value']}s "
-          f"({len(new['queries'])} queries)")
     for name in shared:
-        a, b = old["queries"][name], new["queries"][name]
+        a, b = old[name], new[name]
         if a > 0 and b / a > args.threshold and b - a > 0.2:
-            regressions.append((name, a, b, b / a))
+            regressions.append((name, a, b, round(b / a, 2)))
     if added:
         print(f"added: {', '.join(added)}")
     if dropped:
         # a query leaving the bench is the worst regression: its time
         # goes to zero and the total silently improves — hard failure
         print(f"DROPPED (investigate): {', '.join(dropped)}")
-        return 1
     if regressions:
-        print(f"\nregressions beyond {args.threshold}x:")
+        print(f"regressions beyond {args.threshold}x (min-vs-min):")
         for name, a, b, r in sorted(regressions, key=lambda t: -t[3]):
             print(f"  {name}: {a:.2f}s -> {b:.2f}s ({r:.1f}x)")
-        return 1
-    print("no per-query regressions beyond threshold")
-    return 0
+    else:
+        print("no per-query regressions beyond threshold (min-vs-min)")
+
+    verdict = {
+        "event": "bench_diff",
+        "window": k,
+        "old_min_total": round(sum(old[q] for q in shared), 3),
+        "new_min_total": round(sum(new[q] for q in shared), 3),
+        "shared": len(shared),
+        "added": added,
+        "dropped": dropped,
+        "regressions": [
+            {"query": n, "old": a, "new": b, "ratio": r}
+            for n, a, b, r in regressions
+        ],
+        "ok": not regressions and not dropped,
+    }
+    print(json.dumps(verdict))
+    return 0 if verdict["ok"] else 1
 
 
 if __name__ == "__main__":
