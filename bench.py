@@ -91,6 +91,8 @@ HEADLINE: list[str] = [
     "accuracy_timeseries",
     "drift_psi_histogram",
     "feature_binning",
+    "drift_psi_by_segment_histogram",
+    "data_expectations_approx",
 ]
 
 
