@@ -691,14 +691,19 @@ def embedding_cosine_pairs(
         # UDF: constant plan size, BLAS per batch — the JVM-literal
         # signature_col form is O(nbits × dim) plan nodes and stalls
         # codegen at this width.
-        # checkpoint: the signature UDF + normalization run ONCE, not
-        # once per self-join side; candidates then travel as bare
+        # checkpoint: the signature UDF + normalization are cached after
+        # the first materialization; candidates then travel as bare
         # (id, id) and the vectors re-join from this small table —
         # same narrow-shuffle discipline as minhash_lsh_pairs (the
         # band join otherwise carries dim-double arrays ×bands rows).
+        # LAZY on purpose: pair BUILDING must stay plan-only (no Spark
+        # job until the caller acts — pinned in tests/test_similarity
+        # .py::test_lsh_query_build_spawns_no_spark_job); the trade is
+        # the signature UDF may run once per self-join side within the
+        # FIRST action only.
         sig = base.withColumn(
             "sig", signature_udf(planes)(F.col("v"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         band_rows = sig.select(
             "id",
             F.explode(

@@ -344,6 +344,101 @@ def build_ivf_index(
     return model
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+) -> None:
+    """Incremental ANN index maintenance — the FAISS add-with-frozen-
+    centroids pattern: new vectors route to their nearest EXISTING
+    centroid (the k-row centroid table broadcasts into one pandas-UDF
+    pass, no shuffle) and append into that cluster's partition. The
+    centroids are deliberately NOT retrained per batch: probe routing
+    must stay stable between retrains or cached/query-side routing
+    would disagree with the data layout. Quantization quality decays
+    as the distribution drifts — watch ``ivf_index_stats`` and rebuild
+    (cluster-grain rewrite) when imbalance or mean residual crosses
+    budget, exactly the ES segment-merge / FAISS retrain cadence.
+
+    Column names come from the index's meta table (never guessed);
+    new ids must be new (replays: dedup upstream or compact). After an
+    append, ``cosine_topk_ivf_index`` answers over the union with
+    UNCHANGED probe pruning — appended files land inside the probed
+    cluster partitions. Parity with a same-centroid one-shot build is
+    pinned in tests/test_similarity.py."""
+    from .clustering import kmeans_assign
+
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    for col in (id_col, vec_col):
+        if col not in new_vectors.columns:
+            raise ValueError(
+                f"index meta names column {col!r} but the append batch "
+                f"has {new_vectors.columns}"
+            )
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    centroids = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    # append with the INDEX's stored vector type: a batch arriving as
+    # array<double> into an array<float> index (or vice versa) would
+    # write mixed parquet schemas and fail every later probe read
+    stored_type = spark.read.parquet(f"{path}/vectors").schema[
+        vec_col
+    ].dataType
+    assigned = kmeans_assign(
+        new_vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast(stored_type).alias(vec_col),
+        ),
+        centroids,
+        vec_col=vec_col,
+    )
+    (
+        assigned.select(id_col, vec_col, "cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Retrain-trigger observability for a (possibly appended) IVF
+    index: per cluster — vector count, share of the corpus, and the
+    mean/max cosine RESIDUAL (1 − cos(vector, its centroid)). Appends
+    under frozen centroids grow residuals as the distribution drifts;
+    a rebuild is due when max share breaches the balance budget
+    (probe cost is proportional to the largest probed cluster) or the
+    residual trend breaks. One scan of the vectors table, k-row
+    broadcast, k-row output."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vec_col = meta["vec_col"]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cent = spark.read.parquet(f"{path}/centroids")
+    v = vectors.select(
+        "cluster", _as_double(F.col(vec_col)).alias("v")
+    ).join(F.broadcast(cent), "cluster")
+    resid = F.lit(1.0) - (
+        _dot(F.col("v"), F.col("centroid"))
+        / (_norm(F.col("v")) * _norm(F.col("centroid")))
+    )
+    per = v.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(resid), 6).alias("mean_residual"),
+        F.round(F.max(resid), 6).alias("max_residual"),
+    )
+    total = per.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("n_total"), 6).alias("share"),
+            "mean_residual",
+            "max_residual",
+        )
+        .orderBy("cluster")
+    )
+
+
 def cosine_topk_ivf_index(
     spark,
     path: str,

@@ -207,3 +207,97 @@ def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
     )
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.5  # nprobe=2 of 4 clusters
+
+
+def test_ivf_append_parity_and_stats(spark, tmp_path):
+    """Incremental IVF maintenance: build on half the corpus, append
+    the other half — the probe must return EXACTLY what a one-shot
+    index written under the SAME frozen centroids returns (append
+    changes the data layout, never the routing), pruning must keep
+    skipping unprobed partitions, the stats report must account for
+    every vector, and a wrong-column append must raise."""
+    import numpy as np
+    import pytest
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.clustering import kmeans_assign
+    from finance_etl_system_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk_ivf_index,
+        ivf_index_stats,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    mid = 250
+    a = e.filter(F.col("vec_id") < mid)
+    b = e.filter(F.col("vec_id") >= mid)
+
+    inc = str(tmp_path / "inc")
+    model = build_ivf_index(a, inc, k_clusters=4, id_col="vec_id")
+    append_to_ivf_index(b, inc)
+
+    # reference: one-shot layout under the SAME frozen centroids
+    ref = str(tmp_path / "ref")
+    assigned = kmeans_assign(
+        e.select("vec_id",
+                 F.transform("embedding", lambda x: x.cast("double"))
+                 .alias("embedding")),
+        model.centroids,
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assigned.select("vec_id", "embedding", "cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{ref}/vectors")
+    for t in ("centroids", "meta"):
+        spark.read.parquet(f"{inc}/{t}").write.mode("overwrite").parquet(
+            f"{ref}/{t}"
+        )
+
+    queries = e.filter(F.col("vec_id").isin(0, 7, int(mid) + 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    got = [
+        (r.qid, r.rnk, r.cid, r.cosine)
+        for r in cosine_topk_ivf_index(
+            spark, inc, queries, k=10, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r.qid, r.rnk, r.cid, r.cosine)
+        for r in cosine_topk_ivf_index(
+            spark, ref, queries, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want and got
+    # an appended-half vector is findable: its self-query ranks itself
+    by_q = {}
+    for q, rnk, cid, cos in got:
+        by_q.setdefault(q, []).append((rnk, cid, cos))
+    top = min(by_q[mid + 3])
+    assert top[1] == mid + 3 and top[2] == 1.0
+
+    # pruning still skips unprobed partitions after the append
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    one = cosine_topk_ivf_index(spark, inc, queries.limit(1), k=5, nprobe=1)
+    n_total = e.count()
+    vec_scans = [
+        s for s in executed_metrics(one, execute=True)["scans"]
+        if s["scan_rows"] > 4
+    ]
+    assert vec_scans and all(s["scan_rows"] <= n_total / 2 for s in vec_scans)
+
+    # stats: every vector accounted for, shares sum to 1, residuals sane
+    stats = ivf_index_stats(spark, inc).collect()
+    assert sum(r.n_vectors for r in stats) == n_total
+    assert abs(sum(r.share for r in stats) - 1.0) < 1e-4
+    assert all(
+        0.0 <= r.mean_residual <= r.max_residual <= 2.0 for r in stats
+    )
+
+    # wrong-column append fails loudly (meta contract)
+    with pytest.raises(ValueError, match="meta names column"):
+        append_to_ivf_index(
+            b.withColumnRenamed("embedding", "vec"), inc
+        )
