@@ -83,6 +83,64 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+# process-cached persistent IVF index, keyed like the text-index
+# cache: one build per (process, embeddings fingerprint)
+_IVF_CACHE: dict[tuple[str, str], str] = {}
+_IVF_K_CLUSTERS = 8
+
+
+def _cached_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.similarity import build_ivf_index
+    from .retrieval import _table_fingerprint
+
+    key = (sf_dir, _table_fingerprint(sf_dir, table="embeddings"))
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfindex_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), path,
+            k_clusters=_IVF_K_CLUSTERS, id_col="vec_id",
+        )
+        _IVF_CACHE[key] = path
+    return path
+
+
+def q_knn_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-IVF path (operators/similarity.py
+    build_ivf_index): k-means-trained centroids, vectors parquet
+    partitioned by cluster, probe = literal `cluster IN (...)`
+    partition pruning — build-once/query-many, the layout a 100-TB
+    ANN deployment keeps on disk (the in-memory q_knn_ivf re-derives
+    its routing per query). Deterministic (seeded k-means, rounded
+    cosine, unique tiebreak) but k-means is not SQL-expressible →
+    rows-only; recall vs brute force and probe pruning are pinned in
+    tests/test_similarity.py."""
+    from ..operators.similarity import cosine_topk_ivf_index
+
+    path = _cached_ivf_index(spark, sf_dir)
+    return cosine_topk_ivf_index(
+        spark, path, _queries_df(spark, sf_dir), k=_K, nprobe=4
+    ).orderBy("qid", "rnk")
+
+
+def q_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-trigger report over the persisted IVF index: per
+    cluster — vector count, corpus share, mean/max cosine residual to
+    the assigned centroid (operators/similarity.py::ivf_index_stats).
+    The observability row an index fleet dashboards; appends under
+    frozen centroids (append_to_ivf_index) move these numbers, a
+    rebuild resets them. Rows-only (k-means upstream)."""
+    from ..operators.similarity import ivf_index_stats
+
+    path = _cached_ivf_index(spark, sf_dir)
+    return ivf_index_stats(spark, path)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, long format
     (label, dim, centroid, n_vectors).
@@ -256,6 +314,8 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_index": q_knn_ivf_index,
+    "ivf_index_health": q_ivf_index_health,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "knn_sq8": q_knn_sq8,

@@ -301,3 +301,44 @@ def test_ivf_append_parity_and_stats(spark, tmp_path):
         append_to_ivf_index(
             b.withColumnRenamed("embedding", "vec"), inc
         )
+
+
+def test_knn_ivf_index_query_recall_and_health(spark):
+    """The registered persistent-IVF queries: recall vs the exact
+    brute-force registry query at nprobe=half the clusters, stable
+    across repeated calls (process-cached index), and a health report
+    that accounts for every vector with sane residuals."""
+    from finance_etl_system_spark.queries.similarity import (
+        _K,
+        q_ivf_index_health,
+        q_knn_bruteforce,
+        q_knn_ivf_index,
+    )
+
+    got = q_knn_ivf_index(spark, SF_SMOKE).collect()
+    exact = q_knn_bruteforce(spark, SF_SMOKE).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.qid, set()).add(r.cid)
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.cid)
+    assert set(by_q) == set(truth)
+    hits = sum(len(by_q[q] & truth[q]) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    # self at rank 1 with cosine 1.0 for every query
+    for r in got:
+        if r.rnk == 1:
+            assert r.cid == r.qid and r.cosine == 1.0
+    # cached index → identical result on a second call
+    again = q_knn_ivf_index(spark, SF_SMOKE).collect()
+    assert again == got
+
+    from finance_etl_system_spark.catalog import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    health = q_ivf_index_health(spark, SF_SMOKE).collect()
+    assert sum(r.n_vectors for r in health) == n
+    assert abs(sum(r.share for r in health) - 1.0) < 1e-4
+    assert all(0.0 <= r.mean_residual <= r.max_residual <= 2.0 for r in health)
