@@ -44,6 +44,30 @@ def _populations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return ref, cur
 
 
+def bisect_bucket(value, edges: list):
+    """``1 + bisect_left(edges, value)`` as a BALANCED comparison
+    tree over literal sorted edges: bucket = 1 + #edges strictly
+    below the value — identical semantics to the linear
+    ``aggregate(e, ...)`` fold (and to the oracle's
+    ``len(list_filter(e, x -> v > x))``), but O(log n) comparisons
+    per row instead of O(n). With a centile grid (99 edges) the
+    linear fold was 1.1 s of drift_ks_refined's 1.3 s at sf0.1 —
+    the tree evaluates ≤7 CASE levels per row. A NULL value takes
+    every ``otherwise`` branch and lands in bucket 1, exactly as
+    the fold did. Edges arrive as collected literals (the 1-row
+    edge-frame collect is query-grid-sized — the permissible class);
+    duplicate edge values bisect correctly (first-match-left)."""
+    def rec(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo + 1)
+        mid = (lo + hi) // 2
+        return F.when(value > F.lit(edges[mid]), rec(mid + 1, hi)).otherwise(
+            rec(lo, mid)
+        )
+
+    return rec(0, len(edges))
+
+
 def _bucket_counts(
     spark: SparkSession, sf_dir: str, edges: DataFrame
 ) -> DataFrame:
@@ -51,18 +75,15 @@ def _bucket_counts(
     flag rides the row instead of two filtered scans), and the totals
     come from re-aggregating the ≤|edges|+1-row bucket table — so a
     drift query costs exactly two scans (edges + counts) regardless of
-    how many derived frames it builds."""
+    how many derived frames it builds. The 1-row edge frame is
+    collected (grid-sized) and assignment runs as the bisect tree."""
+    edge_vals = list(edges.first()["e"])
     o = load_table(spark, sf_dir, "orders").select(
         (F.col("o_orderdate") < SPLIT_DATE).alias("is_ref"), "o_totalprice"
     )
-    b = o.crossJoin(F.broadcast(edges)).select(
+    b = o.select(
         "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc
-            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
-        ).alias("bucket"),
+        bisect_bucket(F.col("o_totalprice"), edge_vals).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
@@ -604,14 +625,10 @@ def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the documented trade for mergeability — PSI over quantized
     edges is still a valid reference-grid PSI."""
     o = _tick_populations(spark, sf_dir)
-    edges = _tick_hist_edges(o, N_PSI_BUCKETS)
-    b = o.crossJoin(F.broadcast(edges)).select(
+    edge_ticks = [int(x) for x in _tick_hist_edges(o, N_PSI_BUCKETS).first()["e"]]
+    b = o.select(
         "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
-        ).alias("bucket"),
+        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
@@ -678,14 +695,10 @@ def q_drift_ks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = _tick_populations(spark, sf_dir)
-    edges = _tick_hist_edges(o, N_KS_BINS)
-    b = o.crossJoin(F.broadcast(edges)).select(
+    edge_ticks = [int(x) for x in _tick_hist_edges(o, N_KS_BINS).first()["e"]]
+    b = o.select(
         "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
-        ).alias("bucket"),
+        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_b"),
@@ -832,18 +845,15 @@ def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     qs = ", ".join(str(q) for q in _PSI_QS)
-    edges = o.filter(F.col("is_ref")).agg(
-        F.expr(f"percentile(o_totalprice, array({qs}))").alias("e")
+    edge_vals = list(
+        o.filter(F.col("is_ref"))
+        .agg(F.expr(f"percentile(o_totalprice, array({qs}))").alias("e"))
+        .first()["e"]
     )
-    b = o.crossJoin(F.broadcast(edges)).select(
+    b = o.select(
         "segment",
         "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc
-            + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
-        ).alias("bucket"),
+        bisect_bucket(F.col("o_totalprice"), edge_vals).alias("bucket"),
     )
     return _segment_psi(b)
 
@@ -864,15 +874,11 @@ def q_drift_psi_by_segment_histogram(
         F.col("o_orderpriority").alias("segment"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
     )
-    edges = _tick_hist_edges(o, N_PSI_BUCKETS)
-    b = o.crossJoin(F.broadcast(edges)).select(
+    edge_ticks = [int(x) for x in _tick_hist_edges(o, N_PSI_BUCKETS).first()["e"]]
+    b = o.select(
         "segment",
         "is_ref",
-        F.aggregate(
-            F.col("e"),
-            F.lit(1),
-            lambda acc, e: acc + F.when(F.col("ticks") > e, 1).otherwise(0),
-        ).alias("bucket"),
+        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
     )
     return _segment_psi(b)
 

@@ -40,17 +40,15 @@ PSI_ALARM = 0.2
 
 def bucketize_counts(batch: DataFrame, value_col: str, edges: list[float]) -> DataFrame:
     """(bucket, n) for one frame: bucket = 1 + #edges strictly below
-    the value — identical semantics to drift_psi's broadcast-edge
-    assignment, but with the edges inlined as literals (they are a
-    frozen, grid-sized constant here)."""
-    e = F.array(*[F.lit(float(x)) for x in edges])
+    the value — identical semantics to drift_psi's edge assignment,
+    via the shared O(log n) bisect tree (queries/drift.py) over the
+    frozen literal grid."""
+    from ..queries.drift import bisect_bucket
+
     b = batch.filter(F.col(value_col).isNotNull()).select(
-        F.aggregate(
-            e,
-            F.lit(1),
-            lambda acc, edge: acc
-            + F.when(F.col(value_col) > edge, 1).otherwise(0),
-        ).alias("bucket")
+        bisect_bucket(F.col(value_col), [float(x) for x in edges]).alias(
+            "bucket"
+        )
     )
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
