@@ -308,6 +308,12 @@ def build_ivf_index(
     partition COLUMN, so Spark's dynamic partition pruning reads only
     the probed clusters' files — at 100 TB an nprobe/k fraction of the
     index, no full scan (plan-asserted in tests/test_similarity.py).
+    The vectors table is partitioned (batch_id, cluster): the build is
+    batch 0, and each append lands as its own batch partition — which
+    is what makes appends RETRY-IDEMPOTENT (a replayed batch
+    dynamic-overwrites its own partitions instead of duplicating).
+    Cluster pruning is unaffected: partition pruning applies to any
+    level of the directory layout.
     Returns the fitted KMeansModel (k×d driver state)."""
     from .clustering import kmeans_assign, kmeans_fit
 
@@ -323,9 +329,11 @@ def build_ivf_index(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
     (
-        assigned.select(id_col, vec_col, "cluster")
+        assigned.select(
+            id_col, vec_col, F.lit(0).alias("batch_id"), "cluster"
+        )
         .write.mode("overwrite")
-        .partitionBy("cluster")
+        .partitionBy("batch_id", "cluster")
         .parquet(f"{path}/vectors")
     )
     rows = [
@@ -347,6 +355,8 @@ def build_ivf_index(
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
+    *,
+    batch_id: int | None = None,
 ) -> None:
     """Incremental ANN index maintenance — the FAISS add-with-frozen-
     centroids pattern: new vectors route to their nearest EXISTING
@@ -359,12 +369,19 @@ def append_to_ivf_index(
     (cluster-grain rewrite) when imbalance or mean residual crosses
     budget, exactly the ES segment-merge / FAISS retrain cadence.
 
-    Column names come from the index's meta table (never guessed);
-    new ids must be new (replays: dedup upstream or compact). After an
-    append, ``cosine_topk_ivf_index`` answers over the union with
-    UNCHANGED probe pruning — appended files land inside the probed
-    cluster partitions. Parity with a same-centroid one-shot build is
-    pinned in tests/test_similarity.py."""
+    Column names come from the index's meta table (never guessed).
+    Every append writes its own ``batch_id`` partition level
+    (auto-assigned max+1 when not given) with DYNAMIC partition
+    overwrite, so a RETRIED append with the same explicit batch_id
+    replaces its own (batch, cluster) partitions instead of
+    duplicating — effectively-once maintenance, batch or streaming
+    (streaming/similarity.py wires foreachBatch to this with the
+    micro-batch id). Routing is deterministic (frozen centroids), so
+    a retry touches exactly the same partitions. After an append,
+    ``cosine_topk_ivf_index`` answers over the union with UNCHANGED
+    probe pruning — cluster stays a partition column. Parity with a
+    same-centroid one-shot build is pinned in
+    tests/test_similarity.py."""
     from .clustering import kmeans_assign
 
     spark = new_vectors.sparkSession
@@ -384,6 +401,15 @@ def append_to_ivf_index(
     stored_type = spark.read.parquet(f"{path}/vectors").schema[
         vec_col
     ].dataType
+    if batch_id is None:
+        # next free batch: a directory-listing-sized distinct over the
+        # partition column (no data read — answered from partitions)
+        top = (
+            spark.read.parquet(f"{path}/vectors")
+            .agg(F.max("batch_id"))
+            .first()[0]
+        )
+        batch_id = int(top) + 1 if top is not None else 1
     assigned = kmeans_assign(
         new_vectors.select(
             F.col(id_col),
@@ -392,10 +418,15 @@ def append_to_ivf_index(
         centroids,
         vec_col=vec_col,
     )
+    # dynamic overwrite of THIS batch's partitions only: a replayed
+    # batch_id rewrites itself; other batches' partitions untouched
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        assigned.select(id_col, vec_col, "cluster")
-        .write.mode("append")
-        .partitionBy("cluster")
+        assigned.select(
+            id_col, vec_col, F.lit(int(batch_id)).alias("batch_id"), "cluster"
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cluster")
         .parquet(f"{path}/vectors")
     )
 

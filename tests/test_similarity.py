@@ -342,3 +342,82 @@ def test_knn_ivf_index_query_recall_and_health(spark):
     assert sum(r.n_vectors for r in health) == n
     assert abs(sum(r.share for r in health) - 1.0) < 1e-4
     assert all(0.0 <= r.mean_residual <= r.max_residual <= 2.0 for r in health)
+
+
+def test_ivf_streaming_append_idempotent(spark, tmp_path):
+    """Streaming IVF maintenance: micro-batches land as their own
+    (batch_id, cluster) partitions, a REPLAYED batch_id rewrites
+    itself instead of duplicating, pruning still skips unprobed
+    clusters, and the streamed vectors are findable."""
+    import json
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_index,
+    )
+    from finance_etl_system_spark.streaming.similarity import (
+        ivf_append_batch,
+        stream_append_ivf,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 400), path, k_clusters=4, id_col="vec_id"
+    )
+    base_n = spark.read.parquet(f"{path}/vectors").count()
+
+    # two micro-batches of "new" embeddings as JSON files
+    tail = e.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding]) for r in tail.collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    for fname, chunk in (("b0.json", rows[:half]), ("b1.json", rows[half:])):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v}) for i, v in chunk
+            )
+        )
+    q = stream_append_ivf(
+        spark, str(src), "vec_id long, embedding array<double>",
+        index_path=path, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == base_n + len(rows)
+    # build batch 0 + one batch partition per streamed file
+    assert vecs.select("batch_id").distinct().count() == 3
+
+    # replay micro-batch 0 with ITS OWN content (what a checkpoint
+    # retry re-delivers): the dynamic overwrite rewrites that batch's
+    # partitions in place — no duplication, nothing else touched
+    b1 = spark.read.parquet(f"{path}/vectors").filter("batch_id = 1")
+    replay = b1.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint(eager=True)
+    ivf_append_batch(replay, 0, path=path)
+    assert spark.read.parquet(f"{path}/vectors").count() == base_n + len(rows)
+
+    # streamed vector findable; pruning still partition-skips
+    queries = tail.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    qid = queries.first()["query_id"]
+    got = cosine_topk_ivf_index(spark, path, queries, k=3, nprobe=1).collect()
+    assert got and got[0].cid == qid and got[0].cosine == 1.0
+
+    from finance_etl_system_spark.plans.metrics import executed_metrics
+
+    n_total = base_n + len(rows)
+    probe = cosine_topk_ivf_index(spark, path, queries, k=3, nprobe=1)
+    vec_scans = [
+        s for s in executed_metrics(probe, execute=True)["scans"]
+        if s["scan_rows"] > 4
+    ]
+    assert vec_scans and all(s["scan_rows"] <= n_total / 2 for s in vec_scans)
