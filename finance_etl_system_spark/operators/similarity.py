@@ -431,6 +431,41 @@ def append_to_ivf_index(
     )
 
 
+def compact_ivf_index(
+    spark, path: str, deleted_ids: DataFrame | None = None
+) -> None:
+    """Fold the accumulated append batches back into batch 0 (and
+    optionally drop deleted ids) — the segment-merge step between
+    retrains: many small (batch_id, cluster) partitions from
+    streaming appends become one file set per cluster, restoring
+    scan efficiency without touching the centroids (routing stays
+    valid; a RETRAIN is build_ivf_index again). Same staging +
+    directory-swap discipline as compact_text_index: the live index
+    is never half-written — a crash leaves the old index or the new
+    one. Cost is the vectors table once per compaction window."""
+    from .textindex import _swap_dir
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = meta["id_col"]
+    v = spark.read.parquet(f"{path}/vectors")
+    if deleted_ids is not None:
+        ids = F.broadcast(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
+            .distinct()
+        )
+        v = v.join(ids, id_col, "left_anti")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    (
+        v.drop("batch_id")
+        .select("*", F.lit(0).alias("batch_id"))
+        .select(id_col, meta["vec_col"], "batch_id", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cluster")
+        .parquet(f"{path}/vectors.staging")
+    )
+    _swap_dir(spark, f"{path}/vectors")
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Retrain-trigger observability for a (possibly appended) IVF
     index: per cluster — vector count, share of the corpus, and the

@@ -421,3 +421,58 @@ def test_ivf_streaming_append_idempotent(spark, tmp_path):
         if s["scan_rows"] > 4
     ]
     assert vec_scans and all(s["scan_rows"] <= n_total / 2 for s in vec_scans)
+
+
+def test_ivf_compaction_folds_batches_and_deletes(spark, tmp_path):
+    """compact_ivf_index folds every append batch into batch 0,
+    optionally dropping deleted ids; probe results are unchanged for
+    survivors and deleted ids vanish."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        cosine_topk_ivf_index,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 300), path, k_clusters=4, id_col="vec_id"
+    )
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), path
+    )
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 400), path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.select("batch_id").distinct().count() == 3
+    n = vecs.count()
+
+    queries = e.filter(F.col("vec_id").isin(5, 450)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    before = [
+        (r.qid, r.rnk, r.cid, r.cosine)
+        for r in cosine_topk_ivf_index(spark, path, queries, k=5, nprobe=2)
+        .collect()
+    ]
+
+    compact_ivf_index(spark, path)
+    after_vecs = spark.read.parquet(f"{path}/vectors")
+    assert after_vecs.count() == n
+    assert after_vecs.select("batch_id").distinct().collect()[0][0] == 0
+    after = [
+        (r.qid, r.rnk, r.cid, r.cosine)
+        for r in cosine_topk_ivf_index(spark, path, queries, k=5, nprobe=2)
+        .collect()
+    ]
+    assert after == before
+
+    # delete one query's vector: it disappears from results
+    compact_ivf_index(
+        spark, path, spark.createDataFrame([(450,)], "vec_id long")
+    )
+    assert spark.read.parquet(f"{path}/vectors").count() == n - 1
+    post = cosine_topk_ivf_index(spark, path, queries, k=5, nprobe=2).collect()
+    assert all(r.cid != 450 for r in post)
+    assert any(r.qid == 450 for r in post)  # query still answered
