@@ -93,6 +93,7 @@ HEADLINE: list[str] = [
     "feature_binning",
     "drift_psi_by_segment_histogram",
     "data_expectations_approx",
+    "importance_rank",
 ]
 
 

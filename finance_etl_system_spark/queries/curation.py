@@ -273,16 +273,140 @@ def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2).orderBy("doc_id")
 
 
+def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance ranking (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every out-of-target document by how much
+    its unigram bag looks like the TARGET slice (here lang='en')
+    versus the raw corpus, and surface the top 20 — the selection
+    statistic pipelines use to up-sample target-like data from a web
+    crawl. The paper hashes features for memory; the fixture-exact
+    variant keeps the literal unigram as the feature key so the whole
+    computation stays SQL-expressible and oracle-checked (a hashed
+    twin would only change the feature-id column).
+
+    avg_llr(d) = Σ_t tf_dt·(ln p̂_T(t) − ln p̂_R(t)) / n_tokens(d),
+    Laplace-smoothed over the raw vocabulary: p̂(t) = (c_t+1)/(N+V).
+    Length normalization keeps the score comparable across doc sizes.
+
+    Scale shape: two map-combinable term aggregates (target counts,
+    raw counts) produce a vocabulary-sized weight table that joins
+    back onto per-doc tf — the same broadcast-the-vocab pattern as
+    unigram_surprisal; the three scalars (N_T, N_R, V) are one-row
+    cross joins. No all-pairs anywhere; top-20 is
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_toks()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    raw = tf.groupBy("term").agg(F.sum("tf").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    consts = raw.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    tconst = tgt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
+    )
+    llr = (
+        raw.join(F.broadcast(tgt), "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .crossJoin(F.broadcast(tconst))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(llr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("llr")) / F.sum("tf")).alias("allr"),
+        )
+    )
+    w = Window.orderBy(F.round("allr", 6).desc(), F.col("doc_id").asc())
+    return (
+        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .filter(F.col("lang") != "en")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("allr", 6).alias("avg_llr"),
+        )
+    )
+
+
+_IMPORTANCE_RANK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+),
+toks AS (SELECT doc_id, lang, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+raw AS (SELECT term, SUM(tf) AS cr FROM tf GROUP BY term),
+tgt AS (
+  SELECT term, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY term
+),
+consts AS (
+  SELECT CAST(SUM(cr) AS DOUBLE) AS nr, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM raw
+),
+tconst AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS nt FROM tgt),
+llr AS (
+  SELECT raw.term,
+         ln((COALESCE(tgt.ct, 0) + 1) / (tconst.nt + consts.v))
+         - ln((raw.cr + 1) / (consts.nr + consts.v)) AS llr
+  FROM raw LEFT JOIN tgt USING (term)
+  CROSS JOIN consts CROSS JOIN tconst
+),
+scored AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         SUM(tf.tf * llr.llr) / SUM(tf.tf) AS allr
+  FROM tf JOIN llr USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT rnk, doc_id, lang, source, n_tokens, ROUND(allr, 6) AS avg_llr
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY ROUND(s.allr, 6) DESC, d.doc_id ASC)
+           AS rnk,
+         d.doc_id, d.lang, d.source, s.n_tokens, s.allr
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE d.lang <> 'en'
+)
+WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_incremental": q_corpus_incremental,
+    "importance_rank": q_importance_rank,
 }
 
 ORACLE = {
     "decontaminate_ngrams": _DECONTAMINATE_SQL,
     "pack_sequences": _PACK_SQL,
     "chunk_documents": _CHUNK_SQL,
+    "importance_rank": _IMPORTANCE_RANK_SQL,
 }

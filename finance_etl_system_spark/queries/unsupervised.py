@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.clustering import kmeans_assign, kmeans_fit
 from ..operators.pca import pca_fit, pca_project
+from ..operators.semdedup import semantic_dedup
 
 _K = 8
 _Q = 4  # principal components kept
@@ -122,10 +123,49 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup audit (Abbas et al. 2023): k-means the embeddings,
+    then greedily drop within-cluster cosine near-duplicates
+    (operators/semdedup.py). Emits the per-cluster bookkeeping —
+    size, kept, dropped, duplicate fraction — the number a curation
+    run reports before committing the pruned corpus.
+
+    Rows-only (iterative k-means half); the greedy kept-set is pinned
+    against a numpy reference implementation and partitioning
+    independence in tests/test_semdedup.py. eps is tuned to the
+    fixtures' near-orthogonal vectors (max pair cosine ≈ 0.51, same
+    reason dedup_embedding_cosine runs at 0.4); production semantic
+    dedup uses eps ≈ 0.9+.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=_K, max_iter=5)
+    assigned = kmeans_assign(e, model.centroids)
+    flags = semantic_dedup(assigned, eps=0.42)
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("int")).cast("long").alias(
+                "n_dropped"
+            ),
+            F.sum(F.col("overflow").cast("int")).cast("long").alias(
+                "n_overflow"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dropped") / F.col("n_vectors"), 6),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "pca_embeddings": q_pca_embeddings,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE: dict[str, str] = {}

@@ -115,3 +115,52 @@ def test_decontamination_matches_bruteforce(spark):
     }
     assert got == want
     assert want, "fixture must contain at least one contaminated doc"
+
+
+def test_importance_rank_matches_bruteforce(spark):
+    """DSIR unigram importance scores recomputed naively in Python
+    must reproduce the query's top-20 exactly (rounded score and
+    rank order)."""
+    import math
+
+    from finance_etl_system_spark.queries.curation import q_importance_rank
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    per_doc: dict[int, dict[str, int]] = {}
+    lang = {}
+    for d in docs:
+        toks = _tokens(d.text)
+        lang[d.doc_id] = d.lang
+        tf = per_doc.setdefault(d.doc_id, {})
+        for t in toks:
+            raw[t] = raw.get(t, 0) + 1
+            tf[t] = tf.get(t, 0) + 1
+            if d.lang == "en":
+                tgt[t] = tgt.get(t, 0) + 1
+    nr, nt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    scores = {}
+    for doc_id, tf in per_doc.items():
+        if lang[doc_id] == "en" or not tf:
+            continue
+        n = sum(tf.values())
+        s = sum(
+            c
+            * (
+                math.log((tgt.get(t, 0) + 1) / (nt + v))
+                - math.log((raw[t] + 1) / (nr + v))
+            )
+            for t, c in tf.items()
+        )
+        scores[doc_id] = round(s / n, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.doc_id, r.avg_llr)
+        for r in q_importance_rank(spark, SF_SMOKE).orderBy("rnk").collect()
+    ]
+    assert got == want
