@@ -94,6 +94,7 @@ HEADLINE: list[str] = [
     "drift_psi_by_segment_histogram",
     "data_expectations_approx",
     "importance_rank",
+    "seasonal_decompose",
 ]
 
 

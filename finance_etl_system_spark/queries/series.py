@@ -405,6 +405,89 @@ ORDER BY user_id
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the moving-average
+    method (Hyndman & Athanasopoulos, FPP ch. 3): per user series,
+    trend = centered 7-row moving average, detrended = y − trend,
+    seasonal index = mean detrended per phase (position mod 7). The
+    reference has nothing seasonal (its indicators are causal MAs,
+    etl_job.py); this is the decomposition every monitoring stack
+    runs before calling a drift alarm on a weekly-patterned metric.
+
+    All arithmetic is exact integer ticks until the single final
+    division: detrended is kept as d = 7·y − Σ₇y (ticks × 7, a
+    long), so the per-phase aggregate Σd / (7·n·100) is one
+    deterministic float op on both engines — no float-sum ordering
+    anywhere (the forecast_seasonal_naive discipline).
+
+    Scale: one hashpartitioning(user_id) window pass computes the
+    centered MA and the phase; the per-phase aggregate is map-side
+    combinable on (user_id, phase) — the same keys, so AQE coalesces
+    without a second shuffle.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wma = w.rowsBetween(-3, 3)
+    y = F.round(F.col("value") * 100, 0).cast("long")
+    base = (
+        e.withColumn("_y", y)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_s7", F.sum("_y").over(wma))
+        .withColumn("_n7", F.count("_y").over(wma))
+    )
+    d = F.lit(7) * F.col("_y") - F.col("_s7")  # ticks × 7, exact
+    full = F.col("_n7") == 7
+    return (
+        base.withColumn("_phase", ((F.col("_rn") - 1) % 7).cast("int"))
+        .groupBy("user_id", "_phase")
+        .agg(
+            F.sum(full.cast("int")).cast("long").alias("n_obs"),
+            F.sum(F.when(full, d)).alias("_sd"),
+        )
+        .filter(F.col("n_obs") > 0)
+        .select(
+            "user_id",
+            F.col("_phase").alias("phase"),
+            "n_obs",
+            F.round(
+                F.col("_sd").cast("double")
+                / (F.lit(7.0) * F.col("n_obs") * 100.0),
+                6,
+            ).alias("seasonal_idx"),
+        )
+        .orderBy("user_id", "phase")
+    )
+
+
+_SEASONAL_DECOMPOSE_SQL = """
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+win AS (
+  SELECT user_id, y,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         COUNT(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM nn
+)
+SELECT user_id,
+       CAST((rn - 1) % 7 AS INT) AS phase,
+       CAST(SUM(CASE WHEN n7 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(CASE WHEN n7 = 7 THEN 7 * y - s7 END) AS DOUBLE)
+             / (7.0 * SUM(CASE WHEN n7 = 7 THEN 1 ELSE 0 END) * 100.0),
+             6) AS seasonal_idx
+FROM win
+GROUP BY user_id, phase
+HAVING SUM(CASE WHEN n7 = 7 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id, phase
+"""
+
+
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_user_state": q_scd2_user_state,
@@ -414,6 +497,7 @@ QUERIES = {
     "nation_roster": q_nation_roster,
     "price_histogram": q_price_histogram,
     "forecast_seasonal_naive": q_forecast_seasonal_naive,
+    "seasonal_decompose": q_seasonal_decompose,
 }
 
 ORACLE = {
@@ -425,4 +509,5 @@ ORACLE = {
     "nation_roster": _NATION_ROSTER_SQL,
     "price_histogram": _PRICE_HISTOGRAM_SQL,
     "forecast_seasonal_naive": _FORECAST_SEASONAL_NAIVE_SQL,
+    "seasonal_decompose": _SEASONAL_DECOMPOSE_SQL,
 }
