@@ -338,20 +338,24 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("tf") * F.col("llr")) / F.sum("tf")).alias("allr"),
         )
     )
-    w = Window.orderBy(F.round("allr", 6).desc(), F.col("doc_id").asc())
-    return (
+    # distributed top-k (TakeOrderedAndProject), NOT a global
+    # row_number window — the rank is assigned after the limit, so
+    # the only single-partition work is the 20-row result
+    key = [F.round("allr", 6).desc(), F.col("doc_id").asc()]
+    top = (
         scored.join(d.select("doc_id", "lang", "source"), "doc_id")
         .filter(F.col("lang") != "en")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select(
-            "rnk",
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            F.round("allr", 6).alias("avg_llr"),
-        )
+        .orderBy(*key)
+        .limit(20)
+    )
+    w = Window.orderBy(*key)
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk",
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.round("allr", 6).alias("avg_llr"),
     )
 
 

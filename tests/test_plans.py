@@ -520,3 +520,29 @@ def test_runtime_bloom_filter_cuts_join_shuffle(spark):
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
         )
+
+
+def test_importance_rank_broadcast_vocab_topk(spark):
+    """DSIR importance ranking must keep the doc-side big: the vocab
+    weight table broadcasts onto tf, no shuffle join anywhere, and
+    the top-20 is a distributed TakeOrderedAndProject — never a
+    global row_number window over all scored docs."""
+    from finance_etl_system_spark.queries.curation import q_importance_rank
+
+    df = q_importance_rank(spark, SF_SMOKE)
+    assert shuffle_join_count(df) == 0
+    assert broadcast_join_count(df) >= 2  # vocab llr + doc attrs
+    assert has_take_ordered(df)
+
+
+def test_seasonal_decompose_single_data_shuffle(spark):
+    """One hashpartitioning(user_id) exchange feeds both the centered
+    MA window and the (user_id, phase) aggregate (ClusteredDistribution
+    is satisfied by the subset key); the only other exchange is the
+    final aggregate-sized orderBy."""
+    from finance_etl_system_spark.queries.series import q_seasonal_decompose
+
+    df = q_seasonal_decompose(spark, SF_SMOKE)
+    assert exchange_count(df) <= 2
+    assert shuffle_join_count(df) == 0
+    assert not has_cartesian_product(df)
