@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.retrieval import B, K1, token_array
+from ..functions.frames import ranked_topk
 
 N_BUCKETS = 16
 
@@ -301,11 +302,9 @@ def bm25_search_index(
         # aggregate, same as the scan path's q_search_boolean_and —
         # costs nothing beyond the ranker
         scored = scored.filter(F.col("n_terms_hit") == len(terms))
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("rnk", "doc_id", "bm25", "n_terms_hit")
+    key = [F.col("bm25").desc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, k).select(
+        "rnk", "doc_id", "bm25", "n_terms_hit"
     )
 
 
@@ -367,11 +366,9 @@ def phrase_search_index(
         "doc_id",
         F.size(F.filter(F.col("pos_0"), chain)).alias("n_occurrences"),
     ).filter(F.col("n_occurrences") > 0)
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("rnk", "doc_id", "n_occurrences")
+    key = [F.col("n_occurrences").desc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, k).select(
+        "rnk", "doc_id", "n_occurrences"
     )
 
 

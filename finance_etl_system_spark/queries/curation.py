@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.frames import ranked_topk
 from ..operators.packing import prefix_pack
 from ..operators.partitioning import spread_for_expansion
 
@@ -342,14 +343,10 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number window — the rank is assigned after the limit, so
     # the only single-partition work is the 20-row result
     key = [F.round("allr", 6).desc(), F.col("doc_id").asc()]
-    top = (
-        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
-        .filter(F.col("lang") != "en")
-        .orderBy(*key)
-        .limit(20)
+    pool = scored.join(d.select("doc_id", "lang", "source"), "doc_id").filter(
+        F.col("lang") != "en"
     )
-    w = Window.orderBy(*key)
-    return top.withColumn("rnk", F.row_number().over(w)).select(
+    return ranked_topk(pool, key, 20).select(
         "rnk",
         "doc_id",
         "lang",

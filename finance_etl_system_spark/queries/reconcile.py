@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.frames import ranked_topk
 from ..operators.diff import table_diff
 
 ADD_OFFSET = 20_000_000
@@ -117,11 +118,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB keeps the sign bit, pandas formats it differently
         (F.round(score, 9) + F.lit(0.0)).alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= SAMPLE_K)
-        .select("rnk", "o_orderkey", "o_totalprice", "score")
+    key = [F.col("score").desc(), F.col("o_orderkey").asc()]
+    return ranked_topk(scored, key, SAMPLE_K).select(
+        "rnk", "o_orderkey", "o_totalprice", "score"
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.frames import ranked_topk
 from ..operators.similarity import cosine_topk_bruteforce
 
 K1 = 1.2
@@ -178,11 +179,9 @@ def _bm25_scored(
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("rnk", "doc_id", "bm25", "n_terms_hit")
+    key = [F.col("bm25").desc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, k).select(
+        "rnk", "doc_id", "bm25", "n_terms_hit"
     )
 
 
@@ -489,11 +488,9 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occurrences"
         ),
     ).filter(F.col("n_occurrences") > 0)
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("rnk", "doc_id", "n_occurrences")
+    key = [F.col("n_occurrences").desc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, TOP_K).select(
+        "rnk", "doc_id", "n_occurrences"
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.frames import ranked_topk
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -407,17 +408,13 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("bf") * logp) / F.sum("bf")).alias("alp"),
         )
     )
-    w = Window.orderBy(F.round("alp", 6).asc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select(
-            "rnk",
-            "doc_id",
-            "n_bigrams",
-            F.round("alp", 6).alias("avg_logprob"),
-            F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
-        )
+    key = [F.round("alp", 6).asc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, 20).select(
+        "rnk",
+        "doc_id",
+        "n_bigrams",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
     )
 
 
@@ -507,17 +504,13 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alp"),
         )
     )
-    w = Window.orderBy(F.round("alp", 6).asc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select(
-            "rnk",
-            "doc_id",
-            "n_tokens",
-            F.round("alp", 6).alias("avg_logprob"),
-            F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
-        )
+    key = [F.round("alp", 6).asc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, 20).select(
+        "rnk",
+        "doc_id",
+        "n_tokens",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 2).alias("ppl"),
     )
 
 
@@ -576,12 +569,8 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").substr(F.col("i"), F.lit(2)).alias("pair"), "freq"
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("total"))
-    w = Window.orderBy(F.col("total").desc(), F.col("pair").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("rnk", "pair", "total")
-    )
+    key = [F.col("total").desc(), F.col("pair").asc()]
+    return ranked_topk(agg, key, 20).select("rnk", "pair", "total")
 
 
 _BPE_MERGE_PAIRS_SQL = """
