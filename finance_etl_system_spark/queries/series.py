@@ -488,6 +488,126 @@ ORDER BY user_id, phase
 """
 
 
+
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection: deseasonalize each user
+    series with the q_seasonal_decompose machinery (centered 7-row MA
+    trend + per-phase seasonal index), then flag residuals beyond
+    3 sample standard deviations — the alarm a weekly-patterned
+    metric needs so the pattern itself never pages anyone (the plain
+    z-score twin would flag every weekend).
+
+    Arithmetic: detrended stays exact integer ticks x 7 (d = 7y -
+    sum7); the seasonal index and residual sd are the only float
+    steps, and every emitted float is rounded once. Flag counts are
+    integers; a residual's |r| > 3*sd comparison uses the same
+    unrounded doubles on both engines computed from identical exact
+    integer inputs, so the cut is engine-stable.
+
+    Scale: the one data-sized shuffle is hashpartitioning(user_id)
+    for the window; the per-(user, phase) index and the per-user
+    residual stats both reuse that clustering (ClusteredDistribution
+    by subset key) — no second data shuffle, and the phase table is
+    |users| x 7 rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wma = w.rowsBetween(-3, 3)
+    y = F.round(F.col("value") * 100, 0).cast("long")
+    base = (
+        e.withColumn("_y", y)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_s7", F.sum("_y").over(wma))
+        .withColumn("_n7", F.count("_y").over(wma))
+        .filter(F.col("_n7") == 7)
+        .select(
+            "user_id",
+            "event_id",
+            ((F.col("_rn") - 1) % 7).cast("int").alias("phase"),
+            (F.lit(7) * F.col("_y") - F.col("_s7")).alias("d"),
+        )
+    )
+    idx = base.groupBy("user_id", "phase").agg(
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("s_idx")
+    )
+    resid = base.join(idx, ["user_id", "phase"]).select(
+        "user_id", (F.col("d").cast("double") - F.col("s_idx")).alias("r")
+    )
+    stats = resid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.stddev_samp("r").alias("sd"),
+    )
+    return (
+        resid.join(stats, "user_id")
+        .groupBy("user_id", "n_obs", "sd")
+        .agg(
+            F.sum(
+                (F.abs(F.col("r")) > 3 * F.col("sd")).cast("int")
+            ).cast("long").alias("n_outliers")
+        )
+        .filter(F.col("sd") > 0)
+        .select(
+            "user_id",
+            "n_obs",
+            F.round(F.col("sd") / 700.0, 6).alias("resid_sd"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_obs"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ANOMALY_SEASONAL_SQL = """
+WITH nn AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+win AS (
+  SELECT user_id, event_id, y,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         COUNT(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM nn
+),
+base AS (
+  SELECT user_id, event_id,
+         CAST((rn - 1) % 7 AS INT) AS phase,
+         7 * y - s7 AS d
+  FROM win WHERE n7 = 7
+),
+idx AS (
+  SELECT user_id, phase,
+         CAST(SUM(d) AS DOUBLE) / COUNT(*) AS s_idx
+  FROM base GROUP BY user_id, phase
+),
+resid AS (
+  SELECT base.user_id, CAST(base.d AS DOUBLE) - idx.s_idx AS r
+  FROM base JOIN idx USING (user_id, phase)
+),
+stats AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         STDDEV_SAMP(r) AS sd
+  FROM resid GROUP BY user_id
+)
+SELECT resid.user_id, stats.n_obs,
+       ROUND(stats.sd / 700.0, 6) AS resid_sd,
+       CAST(SUM(CASE WHEN ABS(resid.r) > 3 * stats.sd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN ABS(resid.r) > 3 * stats.sd THEN 1 ELSE 0 END)
+             / CAST(stats.n_obs AS DOUBLE), 6) AS outlier_frac
+FROM resid JOIN stats USING (user_id)
+WHERE stats.sd > 0
+GROUP BY resid.user_id, stats.n_obs, stats.sd
+ORDER BY resid.user_id
+"""
+
+
 QUERIES = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_user_state": q_scd2_user_state,
@@ -498,6 +618,7 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "forecast_seasonal_naive": q_forecast_seasonal_naive,
     "seasonal_decompose": q_seasonal_decompose,
+    "anomaly_seasonal": q_anomaly_seasonal,
 }
 
 ORACLE = {
@@ -510,4 +631,5 @@ ORACLE = {
     "price_histogram": _PRICE_HISTOGRAM_SQL,
     "forecast_seasonal_naive": _FORECAST_SEASONAL_NAIVE_SQL,
     "seasonal_decompose": _SEASONAL_DECOMPOSE_SQL,
+    "anomaly_seasonal": _ANOMALY_SEASONAL_SQL,
 }
