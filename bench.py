@@ -95,6 +95,7 @@ HEADLINE: list[str] = [
     "data_expectations_approx",
     "importance_rank",
     "seasonal_decompose",
+    "anomaly_seasonal",
 ]
 
 

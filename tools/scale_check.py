@@ -88,6 +88,7 @@ def synthesize(spark, mult: int) -> str:
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]  # optional query-name filter
 
     import __spark_entry__ as entrymod
     from finance_etl_system_spark.session import get_spark
@@ -107,7 +108,7 @@ def main() -> None:
 
     print(f"| query | sf0.1 (s) | {mult}× (s) | ratio |")
     print("|---|---|---|---|")
-    for name in _query_names():
+    for name in (only or _query_names()):
         fn = qs[name]
         t1 = best_of_2(fn, BASE_SF)
         tn = best_of_2(fn, scaled_dir)
