@@ -482,6 +482,65 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_match(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Asymmetric LSH match: which CORPUS docs near-match any PROBE
+    doc — the fuzzy-decontamination primitive (the probe side is an
+    eval benchmark, MBs by construction; exact n-gram overlap misses
+    paraphrased leakage, signature collision does not).
+
+    Same signatures/banding as minhash_lsh_pairs, but the join is
+    corpus-bands x BROADCAST(probe-bands) instead of a self-join:
+    the corpus side streams through one hash join keyed
+    (band, band-hash), so cost is one corpus signature pass + a
+    probe-sized broadcast — no corpus-corpus candidate blowup is
+    possible, and ``max_bucket`` still caps boilerplate buckets on
+    the corpus side. Returns (corpus_id, probe_id, est_jaccard)
+    pairs at >= verify_threshold.
+    """
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    kw = dict(text_col=text_col, id_col=id_col, n=n,
+              num_perm=num_perm, seed=seed)
+    csig = minhash_signatures(corpus, **kw).localCheckpoint(eager=True)
+    psig = minhash_signatures(probe, **kw).localCheckpoint(eager=True)
+    cband = _cap_hot_buckets(_band_rows(csig, bands, rpb), max_bucket)
+    pband = _band_rows(psig, bands, rpb)
+    cands = (
+        cband.alias("a")
+        .join(F.broadcast(pband.alias("b")), ["band", "bh"])
+        .select(
+            F.col("a.id").alias("corpus_id"),
+            F.col("b.id").alias("probe_id"),
+        )
+        .dropDuplicates(["corpus_id", "probe_id"])
+    )
+    sig_a = csig.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_a")
+    )
+    sig_b = psig.select(
+        F.col("id").alias("probe_id"), F.col("sig").alias("sig_b")
+    )
+    return (
+        cands.join(sig_a, "corpus_id")
+        .join(F.broadcast(sig_b), "probe_id")
+        .withColumn("est_jaccard", _est_jaccard(num_perm))
+        .filter(F.col("est_jaccard") >= verify_threshold)
+        .select("corpus_id", "probe_id", "est_jaccard")
+    )
+
+
 def lsh_candidate_stats(
     df: DataFrame,
     *,

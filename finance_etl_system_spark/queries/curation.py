@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.frames import ranked_topk
+from ..operators.dedup import minhash_lsh_match
 from ..operators.packing import prefix_pack
 from ..operators.partitioning import spread_for_expansion
 
@@ -396,6 +397,41 @@ WHERE rnk <= 20
 """
 
 
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents whose MinHash
+    signature near-matches any held-out eval doc (doc_id % 23 == 0) —
+    catches the paraphrased/partially-edited leakage the exact 5-gram
+    check (q_decontaminate_ngrams) misses. The standard second pass
+    LLM data pipelines run before pretraining.
+
+    Plan shape: the eval side is benchmark-sized by construction, so
+    its band rows and signatures BROADCAST; the corpus streams
+    through one (band, band-hash) hash join — no corpus-corpus
+    self-join anywhere (operators/dedup.py::minhash_lsh_match).
+
+    Rows-only (MinHash is probabilistic by design); recall against
+    exact n-gram-Jaccard ground truth is pinned in
+    tests/test_curation.py::test_decontaminate_fuzzy_recall.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    pairs = minhash_lsh_match(
+        corpus, eval_slice, verify_threshold=0.5, max_bucket=64
+    )
+    return (
+        pairs.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.round(F.max("est_jaccard"), 6).alias("best_est_jaccard"),
+            F.min("probe_id").alias("first_eval_id"),
+        )
+        .withColumnRenamed("corpus_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
@@ -403,6 +439,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_incremental": q_corpus_incremental,
     "importance_rank": q_importance_rank,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
 
 ORACLE = {

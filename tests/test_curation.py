@@ -164,3 +164,46 @@ def test_importance_rank_matches_bruteforce(spark):
         for r in q_importance_rank(spark, SF_SMOKE).orderBy("rnk").collect()
     ]
     assert got == want
+
+
+def test_decontaminate_fuzzy_recall(spark):
+    """Asymmetric LSH match: every corpus doc that truly near-matches
+    an eval doc (exact n-gram Jaccard >= 0.7) must be found, no
+    corpus-corpus pair may leak in, and clean docs stay clean."""
+    import random
+
+    from finance_etl_system_spark.operators.dedup import minhash_lsh_match
+
+    vocab = (
+        "spark batch window join filter scan table row column value "
+        "hash merge sort stream data query fast slow small big"
+    ).split()
+    rng = random.Random(7)
+    evals, corpus = [], []
+    for i in range(5):
+        evals.append((i, " ".join(rng.choice(vocab) for _ in range(100))))
+    for i in range(20):
+        corpus.append(
+            (100 + i, " ".join(rng.choice(vocab) for _ in range(100)))
+        )
+    # paraphrased leakage: eval 0 and 3 with a few flipped tokens
+    for cid, src in ((500, 0), (501, 3)):
+        toks = evals[src][1].split()
+        for j in (4, 37, 71):
+            toks[j] = "edited"
+        corpus.append((cid, " ".join(toks)))
+    ev = spark.createDataFrame(evals, "doc_id LONG, text STRING")
+    co = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+
+    got = {
+        (r.corpus_id, r.probe_id): r.est_jaccard
+        for r in minhash_lsh_match(co, ev, verify_threshold=0.5).collect()
+    }
+    assert (500, 0) in got and (501, 3) in got
+    assert got[(500, 0)] > 0.6 and got[(501, 3)] > 0.6
+    # asymmetric contract: corpus ids on the left, probe ids right
+    assert all(c >= 100 and p < 100 for c, p in got)
+    # random 100-token strings over a 20-word vocab share many
+    # 3-shingles by chance but never at >= 0.5 estimated jaccard
+    clean_hits = [c for c, _ in got if c not in (500, 501)]
+    assert not clean_hits
