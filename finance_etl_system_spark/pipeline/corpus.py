@@ -10,7 +10,9 @@ already tests in isolation:
                             keep the min-id representative per cluster)
   3. quality gate          (token count + type-token ratio)
   4. decontamination       (word-5-gram overlap vs a held-out eval set,
-                            broadcast gram probe)
+                            broadcast gram probe, PLUS the fuzzy pass:
+                            asymmetric MinHash-LSH match against the
+                            eval side for paraphrased leakage)
   5. leakage-safe split    (deterministic hash; near-dup safety comes
                             from step 2 — one representative per
                             cluster means no near-pair can straddle)
@@ -37,6 +39,7 @@ from ..operators.dedup import (
     content_fingerprint,
     exact_dedup,
     minhash_dedup_incremental,
+    minhash_lsh_match,
     minhash_lsh_pairs,
     minhash_signatures,
     shingles,
@@ -50,6 +53,7 @@ NGRAM = 5
 MIN_TOKENS = 8
 MIN_TTR = 0.3  # type-token ratio floor (repetition gate)
 JACCARD_NEAR_DUP = 0.5
+JACCARD_FUZZY_DECON = 0.5
 PACK_BUDGET = 256  # tokens per packed bin
 
 
@@ -112,6 +116,21 @@ def build_training_corpus(
         .distinct()
     )
     d = d.join(contaminated, id_col, "left_anti")
+
+    # 4b. fuzzy decontamination: paraphrased leakage the exact 5-gram
+    #     overlap misses — asymmetric LSH match, eval side broadcast
+    fuzzy = (
+        minhash_lsh_match(
+            d,
+            eval_docs,
+            text_col=text_col,
+            id_col=id_col,
+            verify_threshold=JACCARD_FUZZY_DECON,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    d = d.join(fuzzy, id_col, "left_anti")
 
     # 5. leakage-safe deterministic split (near-dup-safe via step 2)
     train, test = train_test_split_by_key(d, [id_col], test_fraction)
@@ -257,6 +276,21 @@ def corpus_increment(
         doc_grams.join(F.broadcast(eval_grams), "gram").select(id_col).distinct()
     )
     d = d.join(contaminated, id_col, "left_anti")
+
+    # 4b. fuzzy decontamination — stateless per doc vs the FIXED eval
+    #     set (identical signature params), so increment ≡ rebuild
+    fuzzy = (
+        minhash_lsh_match(
+            d,
+            eval_docs,
+            text_col=text_col,
+            id_col=id_col,
+            verify_threshold=JACCARD_FUZZY_DECON,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    d = d.join(fuzzy, id_col, "left_anti")
 
     # 5. deterministic hash split — stateless
     train, test = train_test_split_by_key(d, [id_col], test_fraction)
