@@ -33,6 +33,19 @@ from pyspark.sql import functions as F
 Q_MAX = 127
 
 
+def _round_half_away(a: np.ndarray, digits: int = 6) -> np.ndarray:
+    """Round half AWAY from zero at ``digits`` decimals — the
+    semantics of Spark's F.round (BigDecimal HALF_UP) and DuckDB's
+    ROUND. np.round is round-half-to-EVEN, so a score landing on the
+    half boundary (e.g. 2.5e-6) diverges between a numpy coarse pass
+    and the JVM/DuckDB oracle: np.round -> 2e-6, both engines ->
+    3e-6. Verified: duckdb ROUND(2.5e-6, 6) = 3e-6. NaN/inf pass
+    through unchanged (callers map non-finite to NULL)."""
+    p = 10.0 ** digits
+    with np.errstate(invalid="ignore"):
+        return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+
 def _as_double(col: Column) -> Column:
     # kept as a local alias; the canonical fold helpers (_dot/_norm)
     # live in operators/similarity.py and cosine_topk_sq8 imports them
@@ -137,8 +150,23 @@ def cosine_topk_sq8(
         n2 = (codes * codes).sum(axis=1)
         denom = np.sqrt(np.outer(n2, qn2).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
-            sc = np.round(dots / denom, 6)
-        return pd.Series(list(sc))
+            sc = _round_half_away(dots / denom, 6)
+        finite = np.isfinite(sc)
+        if finite.all():
+            return pd.Series(list(sc))
+        # zero-norm vectors: 0/0 is NaN here but NULL under the JVM
+        # division this UDF replaced; NaN sorts ABOVE every real
+        # double in a desc window (it would steal a rerank slot for
+        # every query), NULL sorts last — restore the NULL semantics
+        out = []
+        for row, ok in zip(sc, finite):
+            if ok.all():
+                out.append([float(v) for v in row])
+            else:
+                out.append(
+                    [float(v) if f else None for v, f in zip(row, ok)]
+                )
+        return pd.Series(out)
 
     qid_lit = F.array(*[F.lit(q) for q in qids])
     coarse_scored = (
@@ -179,9 +207,15 @@ def cosine_topk_sq8(
             "qid",
             "cid",
             "coarse",
+            # try_divide: a zero-norm vector reaching the rerank gets
+            # cosine NULL (ranks last) instead of an ANSI-mode
+            # DIVIDE_BY_ZERO abort — quantize_int8's contract
+            # explicitly admits all-zero vectors
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("cv")),
+                    _norm(F.col("qv")) * _norm(F.col("cv")),
+                ),
                 6,
             ).alias("cosine"),
         )

@@ -288,6 +288,29 @@ def _route_queries(q: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame
     )
 
 
+# batch_id namespace split: manual/auto appends allocate upward from
+# 1 (batch 0 is the build), streaming appends (streaming/similarity)
+# write IVF_STREAM_BATCH_BASE + micro_batch_id. Auto-assign ignores
+# the stream namespace when computing max+1, so a manual append can
+# never collide with — and dynamic-overwrite-DELETE — a future or
+# replayed stream batch's partitions (the two counters are otherwise
+# racing for the same integers).
+IVF_STREAM_BATCH_BASE = 1_000_000_000
+
+
+def _ivf_fs(spark, path: str):
+    """Hadoop FileSystem handle for an index path (works for local
+    FS and HDFS alike — same machinery as textindex._swap_dir)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    return HPath(path).getFileSystem(conf), HPath
+
+
+def _compact_marker(path: str) -> str:
+    return f"{path}/_COMPACTING"
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -381,10 +404,28 @@ def append_to_ivf_index(
     ``cosine_topk_ivf_index`` answers over the union with UNCHANGED
     probe pruning — cluster stays a partition column. Parity with a
     same-centroid one-shot build is pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Auto-assignment EXCLUDES the streaming namespace (batch_id >=
+    IVF_STREAM_BATCH_BASE): a stream's ids are a function of its
+    checkpointed micro-batch counter, so if max+1 could land inside
+    that range, a later (or replayed) stream batch would dynamic-
+    overwrite the manual batch's (batch, cluster) partitions and
+    silently delete its vectors. Appends also refuse to run while a
+    compaction holds the index (see compact_ivf_index): a write
+    racing the directory swap would land in the doomed pre-swap tree
+    and vanish."""
     from .clustering import kmeans_assign
 
     spark = new_vectors.sparkSession
+    fs, HPath = _ivf_fs(spark, path)
+    if fs.exists(HPath(_compact_marker(path))):
+        raise RuntimeError(
+            f"IVF index at {path} is being compacted (_COMPACTING "
+            "marker present); retry the append after the compaction "
+            "finishes — a write racing the directory swap would be "
+            "silently lost"
+        )
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     for col in (id_col, vec_col):
@@ -402,10 +443,12 @@ def append_to_ivf_index(
         vec_col
     ].dataType
     if batch_id is None:
-        # next free batch: a directory-listing-sized distinct over the
-        # partition column (no data read — answered from partitions)
+        # next free batch: a directory-listing-sized max over the
+        # partition column (no data read — answered from partitions),
+        # EXCLUDING the streaming namespace (see docstring)
         top = (
             spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("batch_id") < IVF_STREAM_BATCH_BASE)
             .agg(F.max("batch_id"))
             .first()[0]
         )
@@ -442,28 +485,56 @@ def compact_ivf_index(
     valid; a RETRAIN is build_ivf_index again). Same staging +
     directory-swap discipline as compact_text_index: the live index
     is never half-written — a crash leaves the old index or the new
-    one. Cost is the vectors table once per compaction window."""
+    one. Cost is the vectors table once per compaction window.
+
+    SINGLE-WRITER CONTRACT (asserted, not just documented): the
+    compaction takes a ``_COMPACTING`` marker under the index root
+    for its whole run; ``append_to_ivf_index`` (and therefore every
+    streaming micro-batch) raises while it is held, because an
+    append racing the swap writes into the pre-swap directory tree
+    and is silently dropped when staging is promoted. The marker is
+    released in a ``finally`` (a crash leaves it behind — after
+    verifying the crash, delete ``{path}/_COMPACTING`` to heal).
+    Additionally, compact ONLY while the index's stream (if any) is
+    stopped with a fully committed checkpoint: a stream batch that
+    wrote its partitions but did not commit will be REPLAYED on
+    restart, and if the compaction already folded that batch into
+    batch 0 the replay re-adds its vectors as duplicates. Committed
+    batches are never replayed, so a graceful availableNow drain (or
+    offsets==commits in the checkpoint) makes compaction safe."""
     from .textindex import _swap_dir
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    id_col = meta["id_col"]
-    v = spark.read.parquet(f"{path}/vectors")
-    if deleted_ids is not None:
-        ids = F.broadcast(
-            deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
-            .distinct()
+    fs, HPath = _ivf_fs(spark, path)
+    marker = HPath(_compact_marker(path))
+    if not fs.createNewFile(marker):
+        raise RuntimeError(
+            f"IVF index at {path} already has a _COMPACTING marker: "
+            "another compaction is running, or a previous one "
+            "crashed — verify and delete the marker to heal"
         )
-        v = v.join(ids, id_col, "left_anti")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    (
-        v.drop("batch_id")
-        .select("*", F.lit(0).alias("batch_id"))
-        .select(id_col, meta["vec_col"], "batch_id", "cluster")
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/vectors.staging")
-    )
-    _swap_dir(spark, f"{path}/vectors")
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        id_col = meta["id_col"]
+        v = spark.read.parquet(f"{path}/vectors")
+        if deleted_ids is not None:
+            ids = F.broadcast(
+                deleted_ids.select(
+                    F.col(deleted_ids.columns[0]).alias(id_col)
+                ).distinct()
+            )
+            v = v.join(ids, id_col, "left_anti")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        (
+            v.drop("batch_id")
+            .select("*", F.lit(0).alias("batch_id"))
+            .select(id_col, meta["vec_col"], "batch_id", "cluster")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/vectors.staging")
+        )
+        _swap_dir(spark, f"{path}/vectors")
+    finally:
+        fs.delete(marker, False)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

@@ -25,14 +25,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 def ivf_append_batch(batch_df: DataFrame, batch_id: int, *, path: str) -> None:
     """foreachBatch body: one micro-batch into the index. Empty
-    batches write nothing (no empty partition dirs)."""
-    from ..operators.similarity import append_to_ivf_index
+    batches write nothing (no empty partition dirs).
+
+    Stream batches live in their OWN batch_id namespace,
+    ``IVF_STREAM_BATCH_BASE + micro_batch_id``: the earlier +1 shift
+    kept the stream off the build's batch 0 but still shared the
+    manual-append counter, so a manual ``append_to_ivf_index`` (auto
+    max+1) interleaved with an active or resumed stream could reuse
+    an id and dynamic-overwrite-DELETE the other writer's vectors in
+    every overlapping (batch, cluster) partition. Auto-assignment now
+    ignores ids >= the base (operators/similarity.py), so the two
+    counters can never meet; a replayed micro-batch still rewrites
+    exactly its own partitions."""
+    from ..operators.similarity import (
+        IVF_STREAM_BATCH_BASE,
+        append_to_ivf_index,
+    )
 
     if batch_df.isEmpty():
         return
-    # stream batch ids start at 0, which is the BUILD's batch
-    # partition — shift by one so a replay never overwrites the base
-    append_to_ivf_index(batch_df, path, batch_id=int(batch_id) + 1)
+    append_to_ivf_index(
+        batch_df, path, batch_id=IVF_STREAM_BATCH_BASE + int(batch_id)
+    )
 
 
 def stream_append_ivf(

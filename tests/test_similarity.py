@@ -397,7 +397,13 @@ def test_ivf_streaming_append_idempotent(spark, tmp_path):
     # replay micro-batch 0 with ITS OWN content (what a checkpoint
     # retry re-delivers): the dynamic overwrite rewrites that batch's
     # partitions in place — no duplication, nothing else touched
-    b1 = spark.read.parquet(f"{path}/vectors").filter("batch_id = 1")
+    from finance_etl_system_spark.operators.similarity import (
+        IVF_STREAM_BATCH_BASE,
+    )
+
+    b1 = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("batch_id") == IVF_STREAM_BATCH_BASE
+    )
     replay = b1.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).localCheckpoint(eager=True)
@@ -476,3 +482,146 @@ def test_ivf_compaction_folds_batches_and_deletes(spark, tmp_path):
     post = cosine_topk_ivf_index(spark, path, queries, k=5, nprobe=2).collect()
     assert all(r.cid != 450 for r in post)
     assert any(r.qid == 450 for r in post)  # query still answered
+
+
+def test_ivf_manual_append_never_collides_with_stream_batches(
+    spark, tmp_path
+):
+    """Auto-assigned manual batch ids must skip the streaming
+    namespace: after a stream batch lands at IVF_STREAM_BATCH_BASE,
+    the next manual append gets batch 1 (not BASE+1), so a resumed
+    stream's batch 1 can never dynamic-overwrite it away."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        IVF_STREAM_BATCH_BASE,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from finance_etl_system_spark.streaming.similarity import ivf_append_batch
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 300), path, k_clusters=3, id_col="vec_id"
+    )
+    # stream micro-batch 0 lands in its own namespace
+    ivf_append_batch(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)),
+        0,
+        path=path,
+    )
+    # manual append with auto-assigned id: must be 1, below the base
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 400)), path
+    )
+    batches = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert batches == [0, 1, IVF_STREAM_BATCH_BASE]
+    # resumed-stream micro-batch 1 overwrites nothing but itself
+    n_before = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("batch_id") <= 1)
+        .count()
+    )
+    ivf_append_batch(e.filter(F.col("vec_id") >= 400), 1, path=path)
+    assert (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("batch_id") <= 1)
+        .count()
+        == n_before
+    )
+
+
+def test_ivf_append_refused_during_compaction(spark, tmp_path):
+    """Single-writer contract: an append racing a compaction's
+    directory swap would be silently dropped, so append raises while
+    the _COMPACTING marker is held, and compaction releases the
+    marker when done (even having taken the lock itself)."""
+    import pytest as _pytest
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        _compact_marker,
+        _ivf_fs,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 300), path, k_clusters=3, id_col="vec_id"
+    )
+    fs, HPath = _ivf_fs(spark, path)
+    marker = HPath(_compact_marker(path))
+    assert fs.createNewFile(marker)  # a compaction is "in flight"
+    tail = e.filter(F.col("vec_id") >= 300)
+    with _pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_to_ivf_index(tail, path)
+    # a second compaction refuses too (stale-marker healing message)
+    with _pytest.raises(RuntimeError, match="_COMPACTING"):
+        compact_ivf_index(spark, path)
+    fs.delete(marker, False)
+    # normal compaction takes and RELEASES the marker
+    compact_ivf_index(spark, path)
+    assert not fs.exists(marker)
+    append_to_ivf_index(tail, path)  # append allowed again
+    assert (
+        spark.read.parquet(f"{path}/vectors").count() == e.count()
+    )
+
+
+def test_round_half_away_matches_duckdb_round():
+    """The SQ8 coarse pass rounds with half-AWAY semantics (F.round /
+    DuckDB ROUND); np.round is half-to-even and diverges on the half
+    boundary — pin the helper against DuckDB on a boundary grid."""
+    import duckdb
+    import numpy as np
+
+    from finance_etl_system_spark.operators.quantize import _round_half_away
+
+    vals = [k / 2e6 for k in range(-9, 10)]  # ±k.5e-6 half boundaries
+    vals += list(np.random.RandomState(1).uniform(-1, 1, 200))
+    got = _round_half_away(np.array(vals), 6)
+    want = [
+        duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    assert list(got) == want
+    # the divergence the fix closes: np.round is half-even here
+    assert float(np.round(2.5e-6, 6)) == 2e-6
+    assert float(_round_half_away(np.array([2.5e-6]))[0]) == 3e-6
+
+
+def test_sq8_zero_norm_vectors_score_null_and_rank_last(spark):
+    """An all-zero corpus vector must emit coarse = NULL (the JVM
+    division-by-zero semantics), never NaN — NaN sorts ABOVE every
+    real double in a desc window and would steal a rerank slot for
+    every query."""
+    import numpy as np
+
+    from finance_etl_system_spark.operators.quantize import cosine_topk_sq8
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))  # the zero-norm vector
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_sq8(queries, corpus, k=5, rerank=10).collect()
+    assert got and all(r.cid != 99 for r in got)
+    # and the zero vector's coarse is NULL wherever it survives a
+    # tiny-rerank run (rerank > corpus forces it into the output)
+    allr = cosine_topk_sq8(queries, corpus, k=30, rerank=30).collect()
+    zero_rows = [r for r in allr if r.cid == 99]
+    assert zero_rows and all(r.coarse is None for r in zero_rows)
+    # NULL coarse ranks LAST under the desc coarse window
+    assert all(r.rnk == max(x.rnk for x in allr if x.qid == r.qid)
+               for r in zero_rows)
