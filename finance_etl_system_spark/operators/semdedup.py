@@ -7,15 +7,26 @@ with the standard curation step LLM pipelines run between embedding
 and training-set selection.
 
 Why this shape scales: the quadratic cosine pass never crosses a
-cluster boundary. With k chosen so clusters hold ~10k-50k vectors
-(the paper uses k≈√N·c), each `applyInPandas` group is one
-in-memory (n_c × d) matmul — no global all-pairs, no driver data,
-and the only shuffle is the groupBy(cluster) hash partition that the
+cluster boundary. With k chosen so clusters hold ~10k-20k vectors
+(the paper uses k≈√N·c), each `applyInPandas` group is a sequence of
+(block × kept) matmuls — no global all-pairs, no driver data, and
+the only shuffle is the groupBy(cluster) hash partition that the
 k-means assignment already requires. 100-TB posture: k grows with N,
 per-cluster work stays bounded; skewed (oversized) clusters are the
-known failure mode, so `max_cluster` caps the matrix and overflow
+known failure mode, so `max_cluster` caps the pair work and overflow
 rows are kept verbatim (never silently dropped) with `overflow=true`
 for the audit.
+
+Memory is O(block × kept + n × d), NEVER O(n²): the greedy scan only
+ever needs each candidate's similarity to the ALREADY-KEPT set, so
+the kernel materializes (block, kept) similarity panels instead of
+the full n×n matrix a naive `x @ x.T` builds. At the previous
+100k-row cap the naive matrix was 100k² × 8 B = 80 GB in a single
+Python task — an executor OOM the cap was supposed to prevent; the
+blockwise panel at the same size is ≤ block×n×8 B ≈ 160 MB
+(block=1024, n=20k → 160 MB worst case only when everything is
+kept). The 20k default cap additionally bounds worst-case pair work
+per task at 20k²/2 float ops ≈ 0.2 GFLOP·d — seconds, not minutes.
 
 Determinism: k-means seeds are content-addressed (xxhash64, see
 operators/clustering.py); the greedy scan orders by
@@ -33,13 +44,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _greedy_blockwise(
+    x: np.ndarray, eps: float, *, block: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy cosine kept-set over ROW-NORMALIZED vectors ``x``
+    (rows already in scan order): keep row i iff its max cosine to
+    every already-kept row is < eps. Returns (kept bool[n],
+    max_sim float[n] with NaN where no prior row was kept).
+
+    Blockwise so peak extra memory is O(block·kept + block²), never
+    n²: each panel holds the current block's similarities to the
+    kept-so-far prefix plus the block's internal (block × block)
+    self-similarities — rows kept earlier INSIDE the block must also
+    suppress later rows of the same block, which is what a pure
+    panel-vs-prefix formulation would miss.
+    """
+    n = x.shape[0]
+    kept = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, np.nan)
+    kept_rows: list[int] = []
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        xb = x[start:stop]
+        # (b, kept_prefix) panel: candidates vs rows kept BEFORE the
+        # block. Empty kept set -> no panel.
+        panel = xb @ x[kept_rows].T if kept_rows else None
+        inner = xb @ xb.T  # (b, b) self panel for within-block kept
+        blk_kept: list[int] = []  # block-local indices kept so far
+        for j in range(stop - start):
+            best = -np.inf
+            if panel is not None and panel.shape[1]:
+                best = float(panel[j].max())
+            if blk_kept:
+                best = max(best, float(inner[j, blk_kept].max()))
+            if np.isfinite(best):
+                max_sim[start + j] = best
+                if best >= eps:
+                    continue
+            kept[start + j] = True
+            blk_kept.append(j)
+        kept_rows.extend(start + j for j in blk_kept)
+    return kept, max_sim
+
+
 def semantic_dedup(
     assigned: DataFrame,
     *,
     eps: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_cluster: int = 100_000,
+    max_cluster: int = 20_000,
+    block: int = 1024,
 ) -> DataFrame:
     """Greedy within-cluster cosine dedup over a pre-assigned frame.
 
@@ -52,6 +107,12 @@ def semantic_dedup(
     vector iff its max cosine similarity to every ALREADY-KEPT vector
     in the cluster is < eps. eps >= 1+1e-12 keeps everything;
     eps <= -1 keeps exactly the first vector per cluster.
+
+    ``max_cluster`` bounds per-task PAIR WORK (the kernel's memory is
+    O(block·kept), see _greedy_blockwise — a cluster at the cap costs
+    ~160 MB of panels, not the 80 GB an n×n matrix would); clusters
+    over the cap are the retrain-your-kmeans signal and pass through
+    kept+flagged.
     """
     schema = (
         f"cluster int, {id_col} long, kept boolean, overflow boolean, "
@@ -82,18 +143,7 @@ def semantic_dedup(
         norms = np.linalg.norm(x, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
         x = x / norms[:, None]
-        sims = x @ x.T  # (n, n); one matmul per cluster
-        kept_idx: list[int] = []
-        kept = np.zeros(n, dtype=bool)
-        max_sim = np.full(n, np.nan)
-        for i in range(n):
-            if kept_idx:
-                s = float(sims[i, kept_idx].max())
-                max_sim[i] = s
-                if s >= eps:
-                    continue
-            kept[i] = True
-            kept_idx.append(i)
+        kept, max_sim = _greedy_blockwise(x, eps, block=block)
         return pd.DataFrame(
             {
                 "cluster": cluster,

@@ -154,3 +154,82 @@ def test_semdedup_zero_vector_safe(spark):
     # near-parallel unit vectors collapse to one survivor
     assert {1, 2}.issubset(kept)
     assert len(kept & {3, 4}) == 1
+
+
+def _naive_greedy(x, eps):
+    """O(n²)-memory reference: full sims matrix + the original loop."""
+    sims = x @ x.T
+    n = x.shape[0]
+    kept = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, np.nan)
+    kept_idx = []
+    for i in range(n):
+        if kept_idx:
+            s = float(sims[i, kept_idx].max())
+            max_sim[i] = s
+            if s >= eps:
+                continue
+        kept[i] = True
+        kept_idx.append(i)
+    return kept, max_sim
+
+
+def test_blockwise_kernel_matches_naive_full_matrix():
+    """The blockwise greedy must reproduce the n×n-matrix greedy
+    exactly — kept set AND max_sim — across block sizes that split
+    kept rows within and across blocks."""
+    from finance_etl_system_spark.operators.semdedup import (
+        _greedy_blockwise,
+    )
+
+    rng = np.random.RandomState(11)
+    # duplicate-heavy: 120 rows drawn from 25 base directions
+    base = rng.randn(25, 8)
+    x = base[rng.randint(0, 25, 120)] + 0.01 * rng.randn(120, 8)
+    x = x / np.linalg.norm(x, axis=1)[:, None]
+    for eps in (0.8, 0.99, 0.999999):
+        want_kept, want_sim = _naive_greedy(x, eps)
+        for block in (1, 7, 32, 1000):
+            got_kept, got_sim = _greedy_blockwise(x, eps, block=block)
+            assert (got_kept == want_kept).all(), (eps, block)
+            assert np.allclose(got_sim, want_sim, equal_nan=True), (
+                eps,
+                block,
+            )
+
+
+def test_blockwise_kernel_peak_memory_is_not_quadratic():
+    """The scale contract: a cluster near the cap must NOT allocate
+    an n×n sims matrix (the 80 GB cliff at the old 100k cap). With
+    n=4000, d=8 the naive matrix is 128 MB; the blockwise panels are
+    ≤ block×n×8 ≈ 8 MB. tracemalloc sees numpy's allocations
+    (numpy ≥1.22 routes through PyMem), so assert peak well under
+    the quadratic footprint."""
+    import tracemalloc
+
+    from finance_etl_system_spark.operators.semdedup import (
+        _greedy_blockwise,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d, block = 4000, 8, 256
+    x = rng.randn(n, d)
+    x = x / np.linalg.norm(x, axis=1)[:, None]
+    naive_bytes = n * n * 8
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    kept, _sim = _greedy_blockwise(x, 0.99, block=block)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert kept.any()
+    # generous 4x headroom over the true panel bound, still ~8x below
+    # the quadratic matrix
+    assert peak - base < naive_bytes / 8, (peak - base, naive_bytes)
+
+
+def test_semdedup_default_cap_is_bounded():
+    from finance_etl_system_spark.operators import semdedup as m
+    import inspect
+
+    cap = inspect.signature(m.semantic_dedup).parameters["max_cluster"]
+    assert cap.default <= 20_000
