@@ -492,23 +492,46 @@ ORDER BY user_id, phase
 def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-residual anomaly detection: deseasonalize each user
     series with the q_seasonal_decompose machinery (centered 7-row MA
-    trend + per-phase seasonal index), then flag residuals beyond
-    3 sample standard deviations — the alarm a weekly-patterned
-    metric needs so the pattern itself never pages anyone (the plain
-    z-score twin would flag every weekend).
+    trend + detrended ticks d = 7y − Σ₇y), then flag observations
+    beyond 3 sample standard deviations of their own (user, phase)
+    residual distribution — the alarm a weekly-patterned metric needs
+    so the pattern itself never pages anyone (the plain z-score twin
+    would flag every weekend).
 
-    Arithmetic: detrended stays exact integer ticks x 7 (d = 7y -
-    sum7); the seasonal index and residual sd are the only float
-    steps, and every emitted float is rounded once. Flag counts are
-    integers; a residual's |r| > 3*sd comparison uses the same
-    unrounded doubles on both engines computed from identical exact
-    integer inputs, so the cut is engine-stable.
+    The 3σ cut is EXACT INTEGER arithmetic end to end — no float ever
+    crosses the comparison. Within a (user, phase) group of size n
+    with detrended sum S = Σd, the scaled residual x = n·d − S is a
+    bigint whose group sum is exactly 0, so the sample sd needs no
+    mean subtraction: sd² = Σx²/(n−1), and |x| > 3·sd becomes
+
+        (n − 1) · x² > 9 · Σx²          (all bigint)
+
+    which is partition-order- and engine-independent by construction
+    (the earlier per-user pooled formulation compared unrounded
+    stddev_samp doubles, whose float-sum accumulation order could
+    flip a boundary residual between Spark and DuckDB — the exact
+    flake class the repo's integer-tick convention exists to avoid;
+    pooling across phases with differing group sizes has no common
+    integer denominator, so the cut is per phase, which is also the
+    statistically honest grouping: each phase has its own level).
+    Small-sample caveat (inherent to 3σ with the flagged point in its
+    own sample sd): max attainable |z| is (n−1)/√n, so a phase needs
+    n ≥ 11 observations (11+ weeks of data) before ANY point can
+    flag — short series report n_outliers = 0, not false alarms.
+    Overflow bound: |y| ≤ ~5.6e6 ticks ⇒ |d| < 7.9e7, |x| < 2n·max|d|
+    and Σx² < 4n³·max|d|² — safe in bigint through n ≈ 2500 rows per
+    (user, phase) at these tick scales; beyond that cast d to
+    decimal(38,0) first.
+
+    The two emitted floats (resid_sd, outlier_frac) are single
+    deterministic expressions of exact integers: Σx² < 2⁵³ converts
+    to double exactly, then one division, one correctly-rounded sqrt,
+    one division, one round — identical in any engine.
 
     Scale: the one data-sized shuffle is hashpartitioning(user_id)
-    for the window; the per-(user, phase) index and the per-user
-    residual stats both reuse that clustering (ClusteredDistribution
-    by subset key) — no second data shuffle, and the phase table is
-    |users| x 7 rows.
+    for the ordered window; the (user_id, phase) windows and the
+    final aggregate reuse that clustering (ClusteredDistribution by
+    superset key) — no second data-sized shuffle.
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -522,40 +545,43 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n7") == 7)
         .select(
             "user_id",
-            "event_id",
             ((F.col("_rn") - 1) % 7).cast("int").alias("phase"),
             (F.lit(7) * F.col("_y") - F.col("_s7")).alias("d"),
         )
     )
-    idx = base.groupBy("user_id", "phase").agg(
-        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("s_idx")
-    )
-    resid = base.join(idx, ["user_id", "phase"]).select(
-        "user_id", (F.col("d").cast("double") - F.col("s_idx")).alias("r")
-    )
-    stats = resid.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.stddev_samp("r").alias("sd"),
+    wp = Window.partitionBy("user_id", "phase")
+    scored = base.select(
+        "user_id",
+        "phase",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        (F.count(F.lit(1)).over(wp) * F.col("d") - F.sum("d").over(wp))
+        .alias("x"),
+    ).withColumn("ssx", F.sum(F.col("x") * F.col("x")).over(wp))
+    flag = (
+        (F.col("n") - F.lit(1)) * F.col("x") * F.col("x")
+        > F.lit(9) * F.col("ssx")
     )
     return (
-        resid.join(stats, "user_id")
-        .groupBy("user_id", "n_obs", "sd")
-        .agg(
-            F.sum(
-                (F.abs(F.col("r")) > 3 * F.col("sd")).cast("int")
-            ).cast("long").alias("n_outliers")
-        )
-        .filter(F.col("sd") > 0)
+        scored.filter((F.col("n") >= 2) & (F.col("ssx") > 0))
+        .groupBy("user_id", "phase", "n", "ssx")
+        .agg(F.sum(flag.cast("int")).cast("long").alias("n_outliers"))
         .select(
             "user_id",
-            "n_obs",
-            F.round(F.col("sd") / 700.0, 6).alias("resid_sd"),
+            "phase",
+            F.col("n").alias("n_obs"),
+            F.round(
+                F.sqrt(
+                    F.col("ssx").cast("double") / (F.col("n") - F.lit(1))
+                )
+                / (F.col("n") * F.lit(700.0)),
+                6,
+            ).alias("resid_sd"),
             "n_outliers",
-            F.round(F.col("n_outliers") / F.col("n_obs"), 6).alias(
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias(
                 "outlier_frac"
             ),
         )
-        .orderBy("user_id")
+        .orderBy("user_id", "phase")
     )
 
 
@@ -566,7 +592,7 @@ WITH nn AS (
   FROM events WHERE value IS NOT NULL
 ),
 win AS (
-  SELECT user_id, event_id, y,
+  SELECT user_id, y,
          ROW_NUMBER() OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -576,35 +602,34 @@ win AS (
   FROM nn
 ),
 base AS (
-  SELECT user_id, event_id,
+  SELECT user_id,
          CAST((rn - 1) % 7 AS INT) AS phase,
          7 * y - s7 AS d
   FROM win WHERE n7 = 7
 ),
-idx AS (
+sc AS (
   SELECT user_id, phase,
-         CAST(SUM(d) AS DOUBLE) / COUNT(*) AS s_idx
-  FROM base GROUP BY user_id, phase
+         CAST(COUNT(*) OVER (PARTITION BY user_id, phase) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY user_id, phase) AS BIGINT) * d
+           - SUM(d) OVER (PARTITION BY user_id, phase) AS x
+  FROM base
 ),
-resid AS (
-  SELECT base.user_id, CAST(base.d AS DOUBLE) - idx.s_idx AS r
-  FROM base JOIN idx USING (user_id, phase)
-),
-stats AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
-         STDDEV_SAMP(r) AS sd
-  FROM resid GROUP BY user_id
+xx AS (
+  SELECT user_id, phase, n, x,
+         SUM(x * x) OVER (PARTITION BY user_id, phase) AS ssx
+  FROM sc
 )
-SELECT resid.user_id, stats.n_obs,
-       ROUND(stats.sd / 700.0, 6) AS resid_sd,
-       CAST(SUM(CASE WHEN ABS(resid.r) > 3 * stats.sd THEN 1 ELSE 0 END)
+SELECT user_id, phase, n AS n_obs,
+       ROUND(SQRT(CAST(ssx AS DOUBLE) / (n - 1)) / (n * 700.0), 6)
+         AS resid_sd,
+       CAST(SUM(CASE WHEN (n - 1) * x * x > 9 * ssx THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers,
-       ROUND(SUM(CASE WHEN ABS(resid.r) > 3 * stats.sd THEN 1 ELSE 0 END)
-             / CAST(stats.n_obs AS DOUBLE), 6) AS outlier_frac
-FROM resid JOIN stats USING (user_id)
-WHERE stats.sd > 0
-GROUP BY resid.user_id, stats.n_obs, stats.sd
-ORDER BY resid.user_id
+       ROUND(SUM(CASE WHEN (n - 1) * x * x > 9 * ssx THEN 1 ELSE 0 END)
+             / CAST(n AS DOUBLE), 6) AS outlier_frac
+FROM xx
+WHERE n >= 2 AND ssx > 0
+GROUP BY user_id, phase, n, ssx
+ORDER BY user_id, phase
 """
 
 
