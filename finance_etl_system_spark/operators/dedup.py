@@ -559,13 +559,16 @@ def lsh_candidate_stats(
 
     Returns {n_docs, n_band_rows, n_buckets, max_bucket_size,
     band_rows_dropped, candidate_pairs, pair_bound}. ``pair_bound``
-    is the per-bucket worst case Σ min(s, cap)·(min(s, cap)−1)/2
-    over PRE-cap bucket sizes s — the capped candidate count can
-    never exceed it (pairs can only dedup down across bands), which
-    is the invariant the cap experiment certifies: with a cap, the
-    candidate volume is bounded by |buckets|·cap² no matter how the
-    data's duplicate structure grows. All aggregates here are
-    bucket-table-sized; nothing collects per-doc data."""
+    mirrors _cap_hot_buckets' DROP-WHOLE-BUCKET semantics: a bucket
+    of pre-cap size s contributes s·(s−1)/2 when s ≤ cap and 0 when
+    s > cap (the over-cap bucket is removed entirely, it is NOT
+    truncated to its first ``cap`` members). The capped candidate
+    count can never exceed the bound (pairs can only dedup down
+    across bands), which is the invariant the cap experiment
+    certifies: with a cap, the candidate volume is bounded by
+    |surviving buckets|·cap² no matter how the data's duplicate
+    structure grows. All aggregates here are bucket-table-sized;
+    nothing collects per-doc data."""
     assert num_perm % bands == 0
     rpb = num_perm // bands
     sig = minhash_signatures(

@@ -8,7 +8,9 @@ wall row in SCALE.md's 10× table is exactly this candidate-pair
 growth). For each (scale, cap) cell this prints:
 
 - candidate_pairs: distinct (id_a, id_b) the band join emits;
-- pair_bound: Σ over pre-cap buckets of C(min(size, cap), 2) — the
+- pair_bound: Σ over pre-cap buckets of C(size, 2) for size ≤ cap and
+  0 for over-cap buckets (the cap DROPS the whole bucket, it does not
+  truncate it) — the
   invariant lsh_candidate_stats certifies (pairs ≤ bound, always);
 - dropped: band rows removed by the cap;
 - wall: full minhash_lsh_pairs (signature → band join → verify) at
