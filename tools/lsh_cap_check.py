@@ -90,5 +90,90 @@ def main() -> None:
             )
 
 
+
+
+
+def boilerplate_main() -> None:
+    """Skewed-duplication variant (round-6 verdict #3): the main table
+    clones every doc uniformly; production LSH blowups are instead one
+    boilerplate cohort — a shared banner across ~30% of docs, longer
+    than the content it wraps. Build that corpus from the REAL sf0.1
+    documents (banner = 120 tokens onto doc_id % 10 < 3; 250 planted
+    content near-dup pairs as +10M-id copies that inherit banner
+    status), then show the cap collapses the candidate volume while
+    content-pair recall vs the uncapped run stays >= 0.98."""
+    import pyspark.sql.functions as F
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.dedup import (
+        lsh_candidate_stats,
+        minhash_lsh_pairs,
+    )
+    from finance_etl_system_spark.session import get_spark
+
+    spark = get_spark("lsh-cap-boilerplate")
+    docs = load_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    banner = " ".join(f"boiler{j}" for j in range(120))
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailtoken")).alias("text"),
+    )
+    corpus = (
+        docs.unionByName(copies)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 < 3,
+                F.concat(F.lit(banner + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    planted = {
+        (int(r[0]), int(r[0]) + 10_000_000)
+        for r in docs.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+        .collect()
+    }
+
+    def run(cap):
+        wall = float("inf")
+        got = None
+        for _ in range(2):
+            t0 = time.time()
+            got = {
+                (r.id_a, r.id_b)
+                for r in minhash_lsh_pairs(
+                    corpus, n=3, num_perm=32, bands=8,
+                    verify_threshold=0.5, max_bucket=cap,
+                ).collect()
+            }
+            wall = min(wall, time.time() - t0)
+        return got, wall
+
+    print("| corpus | cap | candidate_pairs | pair_bound | dropped rows "
+          "| wall (s) | content recall vs uncapped |")
+    print("|---|---|---|---|---|---|---|")
+    base_planted = None
+    for cap in CAPS:
+        stats = lsh_candidate_stats(corpus, max_bucket=cap)
+        assert stats["candidate_pairs"] <= stats["pair_bound"], stats
+        got, wall = run(cap)
+        hit = got & planted
+        if base_planted is None:
+            base_planted = hit
+            recall = f"1.000 ({len(hit)}/{len(planted)} planted found)"
+        else:
+            recall = f"{len(hit & base_planted) / max(1, len(base_planted)):.3f}"
+        print(
+            f"| boilerplate-30% | {cap if cap is not None else '∞'} "
+            f"| {stats['candidate_pairs']} | {stats['pair_bound']} "
+            f"| {stats['band_rows_dropped']} | {wall:.2f} | {recall} |"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "boilerplate":
+        boilerplate_main()
+    else:
+        main()
