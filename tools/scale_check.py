@@ -47,6 +47,8 @@ _EXTRA = [
     "cdc_merge",
     "zorder_stats",
     "nation_pagerank",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
 ]
 
 
