@@ -8,11 +8,15 @@ for floats — if this reports a float diff, the query's rounding policy
 is broken and the driver's value hash would mismatch).
 
 Usage: python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
+
+``tools/oracle_attest.py`` wraps the same per-query checker and writes
+the machine-diffable ORACLE_ATTEST.json committed each round.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import math
 import sys
 import time
@@ -64,6 +68,73 @@ def _norm_cell(v):
     return str(v)
 
 
+def value_hash(norm: pd.DataFrame) -> str:
+    """Deterministic sha256 over a NORMALIZED frame (sorted columns,
+    sorted rows, canonical cell reprs) — the committed attestation's
+    regression tripwire: any value drift in any query flips this."""
+    h = hashlib.sha256()
+    h.update(("|".join(norm.columns) + "\n").encode())
+    for row in norm.itertuples(index=False, name=None):
+        h.update(("\x1f".join(map(str, row)) + "\n").encode())
+    return h.hexdigest()
+
+
+def open_oracle(sf: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def check_query(spark, con, qs, oracles, name: str, sf: str) -> dict:
+    """Run one registry query against its oracle; returns
+    {name, status (PASS|FAIL|ROWS-ONLY), rows, secs, value_hash,
+    problems}. value_hash is over the SPARK result (normalized)."""
+    t0 = time.time()
+    rec = {"name": name, "rows": None, "value_hash": None, "problems": []}
+    try:
+        spark_pdf = qs[name](spark, sf).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        rec.update(status="FAIL", problems=[f"spark error: {exc}"], secs=round(time.time() - t0, 1))
+        return rec
+    norm_spark = normalize(spark_pdf)
+    rec["rows"] = len(spark_pdf)
+    rec["value_hash"] = value_hash(norm_spark)
+    if name not in oracles:
+        rec.update(status="ROWS-ONLY", secs=round(time.time() - t0, 1))
+        return rec
+    try:
+        duck_pdf = con.execute(oracles[name]).fetchdf()
+    except Exception as exc:  # noqa: BLE001
+        rec.update(status="FAIL", problems=[f"duckdb error: {exc}"], secs=round(time.time() - t0, 1))
+        return rec
+
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"schema spark={s_cols} duck={d_cols}")
+    if not problems:
+        a, b = norm_spark, normalize(duck_pdf)
+        if not a.equals(b):
+            neq = (a != b).any(axis=0)
+            bad_cols = list(neq[neq].index)
+            diff_idx = (a != b).any(axis=1)
+            ex = diff_idx[diff_idx].index[:3].tolist()
+            detail = []
+            for i in ex:
+                for c in bad_cols[:3]:
+                    detail.append(f"row{i} {c}: {a.at[i, c]!r} vs {b.at[i, c]!r}")
+            problems.append(f"values differ in {bad_cols}; e.g. {detail}")
+    rec.update(
+        status="FAIL" if problems else "PASS",
+        problems=problems,
+        secs=round(time.time() - t0, 1),
+    )
+    return rec
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -76,58 +147,20 @@ def main() -> int:
     spark = get_spark("oracle-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+    con = open_oracle(args.sf)
 
     names = args.names or list(qs)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
-        t0 = time.time()
-        try:
-            spark_pdf = qs[name](spark, args.sf).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}")
+        rec = check_query(spark, con, qs, oracles, name, args.sf)
+        if rec["status"] == "FAIL":
+            print(f"FAIL  {name}: {'; '.join(rec['problems'])}")
             n_fail += 1
-            continue
-        if name not in oracles:
-            status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "FAIL"
-            print(f"{status}  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+        elif rec["status"] == "ROWS-ONLY":
+            print(f"ROWS-ONLY  {name}: {rec['rows']} rows ({rec['secs']}s)")
             n_rows_only += 1
-            continue
-        try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            n_fail += 1
-            continue
-
-        problems = []
-        if len(spark_pdf) != len(duck_pdf):
-            problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
-        s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
-        if s_cols != d_cols:
-            problems.append(f"schema spark={s_cols} duck={d_cols}")
-        if not problems:
-            a, b = normalize(spark_pdf), normalize(duck_pdf)
-            if not a.equals(b):
-                neq = (a != b).any(axis=0)
-                bad_cols = list(neq[neq].index)
-                diff_idx = (a != b).any(axis=1)
-                ex = diff_idx[diff_idx].index[:3].tolist()
-                detail = []
-                for i in ex:
-                    for c in bad_cols[:3]:
-                        detail.append(f"row{i} {c}: {a.at[i, c]!r} vs {b.at[i, c]!r}")
-                problems.append(f"values differ in {bad_cols}; e.g. {detail}")
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
-            n_fail += 1
         else:
-            print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS  {name}: {rec['rows']} rows ({rec['secs']}s)")
             n_pass += 1
 
     print(
