@@ -203,11 +203,41 @@ def blob_dumps(model: dict, feature_cols: list[str]) -> bytes:
     )
 
 
+def blob_dumps_external(model, feature_cols: list[str], family: str) -> bytes:
+    """Serialize an EXTERNAL-library regressor (sklearn fit/predict
+    contract — LightGBM's LGBMRegressor is the canonical instance,
+    reference ml_pipeline.py:90-104 trains RF/LightGBM/LinearRegression)
+    into the same opaque registry blob the native ensembles use. The
+    payload is the model object itself (pickled by reference to its
+    library), wrapped with the feature-column order exactly as
+    blob_dumps does — scoring rebuilds the matrix from the blob's own
+    column list, never the caller's."""
+    return pickle.dumps(
+        {
+            "format": "ext-v1",
+            "family": str(family),
+            "feature_cols": list(feature_cols),
+            "payload": model,
+        },
+        protocol=4,
+    )
+
+
 def blob_loads(blob: bytes) -> dict:
     model = pickle.loads(bytes(blob))
-    if model.get("format") != "gbt-v1":
+    if model.get("format") not in ("gbt-v1", "ext-v1"):
         raise ValueError(f"unknown model blob format {model.get('format')!r}")
     return model
+
+
+def blob_predict(model: dict, X: "np.ndarray") -> "np.ndarray":
+    """Score a deserialized registry blob of EITHER family: native
+    histogram ensembles walk gbt_predict; ext-v1 blobs call the
+    payload's sklearn-style .predict. One dispatch point so every
+    serving path (broadcast and cogroup) supports every family."""
+    if model.get("format") == "ext-v1":
+        return np.asarray(model["payload"].predict(X), dtype=np.float64)
+    return gbt_predict(model, X)
 
 
 _GBT_SCHEMA = T.StructType(
@@ -274,6 +304,75 @@ def train_gbt_per_group(
                 "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
                 "mse": [ss_res / n],
                 "model_blob": [blob_dumps(model, fcols)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=_GBT_SCHEMA)
+
+
+def train_external_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    feature_cols: list[str],
+    target_col: str,
+    make_model,
+    family: str,
+    time_col: str | None = None,
+    min_rows: int = 30,
+) -> DataFrame:
+    """M6 family adapter: per-group training of ANY external regressor
+    with the sklearn fit/predict contract into the unified blob
+    registry — the explicit LightGBM-shaped member of the reference's
+    RF/LightGBM/LinearRegression family set (ml-service/
+    ml_pipeline.py:90-104). With lightgbm installed this is
+
+        train_external_per_group(df, ..., family="lgbm",
+            make_model=lambda: lightgbm.LGBMRegressor(
+                n_estimators=50, random_state=7))
+
+    and the emitted rows flow through unify_registries /
+    best_model_per_group / serve_best_model unchanged (the family
+    CONTRACT is pinned by tests with an injected deterministic fake,
+    since the library itself is not installable here).
+
+    ``make_model`` must be a zero-arg factory returning a fresh,
+    picklable estimator (called once per group, worker-side); fitted
+    models are pickled by reference to their library, so the scoring
+    workers need the same library importable — the standard
+    constraint for shipping sklearn-family models.
+
+    Same scale shape as every per-group trainer: ONE applyInPandas
+    shuffle on ``group_col``, model blobs are per-group driver-free
+    state, and n_trees reports the estimator's n_estimators when it
+    has one (NULL otherwise)."""
+    fcols = list(feature_cols)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=fcols + [target_col])
+        if time_col is not None:
+            pdf = pdf.sort_values(time_col)
+        n = len(pdf)
+        if n < min_rows:
+            return pd.DataFrame(columns=[f.name for f in _GBT_SCHEMA.fields])
+        key = str(pdf[group_col].iloc[0])
+        X = np.column_stack([pdf[c].to_numpy(float) for c in fcols])
+        y = pdf[target_col].to_numpy(float)
+        model = make_model()
+        model.fit(X, y)
+        pred = np.asarray(model.predict(X), dtype=np.float64)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        n_est = getattr(model, "n_estimators", None)
+        return pd.DataFrame(
+            {
+                "group_key": [key],
+                "model_name": [str(family)],
+                "n_rows": [n],
+                "n_trees": [int(n_est) if n_est is not None else None],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0],
+                "mse": [ss_res / n],
+                "model_blob": [blob_dumps_external(model, fcols, family)],
             }
         )
 
@@ -609,7 +708,7 @@ def score_from_blob(
         ok = ~np.isnan(X).any(axis=1)
         pred = np.full(len(pdf), np.nan)
         if ok.any():
-            pred[ok] = gbt_predict(model, X[ok])
+            pred[ok] = blob_predict(model, X[ok])
         return pdf.assign(**{prediction_col: pred})
 
     if strategy == "cogroup":

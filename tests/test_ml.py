@@ -629,3 +629,75 @@ def test_walk_forward_out_of_sample_semantics(spark, monkeypatch):
     # u2: fold 1 trains on idx<=19 (pre-break prefix, pure +1 drift),
     # tests across the broken regime -> nonzero out-of-sample error
     assert out[("u2", 1)].test_mse > 0.0
+
+
+def test_external_family_adapter_spans_registry(spark):
+    """The lgbm-shaped family member of M6 (reference trains
+    RF/LightGBM/LinearRegression, ml-service/ml_pipeline.py:90-104):
+    train_external_per_group rows must flow through
+    unify_registries -> best_model_per_group -> serve_best_model
+    exactly like the native families, with the external family
+    WINNING the group where its inductive bias fits and LOSING the
+    linear group — and its ext-v1 blob must score through the same
+    serving path."""
+    import numpy as np
+
+    from finance_etl_system_spark.pipeline.ml import (
+        serve_best_model,
+        unify_registries,
+    )
+    from finance_etl_system_spark.pipeline.trees import (
+        blob_loads,
+        train_external_per_group,
+    )
+    from tests.fakes import FakeLgbmRegressor
+
+    rows = []
+    xs = np.linspace(-2.0, 2.0, 120)
+    rng = np.random.RandomState(3)
+    for t, x in enumerate(xs):
+        # step: exactly the fake's hypothesis class -> r2 ~ 1
+        rows.append(
+            ("step", t, float(x), float((5.0 if x > 0 else -5.0)
+                                        + 0.01 * rng.randn()))
+        )
+        # line: OLS r2 ~ 1, a single split cannot match it
+        rows.append(("line", t, float(x), float(3.0 * x + 1.0)))
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+
+    ols = train_ols_per_group(
+        df, group_col="g", feature_cols=["x"], target_col="y"
+    )
+    ext = train_external_per_group(
+        df, group_col="g", feature_cols=["x"], target_col="y",
+        make_model=lambda: FakeLgbmRegressor(n_estimators=25),
+        family="lgbm", time_col="t",
+    )
+    ext_rows = {r["group_key"]: r for r in ext.collect()}
+    # registry-schema conformance + family metadata
+    assert set(ext_rows) == {"step", "line"}
+    assert all(r["model_name"] == "lgbm" for r in ext_rows.values())
+    assert all(r["n_trees"] == 25 for r in ext_rows.values())
+    blob = blob_loads(ext_rows["step"]["model_blob"])
+    assert blob["format"] == "ext-v1" and blob["family"] == "lgbm"
+    assert blob["feature_cols"] == ["x"]
+
+    registry = unify_registries(ols, ext)
+    best = {
+        r["group_key"]: r
+        for r in best_model_per_group(registry).collect()
+    }
+    assert best["step"]["model_name"] == "lgbm"  # external family wins
+    assert best["line"]["model_name"] == "linear_regression"
+
+    served = serve_best_model(
+        df, registry, group_col="g", feature_cols=["x"]
+    ).collect()
+    assert len(served) == df.count()
+    got = {
+        (r["g"], round(r["x"], 6)): r["prediction"] for r in served
+    }
+    # the ext winner serves the step group through the blob path
+    step_pred = {v for (g, _), v in got.items() if g == "step"}
+    assert len(step_pred) == 2  # two plateaus
+    assert max(step_pred) > 4.5 and min(step_pred) < -4.5
