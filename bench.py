@@ -96,6 +96,8 @@ HEADLINE: list[str] = [
     "importance_rank",
     "seasonal_decompose",
     "anomaly_seasonal",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
 ]
 
 

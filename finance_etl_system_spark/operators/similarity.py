@@ -537,6 +537,63 @@ def compact_ivf_index(
         fs.delete(marker, False)
 
 
+def verify_ivf_index(spark, path: str) -> dict:
+    """Consistency check for the IVF index's crash/replay windows —
+    the textindex verify_text_index twin. Detects, without repairing:
+
+    - ``bad_cluster_rows``: vectors routed to a cluster id outside
+      the centroid table (a partial write or a probe-invisible
+      partition — those rows can never be probed);
+    - ``missing_centroids``: centroid ids absent from the 0..k-1
+      contiguous range the meta table promises;
+    - ``n_duplicate_ids``: ids stored more than once — the signature
+      of a stream batch replayed AFTER a compaction folded its
+      vectors into batch 0 (compact_ivf_index's documented unsafe
+      interleaving); heal by re-running compaction, which rewrites
+      one row per id only if the caller dedups, so the honest heal is
+      delete+re-append or a compaction with deleted_ids = the dupes;
+    - ``stale_compact_marker`` / ``stale_staging_dir``: residue of a
+      crashed compaction (marker documented in compact_ivf_index;
+      staging dir means the swap never ran — the live index is the
+      OLD one, delete the staging tree after inspection).
+
+    All aggregates are id- or k-sized; one scan of the vectors table.
+    """
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, k = meta["id_col"], int(meta["k_clusters"])
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_ids = sorted(r["cluster"] for r in cents.select("cluster").collect())
+    missing_centroids = sorted(set(range(k)) - set(cent_ids))
+    v = spark.read.parquet(f"{path}/vectors")
+    agg = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+        F.sum(
+            ((F.col("cluster") < 0) | (F.col("cluster") >= k)).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    fs, HPath = _ivf_fs(spark, path)
+    stale_marker = bool(fs.exists(HPath(_compact_marker(path))))
+    stale_staging = bool(fs.exists(HPath(f"{path}/vectors.staging")))
+    out = {
+        "k_clusters": k,
+        "n_vectors": int(agg["n"]),
+        "bad_cluster_rows": int(agg["bad"] or 0),
+        "missing_centroids": missing_centroids,
+        "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
+        "stale_compact_marker": stale_marker,
+        "stale_staging_dir": stale_staging,
+    }
+    out["consistent"] = (
+        out["bad_cluster_rows"] == 0
+        and not missing_centroids
+        and out["n_duplicate_ids"] == 0
+        and not stale_marker
+        and not stale_staging
+    )
+    return out
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Retrain-trigger observability for a (possibly appended) IVF
     index: per cluster — vector count, share of the corpus, and the

@@ -35,7 +35,11 @@ Scale notes (100 TB posture):
   l_quantity range) are pushed to the scans.
 - Determinism: l_quantity is integral (sums exact in double);
   acctbal thresholds go through integer cents (round(bal*100)) so the
-  Spark and DuckDB averages agree bit-for-bit (see SCALE.md).
+  Spark and DuckDB averages agree bit-for-bit (see SCALE.md). Bound:
+  exact while every PARTIAL sum of cents stays under 2^53 (~9e13
+  dollars — far above any fixture SF; a 100-TB deployment crossing it
+  should cast the cents column to decimal before the avg, making the
+  threshold exact at any magnitude).
 """
 
 from __future__ import annotations

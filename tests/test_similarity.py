@@ -625,3 +625,73 @@ def test_sq8_zero_norm_vectors_score_null_and_rank_last(spark):
     # NULL coarse ranks LAST under the desc coarse window
     assert all(r.rnk == max(x.rnk for x in allr if x.qid == r.qid)
                for r in zero_rows)
+
+
+def test_verify_ivf_index_detects_crash_and_replay_residue(
+    spark, tmp_path
+):
+    """verify_ivf_index is the observability side of the compaction/
+    replay contracts: green on a healthy index; flags duplicate ids
+    (the replay-after-compaction signature), out-of-range cluster
+    rows (probe-invisible partitions), a stale _COMPACTING marker,
+    and a leftover staging tree."""
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators.similarity import (
+        _compact_marker,
+        _ivf_fs,
+        append_to_ivf_index,
+        build_ivf_index,
+        verify_ivf_index,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 300), path, k_clusters=4, id_col="vec_id"
+    )
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)), path
+    )
+    rep = verify_ivf_index(spark, path)
+    assert rep["consistent"], rep
+    assert rep["n_vectors"] == 350 and rep["k_clusters"] == 4
+
+    # replay-after-compaction signature: the same ids land twice
+    # under two batch ids -> duplicate ids, index inconsistent
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)),
+        path,
+        batch_id=9,
+    )
+    rep = verify_ivf_index(spark, path)
+    assert not rep["consistent"] and rep["n_duplicate_ids"] == 50
+
+    # heal: compact with the duplicated ids deleted, re-append once
+    from finance_etl_system_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    dupes = spark.createDataFrame(
+        [(i,) for i in range(300, 350)], "vec_id long"
+    )
+    compact_ivf_index(spark, path, deleted_ids=dupes)
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)), path
+    )
+    assert verify_ivf_index(spark, path)["consistent"]
+
+    # probe-invisible partition: rows under an out-of-range cluster
+    spark.read.parquet(f"{path}/vectors").limit(3).withColumn(
+        "cluster", F.lit(99)
+    ).withColumn("batch_id", F.lit(77)).write.mode("append").partitionBy(
+        "batch_id", "cluster"
+    ).parquet(f"{path}/vectors")
+    rep = verify_ivf_index(spark, path)
+    assert rep["bad_cluster_rows"] == 3 and not rep["consistent"]
+
+    # stale compaction residue
+    fs, HPath = _ivf_fs(spark, path)
+    fs.createNewFile(HPath(_compact_marker(path)))
+    fs.mkdirs(HPath(f"{path}/vectors.staging"))
+    rep = verify_ivf_index(spark, path)
+    assert rep["stale_compact_marker"] and rep["stale_staging_dir"]

@@ -47,8 +47,6 @@ _EXTRA = [
     "cdc_merge",
     "zorder_stats",
     "nation_pagerank",
-    "dedup_semantic",
-    "decontaminate_fuzzy",
 ]
 
 
