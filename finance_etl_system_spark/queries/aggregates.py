@@ -27,34 +27,91 @@ from ..catalog import load_table
 
 
 def q_group_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3/A6/A7: multi-key group, full agg family, HAVING filter."""
+    """A3/A6/A7: multi-key group, full agg family, HAVING filter.
+
+    avg/stddev are derived from EXACT integer-cent moments (Σc as
+    bigint, Σc² summed as decimal(38,0) — Σc² overflows bigint at
+    ~6e5 rows of 1e7-cent prices), not from float stddev/avg: both
+    engines' native stddev merge partial float states in
+    partition-dependent order, so the 6dp-rounded value can flip at
+    a rounding boundary between runs/engines — the same latent-flake
+    class fixed in anomaly_seasonal (round 7). sd² = (n·Σc² −
+    (Σc)²)/(n(n−1)) is computed in exact decimal/hugeint on both
+    sides, converted to double ONCE (correctly rounded from an
+    engine-identical exact integer), then one sqrt + one divide —
+    deterministic everywhere. Bounds: values stay under 1e38 through
+    n ≈ 1e12 rows/group at 1e7-cent prices; map-side partial
+    aggregation still applies (sum/count are algebraic)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag", "l_linestatus")
+    c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = (
+        l.select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            c.alias("_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.round(F.stddev("l_extendedprice"), 6).alias("std_price"),
+            F.sum("_c").alias("_s"),
+            F.sum((F.col("_c") * F.col("_c")).cast("decimal(28,0)")).alias(
+                "_q"
+            ),
         )
-        .filter(F.col("n") > 100)
+    )
+    d = F.col("n").cast("decimal(18,0)") * F.col("_q") - F.col("_s").cast(
+        "decimal(19,0)"
+    ) * F.col("_s").cast("decimal(19,0)")
+    return (
+        m.filter(F.col("n") > 100)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            "total_qty",
+            F.round(F.col("_s") / (F.lit(100.0) * F.col("n")), 6).alias(
+                "avg_price"
+            ),
+            "min_price",
+            "max_price",
+            F.round(
+                F.sqrt(
+                    d.cast("double") / (F.col("n") * (F.col("n") - 1))
+                )
+                / 100.0,
+                6,
+            ).alias("std_price"),
+        )
     )
 
 
 _GROUP_AGG_HAVING_SQL = """
+WITH m AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(SUM(l_quantity), 2) AS total_qty,
+    ROUND(MIN(l_extendedprice), 2) AS min_price,
+    ROUND(MAX(l_extendedprice), 2) AS max_price,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS q
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+  HAVING COUNT(*) > 100
+)
 SELECT
-  l_returnflag, l_linestatus,
-  COUNT(*) AS n,
-  ROUND(SUM(l_quantity), 2) AS total_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(MIN(l_extendedprice), 2) AS min_price,
-  ROUND(MAX(l_extendedprice), 2) AS max_price,
-  ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
-HAVING COUNT(*) > 100
+  l_returnflag, l_linestatus, n, total_qty,
+  ROUND(s / (100.0 * n), 6) AS avg_price,
+  min_price, max_price,
+  ROUND(SQRT(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+             / (n * (n - 1))) / 100.0, 6) AS std_price
+FROM m
 """
 
 

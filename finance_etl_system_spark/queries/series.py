@@ -103,30 +103,101 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape aggregates per return flag: Pearson
     correlation and sample covariance of (quantity, price), plus the
     discount's sample stddev. One scan, one shuffle on a 3-value key;
-    partial moments combine map-side."""
+    partial moments combine map-side.
+
+    All three statistics are derived from EXACT integer moments
+    (quantity is integral; price/discount go through integer cents)
+    instead of native corr/covar/stddev: the engines' float moment
+    states merge in partition-dependent order, so a rounded value can
+    flip at a rounding boundary between runs/engines — the latent-
+    flake class eliminated repo-wide in round 7 (see
+    q_group_agg_having, q_anomaly_seasonal). Each output is a single
+    deterministic float expression of engine-identical exact
+    integers: corr = (n·Σxy − ΣxΣy)/(√Dx·√Dy) with D· computed in
+    decimal/hugeint (Σc² overflows bigint; Dx·Dy would overflow even
+    decimal38, so the two factors take their sqrts SEPARATELY —
+    each a correctly-rounded conversion of an exact integer)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-                "qty_price_covar"
-            ),
-            F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
-            F.count(F.lit(1)).alias("n_lines"),
+    qy = F.round(F.col("l_quantity"), 0).cast("long")
+    c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    m = (
+        l.select(
+            "l_returnflag",
+            qy.alias("_x"),
+            c.alias("_y"),
+            dd.alias("_d"),
         )
-        .orderBy("l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_x").alias("_sx"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum("_y").alias("_sy"),
+            F.sum((F.col("_y") * F.col("_y")).cast("decimal(28,0)")).alias(
+                "_syy"
+            ),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum("_d").alias("_sd"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+        )
     )
+    n = F.col("n_lines")
+    nd = n.cast("decimal(18,0)")
+    num = nd * F.col("_sxy").cast("decimal(20,0)") - F.col("_sx").cast(
+        "decimal(19,0)"
+    ) * F.col("_sy").cast("decimal(19,0)")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")  # bigint-safe
+    dy = nd * F.col("_syy") - F.col("_sy").cast("decimal(19,0)") * F.col(
+        "_sy"
+    ).cast("decimal(19,0)")
+    ddisc = n * F.col("_sdd") - F.col("_sd") * F.col("_sd")
+    return m.select(
+        "l_returnflag",
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ).alias("qty_price_corr"),
+        F.round(
+            num.cast("double") / (n * (n - 1)) / 100.0, 2
+        ).alias("qty_price_covar"),
+        F.round(
+            F.sqrt(ddisc.cast("double") / (n * (n - 1))) / 100.0, 6
+        ).alias("discount_stddev"),
+        "n_lines",
+    ).orderBy("l_returnflag")
 
 
 _STATS_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS syy,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+         SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sd,
+         SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+             * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sdd
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-       ROUND(STDDEV_SAMP(l_discount), 6) AS discount_stddev,
-       COUNT(*) AS n_lines
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+             6) AS qty_price_corr,
+       ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (n * (n - 1)) / 100.0, 2) AS qty_price_covar,
+       ROUND(SQRT(CAST(n * sdd - sd * sd AS DOUBLE) / (n * (n - 1)))
+             / 100.0, 6) AS discount_stddev,
+       n AS n_lines
+FROM m
 ORDER BY l_returnflag
 """
 

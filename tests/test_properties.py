@@ -283,3 +283,30 @@ def test_positional_phrase_index_matches_python_count(
             if (words[j], words[j + 1]) == phrase
         )
         assert got.get(i, 0) == want, (i, words, phrase, got)
+
+
+def test_exact_moment_statistics_partitioning_invariant(spark):
+    """group_agg_having and stats_corr derive avg/stddev/corr/covar
+    from exact integer moments (round 7), so their FULL rounded
+    output must be identical under any shuffle layout — the native
+    float corr/stddev states this replaced merge in partition-
+    dependent order and could flip a 6dp boundary."""
+    from finance_etl_system_spark.queries.aggregates import (
+        q_group_agg_having,
+    )
+    from finance_etl_system_spark.queries.series import q_stats_corr
+    from tests.conftest import SF_SMOKE
+
+    def run(fn):
+        return sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for parts in ("1", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            outs.append((run(q_group_agg_having), run(q_stats_corr)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
+    assert outs[0][0] and outs[0][1]
