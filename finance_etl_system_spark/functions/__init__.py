@@ -5,8 +5,11 @@ from .columns import (
     cents,
     discounted_revenue,
     money,
+    money_sum,
     ratio,
     row_key,
+    tick_avg,
+    tick_sum,
 )
 
 __all__ = [
@@ -14,6 +17,9 @@ __all__ = [
     "cents",
     "discounted_revenue",
     "money",
+    "money_sum",
     "ratio",
+    "tick_avg",
+    "tick_sum",
     "row_key",
 ]

@@ -43,6 +43,38 @@ def cents(col: Column | str = "c_acctbal") -> Column:
     return F.round(c * 100)
 
 
+def tick_sum(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer-tick aggregate: SUM(round(col·scale) as bigint).
+
+    The order-insensitive money/ratio accumulator (round-7 policy):
+    2dp money at scale=100, a 2dp×2dp product (revenue) at 1e4, a
+    triple product (charge) at 1e6. Each row's tick is deterministic
+    (one IEEE multiply chain identical in Spark and DuckDB, then one
+    round), the bigint sum is EXACT in any order, and the caller does
+    ONE double conversion + division + round at the end — so the
+    emitted value is a pure function of the data, never of the
+    partitioning. Raw double SUMs drift by accumulation order and can
+    flip a rounding boundary between engines. Bigint bound: safe
+    through ~1e7 rows/group at scale 1e6 on 1e5-unit values (Σ <
+    9.2e18); a 100-TB group crossing that sums decimal(38,0) instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale, 0).cast("long"))
+
+
+def money_sum(col: Column | str, scale: int = 100) -> Column:
+    """ROUND(SUM(money), 2) via exact ticks (see tick_sum)."""
+    return F.round(tick_sum(col, scale).cast("double") / scale, 2)
+
+
+def tick_avg(col: Column | str, scale: int = 100, dp: int = 6) -> Column:
+    """ROUND(AVG(col), dp) via exact ticks: Σticks/(scale·n) — one
+    float division of two exact integers (see tick_sum)."""
+    return F.round(
+        tick_sum(col, scale) / (F.lit(float(scale)) * F.count(F.lit(1))), dp
+    )
+
+
 def row_key(*cols: str, sep: str = "§") -> Column:
     """Deterministic surrogate key: sha2 over the concatenated natural
     key. Replaces the reference's `uuid()` id (etl_job.py:257) which

@@ -45,7 +45,16 @@ def profile_columns(df: DataFrame, spec: ProfileSpec) -> DataFrame:
         if kind == "num":
             aggs.append(F.round(F.min(col).cast("double"), 6).alias(f"{c}__min_num"))
             aggs.append(F.round(F.max(col).cast("double"), 6).alias(f"{c}__max_num"))
-            aggs.append(F.round(F.avg(col), 6).alias(f"{c}__avg_num"))
+            aggs.append(
+                # exact for fixed-point columns (keys/4dp money): the
+                # decimal sum is order-free; arbitrary floats are
+                # 6dp-quantized identically on both engines
+                F.round(
+                    F.sum(col.cast("decimal(28,6)")).cast("double")
+                    / F.count(col),
+                    6,
+                ).alias(f"{c}__avg_num")
+            )
         else:
             aggs.append(F.min(col.cast("string")).alias(f"{c}__min_str"))
             aggs.append(F.max(col.cast("string")).alias(f"{c}__max_str"))

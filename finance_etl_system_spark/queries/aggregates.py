@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum, tick_avg
 
 
 def q_group_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +149,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice", 10_000).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -164,7 +165,7 @@ SELECT
   COALESCE(o_orderstatus, 'ALL') AS status,
   COALESCE(o_orderpriority, 'ALL') AS priority,
   COUNT(*) AS n_orders,
-  ROUND(SUM(o_totalprice), 2) AS total_price
+  ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0, 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -185,7 +186,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice", 10_000).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -201,7 +202,7 @@ SELECT
   COALESCE(o_orderstatus, 'ALL') AS status,
   COALESCE(o_orderpriority, 'ALL') AS priority,
   COUNT(*) AS n_orders,
-  ROUND(SUM(o_totalprice), 2) AS total_price
+  ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0, 2) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -216,7 +217,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -232,7 +233,7 @@ SELECT
   COALESCE(event_type, 'ALL') AS event_type,
   COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
   COUNT(*) AS n,
-  ROUND(SUM(value), 2) AS total_value
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
 FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 """
@@ -435,7 +436,7 @@ def q_merge_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        tick_avg("o_totalprice", 10_000).alias("avg_price"),
     )
     return latest.join(stats, "o_custkey").select(
         "o_custkey", "latest_orderkey", "latest_status", "n_orders", "avg_price"
@@ -452,7 +453,7 @@ WITH latest AS (
   ) t WHERE rn = 1
 ),
 stats AS (
-  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 6) AS avg_price
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 6) AS avg_price
   FROM orders GROUP BY o_custkey
 )
 SELECT l.o_custkey, latest_orderkey, latest_status, n_orders, avg_price

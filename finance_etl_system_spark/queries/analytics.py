@@ -29,8 +29,19 @@ from ..catalog import load_table
 
 def _revenue():
     # built lazily — Column construction needs an active SparkContext,
-    # and this module must import before the session exists
-    return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # and this module must import before the session exists.
+    # EXACT 1e4-tick accumulation (the 2dp x 2dp product is a 4dp
+    # rational): order-insensitive bigint sum, one double division —
+    # round-7 determinism policy, see functions/columns.tick_sum
+    return (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000,
+                0,
+            ).cast("long")
+        )
+        / 10_000.0
+    )
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +75,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -106,7 +117,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LOCAL_SUPPLIER_VOLUME_SQL = """
 SELECT n_name AS nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -149,7 +160,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETURNED_ITEMS_SQL = """
 SELECT c_custkey, c_name, n_name AS nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
        ROUND(c_acctbal, 2) AS acctbal
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -173,13 +184,16 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_t = F.round(rev * 10_000, 0).cast("long")
+    promo_t = F.when(F.col("p_type") == "PROMO", rev_t).otherwise(F.lit(0).cast("long"))
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                100.0 * F.sum(promo_t) / F.sum(rev_t), 6
+            ).alias("promo_pct"),
+            F.round(F.sum(rev_t) / 10_000.0, 2).alias("total_revenue"),
         )
         .orderBy("ship_month")
     )
@@ -188,10 +202,12 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMO_REVENUE_SQL = """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                              THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                              * 10000, 0) AS BIGINT)
+                              ELSE 0 END)
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT)), 6) AS promo_pct,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY ship_month

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import cents, discounted_revenue, money
+from ..functions import cents, discounted_revenue, money, money_sum, tick_sum
 
 
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,12 +134,12 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(keys, l.l_partkey == F.col("p_partkey"))
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(tick_sum("l_extendedprice") / 100.0 / 7.0, 2).alias("avg_yearly"))
     )
 
 
 _SMALL_QTY_PART_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
@@ -217,12 +217,12 @@ def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(band)
-        .agg(money(F.sum(discounted_revenue())).alias("revenue"))
+        .agg(money_sum(discounted_revenue(), 10_000).alias("revenue"))
     )
 
 
 _DISJUNCTIVE_PART_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -251,7 +251,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            money(F.sum("c_acctbal")).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -259,7 +259,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDLE_RICH_CUSTOMERS_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS totacctbal
 FROM customer c
 WHERE ROUND(c_acctbal * 100) > (
     SELECT AVG(ROUND(c_acctbal * 100)) FROM customer WHERE c_acctbal > 0
@@ -301,7 +301,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(money(F.sum(discounted_revenue())).alias("revenue"))
+        .agg(money_sum(discounted_revenue(), 10_000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -309,7 +309,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NATION_PAIR_VOLUME_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -342,8 +342,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = discounted_revenue()
-    national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    rev_t = F.round(discounted_revenue() * 10_000, 0).cast("long")
+    national_t = F.when(
+        F.col("supp_nation") == "NATION_5", rev_t
+    ).otherwise(F.lit(0).cast("long"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -353,8 +355,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(national) / F.sum(rev), 6).alias("mkt_share"),
-            money(F.sum(rev)).alias("region_revenue"),
+            F.round(F.sum(national_t) / F.sum(rev_t), 6).alias("mkt_share"),
+            F.round(F.sum(rev_t) / 10_000.0, 2).alias("region_revenue"),
         )
         .orderBy("o_year")
     )
@@ -363,9 +365,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKET_SHARE_SQL = """
 SELECT year(o_orderdate) AS o_year,
        ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS region_revenue
+                      THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                      * 10000, 0) AS BIGINT)
+                      ELSE 0 END)
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT)), 6) AS mkt_share,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) / 10000.0, 2) AS region_revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -391,7 +397,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     revenue = (
         l.groupBy("l_suppkey")
-        .agg(money(F.sum(discounted_revenue())).alias("total_revenue"))
+        .agg(money_sum(discounted_revenue(), 10_000).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
@@ -405,7 +411,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_SUPPLIER_REVENUE_SQL = """
 WITH revenue AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey

@@ -48,16 +48,25 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "forecast_revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount")
+                        * 10_000,
+                        0,
+                    ).cast("long")
+                )
+                / 10_000.0,
+                2,
+            ).alias("forecast_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 _FORECAST_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS forecast_revenue,
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0)
+                AS BIGINT)) / 10000.0, 2) AS forecast_revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -209,7 +218,11 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("order_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            F.round(
+                F.sum(F.round(profit * 10_000, 0).cast("long")) / 10_000.0, 2
+            ).alias("profit")
+        )
         .orderBy(F.col("nation").asc(), F.col("order_year").desc())
     )
 
@@ -217,8 +230,9 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRODUCT_PROFIT_SQL = """
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+       ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity) * 10000, 0)
+                      AS BIGINT)) / 10000.0, 2) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import tick_avg
 
 # 1.4826 ≈ 1/Φ⁻¹(3/4): makes MAD a consistent σ estimator for normal
 # data, so the 3.5 cut matches the usual robust-z convention.
@@ -295,7 +296,7 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            tick_avg("o_totalprice", 10_000, dp=2).alias("avg_price"),
         )
         .orderBy("bin")
     )
@@ -310,7 +311,7 @@ SELECT 1 + len(list_filter(e, x -> o_totalprice > x)) AS bin,
        COUNT(*) AS n,
        ROUND(MIN(o_totalprice), 2) AS lo,
        ROUND(MAX(o_totalprice), 2) AS hi,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+       ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 2) AS avg_price
 FROM orders CROSS JOIN edges
 GROUP BY 1
 ORDER BY bin

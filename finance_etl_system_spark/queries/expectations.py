@@ -276,7 +276,8 @@ def _profile_col_sql(c: str, kind: str) -> str:
         return base + f"""
   ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_num,
   ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_num,
-  ROUND(AVG({c}), 6) AS avg_num,
+  ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)
+        / COUNT({c}), 6) AS avg_num,
   CAST(NULL AS VARCHAR) AS min_str,
   CAST(NULL AS VARCHAR) AS max_str
 FROM orders"""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum, tick_avg
 from ..operators.joins import asof_join, range_join
 
 
@@ -38,7 +39,7 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
     )
 
@@ -48,7 +49,7 @@ SELECT
   r_name AS region_name,
   n_name AS nation_name,
   COUNT(*) AS customers,
-  ROUND(SUM(c_acctbal), 2) AS total_acctbal
+  ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -71,7 +72,16 @@ def q_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("line_count"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10_000,
+                        0,
+                    ).cast("long")
+                )
+                / 10_000.0,
+                2,
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
@@ -82,7 +92,8 @@ _JOIN_BIG_BIG_SQL = """
 SELECT
   o_orderpriority,
   COUNT(*) AS line_count,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                 AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'F'
@@ -97,7 +108,7 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        money_sum("o_totalprice", 10_000).alias("spend"),
     )
     return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
         "c_custkey",
@@ -115,7 +126,7 @@ SELECT
   COALESCE(spend, 0.0) AS spend
 FROM customer
 LEFT JOIN (
-  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0, 2) AS spend
   FROM orders GROUP BY o_custkey
 ) po ON c_custkey = po.o_custkey
 """
@@ -224,7 +235,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            tick_avg("o_totalprice", 10_000).alias("avg_price"),
         )
         .orderBy("band")
     )
@@ -236,7 +247,7 @@ WITH bands(band, lo, hi) AS (
          ('medium', 125000.0, 250000.0), ('large', 250000.0, 400000.0),
          ('huge', 400000.0, 1e18)
 )
-SELECT band, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 6) AS avg_price
+SELECT band, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 6) AS avg_price
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 ORDER BY band
@@ -371,7 +382,7 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("purchase_id")
         .agg(
             F.count(F.lit(1)).alias("n_errors"),
-            F.round(F.sum("e_value"), 2).alias("error_value_sum"),
+            money_sum("e_value").alias("error_value_sum"),
         )
         .orderBy("purchase_id")
     )
@@ -380,7 +391,7 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERVAL_JOIN_EVENTS_SQL = """
 SELECT p.event_id AS purchase_id,
        COUNT(*) AS n_errors,
-       ROUND(SUM(e.value), 2) AS error_value_sum
+       ROUND(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) / 100.0, 2) AS error_value_sum
 FROM events p
 JOIN events e
   ON e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 300 SECOND

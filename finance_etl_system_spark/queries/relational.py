@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum, tick_avg
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,28 +26,29 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     filter -> groupBy -> multi-agg -> sort. Exercises scan+pushdown,
     partial aggregation (map-side combine), and a tiny final sort.
+
+    Money/ratio outputs accumulate EXACT integer ticks (see
+    functions/columns.tick_sum — round-7 policy): base price at cent
+    scale, the 2dp×2dp revenue product at 1e4, the triple-product
+    charge at 1e6, discount at cents — one bigint sum each, one
+    double conversion at the end, so every emitted float is
+    partition-order- and engine-independent. Quantity is integral:
+    its double sum is exact in any order and stays native.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price, 10_000).alias("sum_disc_price"),
+            money_sum(charge, 1_000_000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            tick_avg("l_extendedprice").alias("avg_price"),
+            tick_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -58,12 +60,18 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2)
+    AS sum_base_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                 AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+    AS sum_charge,
   ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        / (100.0 * COUNT(*)), 6) AS avg_price,
+  ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+        / (100.0 * COUNT(*)), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import money
+from ..functions import money_sum
 from ..operators.sampling import hash_sample, stratified_hash_sample
 
 
@@ -28,7 +28,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            money(F.sum("l_extendedprice")).alias("sum_price"),
+            money_sum("l_extendedprice").alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -39,7 +39,7 @@ _HASH_SAMPLE_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_price
 FROM lineitem
 WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '§' || CAST(l_linenumber AS VARCHAR)), 1, 4) < '1999'
 GROUP BY l_returnflag
@@ -61,7 +61,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            money(F.sum("o_totalprice")).alias("total_price"),
+            money_sum("o_totalprice", 10_000).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -71,7 +71,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATIFIED_SAMPLE_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0, 2) AS total_price
 FROM orders
 WHERE (o_orderpriority = '1-URGENT' AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'g')
    OR (o_orderpriority = '2-HIGH'   AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '3333')

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum, tick_avg
 
 
 def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +44,7 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 250)
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.round(F.sum("value"), 2).alias("day_total"))
+    ).agg(money_sum("value").alias("day_total"))
 
     bounds = load_table(spark, sf_dir, "events").agg(
         F.min(F.col("ts").cast("date")).alias("lo"),
@@ -73,7 +74,7 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAPFILL_DAILY_SQL = """
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS day_total
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS day_total
   FROM events WHERE value > 250 GROUP BY 1, 2
 ),
 bounds AS (
@@ -244,7 +245,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(bucket.alias("price_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("bucket_revenue"),
+            money_sum("l_extendedprice").alias("bucket_revenue"),
         )
         .orderBy("price_bucket")
     )
@@ -253,7 +254,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICE_HISTOGRAM_SQL = """
 SELECT LEAST(CAST(FLOOR(l_extendedprice / 5250.0) AS BIGINT), 19) AS price_bucket,
        COUNT(*) AS n_lines,
-       ROUND(SUM(l_extendedprice), 2) AS bucket_revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS bucket_revenue
 FROM lineitem
 GROUP BY price_bucket
 ORDER BY price_bucket
@@ -379,7 +380,7 @@ def q_tz_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.hour(lt).alias("ny_hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            tick_avg("value").alias("avg_value"),
         )
         .orderBy("ny_hour")
     )
@@ -392,7 +393,7 @@ WITH local AS (
 )
 SELECT CAST(hour(lt) AS INT) AS ny_hour,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 6) AS avg_value
+       ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 6) AS avg_value
 FROM local
 WHERE hour(lt) * 60 + minute(lt) >= 570
   AND hour(lt) * 60 + minute(lt) < 960

@@ -153,7 +153,17 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     wide = e.groupBy("label").agg(
         *[
-            F.avg(F.col("embedding")[i].cast("double")).alias(f"_c{i}")
+            # 1e8-tick exact accumulation: |v| < 1 so ticks < 1e8,
+            # bigint sums exact in any order — the float avg this
+            # replaces merged partials in partition-dependent order
+            (
+                F.sum(
+                    F.round(
+                        F.col("embedding")[i].cast("double") * 1e8, 0
+                    ).cast("long")
+                )
+                / (F.lit(1e8) * F.count(F.col("embedding")[i]))
+            ).alias(f"_c{i}")
             for i in range(_DIM)
         ],
         F.count(F.lit(1)).alias("n_vectors"),
@@ -178,7 +188,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBEDDING_CENTROIDS_SQL = f"""
 SELECT label,
        CAST(i + 1 AS BIGINT) AS dim,
-       ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       ROUND(SUM(CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1e8, 0)
+                      AS BIGINT))
+             / (1e8 * COUNT(embedding[i + 1])), 6) AS centroid,
        COUNT(*) AS n_vectors
 FROM embeddings CROSS JOIN range({_DIM}) t(i)
 GROUP BY label, dim

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,7 +33,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -50,7 +51,7 @@ SELECT
   strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   COUNT(*) AS n,
-  ROUND(SUM(value), 2) AS total_value
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -124,7 +125,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "session_start"
             ),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum("value").alias("session_value"),
         )
     )
     return sessions.select("user_id", "session_start", "n_events", "session_value")
@@ -151,7 +152,7 @@ SELECT
   user_id,
   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
   COUNT(*) AS n_events,
-  ROUND(SUM(value), 2) AS session_value
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS session_value
 FROM numbered
 GROUP BY user_id, session_no
 """

@@ -112,7 +112,8 @@ def q_datetime_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         CREATE OR REPLACE TEMP VIEW monthly_orders AS
         SELECT y, q, m, month_start,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS revenue,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT))
+                          AS DOUBLE) / 10000.0, 2) AS revenue,
                MAX(days_since_epoch_start) AS max_day_offset
         FROM order_dates
         GROUP BY y, q, m, month_start
@@ -134,7 +135,8 @@ WITH order_dates AS (
 )
 SELECT y, q, m, month_start,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT))
+                          AS DOUBLE) / 10000.0, 2) AS revenue,
        MAX(days_since_epoch_start) AS max_day_offset
 FROM order_dates
 GROUP BY y, q, m, month_start

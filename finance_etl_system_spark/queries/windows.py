@@ -101,7 +101,11 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w)
+            / 100.0,
+            2,
+        ).alias("value_last_hour"),
     )
 
 
@@ -110,7 +114,8 @@ SELECT
   user_id,
   event_id,
   COUNT(*) OVER w AS events_last_hour,
-  ROUND(SUM(value) OVER w, 2) AS value_last_hour
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0, 2)
+    AS value_last_hour
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts
@@ -161,7 +166,11 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w)
+            / 100.0,
+            2,
+        ).alias("running_value"),
         F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias("seq"),
     )
 
@@ -170,7 +179,8 @@ _WINDOW_CUMSUM_SQL = """
 SELECT
   user_id,
   event_id,
-  ROUND(SUM(value) OVER w, 2) AS running_value,
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0, 2)
+    AS running_value,
   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
 FROM events
 WINDOW w AS (
