@@ -310,3 +310,41 @@ def test_exact_moment_statistics_partitioning_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert outs[0] == outs[1]
     assert outs[0][0] and outs[0][1]
+
+
+def test_tick_sum_helpers_match_exact_decimal(spark):
+    """tick_sum/money_sum/tick_avg must equal exact Fraction
+    arithmetic on adversarial 2dp values sitting at .005 rounding
+    boundaries — and be invariant to partitioning by construction."""
+    from fractions import Fraction
+
+    from finance_etl_system_spark.functions.columns import (
+        money_sum,
+        tick_avg,
+        tick_sum,
+    )
+
+    import pyspark.sql.functions as F
+
+    vals = [0.005, 10.015, 99.995, 0.01, 123.45, 67.89, 0.005, 50.025]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = (
+        df.repartition(7)
+        .agg(
+            tick_sum("v").alias("ticks"),
+            money_sum("v").alias("msum"),
+            tick_avg("v").alias("mavg"),
+        )
+        .collect()[0]
+    )
+    # ground truth in exact rationals over the CENT-ROUNDED values:
+    # engines round HALF-AWAY (F.round/DuckDB ROUND) on the double
+    # product v*100 — floor(x + 0.5) for positive x, NOT python's
+    # half-even round()
+    import math
+
+    cents = [int(math.floor(v * 100 + 0.5)) for v in vals]
+    total = sum(cents)
+    assert got["ticks"] == total
+    assert got["msum"] == round(float(Fraction(total, 100)), 2)
+    assert got["mavg"] == round(float(Fraction(total, 100 * len(vals))), 6)
