@@ -69,9 +69,15 @@ def money_sum(col: Column | str, scale: int = 100) -> Column:
 
 def tick_avg(col: Column | str, scale: int = 100, dp: int = 6) -> Column:
     """ROUND(AVG(col), dp) via exact ticks: Σticks/(scale·n) — one
-    float division of two exact integers (see tick_sum)."""
+    float division of two exact integers (see tick_sum). n is
+    COUNT(col), not COUNT(*): AVG ignores NULLs, and tick_sum's SUM
+    already skips them, so a COUNT(*) denominator would emit
+    sum-over-nonnull / total-rows — neither AVG nor mean — the moment
+    the column admits a NULL. Oracle twins must divide by COUNT(col)
+    for the same reason."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        tick_sum(col, scale) / (F.lit(float(scale)) * F.count(F.lit(1))), dp
+        tick_sum(c, scale) / (F.lit(float(scale)) * F.count(c)), dp
     )
 
 

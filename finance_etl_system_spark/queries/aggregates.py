@@ -453,7 +453,7 @@ WITH latest AS (
   ) t WHERE rn = 1
 ),
 stats AS (
-  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 6) AS avg_price
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(o_totalprice)), 6) AS avg_price
   FROM orders GROUP BY o_custkey
 )
 SELECT l.o_custkey, latest_orderkey, latest_status, n_orders, avg_price

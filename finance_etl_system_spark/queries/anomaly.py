@@ -311,7 +311,7 @@ SELECT 1 + len(list_filter(e, x -> o_totalprice > x)) AS bin,
        COUNT(*) AS n,
        ROUND(MIN(o_totalprice), 2) AS lo,
        ROUND(MAX(o_totalprice), 2) AS hi,
-       ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 2) AS avg_price
+       ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(o_totalprice)), 2) AS avg_price
 FROM orders CROSS JOIN edges
 GROUP BY 1
 ORDER BY bin

@@ -247,7 +247,7 @@ WITH bands(band, lo, hi) AS (
          ('medium', 125000.0, 250000.0), ('large', 250000.0, 400000.0),
          ('huge', 400000.0, 1e18)
 )
-SELECT band, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(*)), 6) AS avg_price
+SELECT band, COUNT(*) AS n_orders, ROUND(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) / (10000.0 * COUNT(o_totalprice)), 6) AS avg_price
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 ORDER BY band

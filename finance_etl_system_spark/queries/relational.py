@@ -69,9 +69,9 @@ SELECT
     AS sum_charge,
   ROUND(AVG(l_quantity), 6) AS avg_qty,
   ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-        / (100.0 * COUNT(*)), 6) AS avg_price,
+        / (100.0 * COUNT(l_extendedprice)), 6) AS avg_price,
   ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-        / (100.0 * COUNT(*)), 6) AS avg_disc,
+        / (100.0 * COUNT(l_discount)), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

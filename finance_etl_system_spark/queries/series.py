@@ -393,7 +393,7 @@ WITH local AS (
 )
 SELECT CAST(hour(lt) AS INT) AS ny_hour,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 6) AS avg_value
+       ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / (100.0 * COUNT(value)), 6) AS avg_value
 FROM local
 WHERE hour(lt) * 60 + minute(lt) >= 570
   AND hour(lt) * 60 + minute(lt) < 960

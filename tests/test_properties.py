@@ -348,3 +348,34 @@ def test_tick_sum_helpers_match_exact_decimal(spark):
     assert got["ticks"] == total
     assert got["msum"] == round(float(Fraction(total, 100)), 2)
     assert got["mavg"] == round(float(Fraction(total, 100 * len(vals))), 6)
+
+
+def test_tick_avg_ignores_nulls_like_avg(spark):
+    """tick_avg on a nullable column must be AVG semantics — sum over
+    non-null divided by COUNT(col), not COUNT(*) — and agree with the
+    DuckDB oracle shape (COUNT(col) denominator) on the same rows."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from finance_etl_system_spark.functions.columns import tick_avg
+
+    vals = [0.005, None, 10.015, 99.995, None, 123.45]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.repartition(3).agg(tick_avg("v").alias("mavg")).collect()[0]
+
+    import math
+
+    nonnull = [v for v in vals if v is not None]
+    cents = sum(int(math.floor(v * 100 + 0.5)) for v in nonnull)
+    want = round(float(Fraction(cents, 100 * len(nonnull))), 6)
+    assert got["mavg"] == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    (oracle,) = con.execute(
+        "SELECT ROUND(SUM(CAST(ROUND(v * 100, 0) AS BIGINT))"
+        " / (100.0 * COUNT(v)), 6) FROM t"
+    ).fetchone()
+    assert got["mavg"] == oracle
