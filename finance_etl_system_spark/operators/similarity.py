@@ -311,6 +311,22 @@ def _compact_marker(path: str) -> str:
     return f"{path}/_COMPACTING"
 
 
+def _append_lease(path: str, token: str) -> str:
+    return f"{path}/_APPENDING.{token}"
+
+
+def _live_append_leases(fs, HPath, path: str) -> list[str]:
+    """Names of _APPENDING.* lease files under the index root."""
+    root = HPath(path)
+    if not fs.exists(root):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("_APPENDING.")
+    ]
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -411,21 +427,55 @@ def append_to_ivf_index(
     checkpointed micro-batch counter, so if max+1 could land inside
     that range, a later (or replayed) stream batch would dynamic-
     overwrite the manual batch's (batch, cluster) partitions and
-    silently delete its vectors. Appends also refuse to run while a
-    compaction holds the index (see compact_ivf_index): a write
-    racing the directory swap would land in the doomed pre-swap tree
-    and vanish."""
-    from .clustering import kmeans_assign
+    silently delete its vectors.
+
+    MUTUAL EXCLUSION with compaction is two-flag (Peterson-style
+    store-then-load on both sides): the append creates a unique
+    ``_APPENDING.<token>`` lease under the index root BEFORE checking
+    for ``_COMPACTING``, and compact_ivf_index creates its marker
+    BEFORE checking for leases — so whichever order the two racers
+    interleave in, at least one of them observes the other's flag and
+    refuses (both refusing is possible and safe; neither writes). A
+    one-directional check (append looks for the marker, nothing looks
+    for the append) would let a compaction that STARTS mid-append
+    swap the directory and silently drop the in-flight append's
+    vectors. The lease is removed in a ``finally`` — an append that
+    raises leaves nothing held (its partial batch partition is
+    repaired by the retry's dynamic overwrite); only a hard process
+    kill leaves a stale lease, which blocks compaction until the
+    operator deletes it (surfaced by verify_ivf_index)."""
+    import uuid
 
     spark = new_vectors.sparkSession
     fs, HPath = _ivf_fs(spark, path)
-    if fs.exists(HPath(_compact_marker(path))):
-        raise RuntimeError(
-            f"IVF index at {path} is being compacted (_COMPACTING "
-            "marker present); retry the append after the compaction "
-            "finishes — a write racing the directory swap would be "
-            "silently lost"
+    lease = HPath(_append_lease(path, uuid.uuid4().hex))
+    if not fs.createNewFile(lease):  # pragma: no cover - uuid collision
+        raise RuntimeError(f"could not take append lease {lease}")
+    try:
+        if fs.exists(HPath(_compact_marker(path))):
+            raise RuntimeError(
+                f"IVF index at {path} is being compacted (_COMPACTING "
+                "marker present); retry the append after the "
+                "compaction finishes — a write racing the directory "
+                "swap would be silently lost"
+            )
+        _append_to_ivf_index_locked(
+            new_vectors, path, batch_id=batch_id
         )
+    finally:
+        fs.delete(lease, False)
+
+
+def _append_to_ivf_index_locked(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    batch_id: int | None = None,
+) -> None:
+    """Body of append_to_ivf_index, running under its append lease."""
+    from .clustering import kmeans_assign
+
+    spark = new_vectors.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     for col in (id_col, vec_col):
@@ -492,9 +542,18 @@ def compact_ivf_index(
     for its whole run; ``append_to_ivf_index`` (and therefore every
     streaming micro-batch) raises while it is held, because an
     append racing the swap writes into the pre-swap directory tree
-    and is silently dropped when staging is promoted. The marker is
-    released in a ``finally`` (a crash leaves it behind — after
-    verifying the crash, delete ``{path}/_COMPACTING`` to heal).
+    and is silently dropped when staging is promoted. After taking
+    the marker, compaction checks for in-flight ``_APPENDING.*``
+    leases and backs off (releasing the marker) if any exist — the
+    other half of the two-flag protocol documented on
+    append_to_ivf_index, which closes the race where a compaction
+    STARTS after an append passed its marker check but before its
+    write landed. The marker is released only on SUCCESS: a failed
+    compaction (exception — e.g. a mid-swap executor loss — or a
+    crash) leaves it behind ON PURPOSE, keeping the index fenced in
+    exactly the states where its tree may be half-swapped; run
+    verify_ivf_index, repair (promote or remove ``vectors.staging``),
+    then delete ``{path}/_COMPACTING`` to heal.
     Additionally, compact ONLY while the index's stream (if any) is
     stopped with a fully committed checkpoint: a stream batch that
     wrote its partitions but did not commit will be REPLAYED on
@@ -510,31 +569,42 @@ def compact_ivf_index(
         raise RuntimeError(
             f"IVF index at {path} already has a _COMPACTING marker: "
             "another compaction is running, or a previous one "
-            "crashed — verify and delete the marker to heal"
+            "failed — verify_ivf_index, repair, then delete the "
+            "marker to heal"
         )
-    try:
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        id_col = meta["id_col"]
-        v = spark.read.parquet(f"{path}/vectors")
-        if deleted_ids is not None:
-            ids = F.broadcast(
-                deleted_ids.select(
-                    F.col(deleted_ids.columns[0]).alias(id_col)
-                ).distinct()
-            )
-            v = v.join(ids, id_col, "left_anti")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        (
-            v.drop("batch_id")
-            .select("*", F.lit(0).alias("batch_id"))
-            .select(id_col, meta["vec_col"], "batch_id", "cluster")
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "cluster")
-            .parquet(f"{path}/vectors.staging")
-        )
-        _swap_dir(spark, f"{path}/vectors")
-    finally:
+    leases = _live_append_leases(fs, HPath, path)
+    if leases:
+        # back off cleanly: nothing was written, so un-fence
         fs.delete(marker, False)
+        raise RuntimeError(
+            f"IVF index at {path} has in-flight append lease(s) "
+            f"{leases}; retry the compaction after they finish (a "
+            "stale lease from a killed append must be deleted by the "
+            "operator — see verify_ivf_index)"
+        )
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = meta["id_col"]
+    v = spark.read.parquet(f"{path}/vectors")
+    if deleted_ids is not None:
+        ids = F.broadcast(
+            deleted_ids.select(
+                F.col(deleted_ids.columns[0]).alias(id_col)
+            ).distinct()
+        )
+        v = v.join(ids, id_col, "left_anti")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    (
+        v.drop("batch_id")
+        .select("*", F.lit(0).alias("batch_id"))
+        .select(id_col, meta["vec_col"], "batch_id", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cluster")
+        .parquet(f"{path}/vectors.staging")
+    )
+    _swap_dir(spark, f"{path}/vectors")
+    # released on SUCCESS only — a raise above leaves the index fenced
+    # (see docstring's heal path)
+    fs.delete(marker, False)
 
 
 def verify_ivf_index(spark, path: str) -> dict:
@@ -553,9 +623,13 @@ def verify_ivf_index(spark, path: str) -> dict:
       one row per id only if the caller dedups, so the honest heal is
       delete+re-append or a compaction with deleted_ids = the dupes;
     - ``stale_compact_marker`` / ``stale_staging_dir``: residue of a
-      crashed compaction (marker documented in compact_ivf_index;
-      staging dir means the swap never ran — the live index is the
-      OLD one, delete the staging tree after inspection).
+      failed compaction (marker deliberately kept on failure — see
+      compact_ivf_index; staging dir means the swap never ran — the
+      live index is the OLD one, delete the staging tree after
+      inspection);
+    - ``stale_append_leases``: ``_APPENDING.*`` files left by a
+      hard-killed append (a raising append cleans up after itself);
+      they block compaction until the operator deletes them.
 
     All aggregates are id- or k-sized; one scan of the vectors table.
     """
@@ -575,6 +649,7 @@ def verify_ivf_index(spark, path: str) -> dict:
     fs, HPath = _ivf_fs(spark, path)
     stale_marker = bool(fs.exists(HPath(_compact_marker(path))))
     stale_staging = bool(fs.exists(HPath(f"{path}/vectors.staging")))
+    leases = _live_append_leases(fs, HPath, path)
     out = {
         "k_clusters": k,
         "n_vectors": int(agg["n"]),
@@ -583,6 +658,7 @@ def verify_ivf_index(spark, path: str) -> dict:
         "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
         "stale_compact_marker": stale_marker,
         "stale_staging_dir": stale_staging,
+        "stale_append_leases": leases,
     }
     out["consistent"] = (
         out["bad_cluster_rows"] == 0
@@ -590,6 +666,7 @@ def verify_ivf_index(spark, path: str) -> dict:
         and out["n_duplicate_ids"] == 0
         and not stale_marker
         and not stale_staging
+        and not leases
     )
     return out
 

@@ -36,7 +36,18 @@ def ivf_append_batch(batch_df: DataFrame, batch_id: int, *, path: str) -> None:
     every overlapping (batch, cluster) partition. Auto-assignment now
     ignores ids >= the base (operators/similarity.py), so the two
     counters can never meet; a replayed micro-batch still rewrites
-    exactly its own partitions."""
+    exactly its own partitions.
+
+    MIGRATION NOTE (namespace change, one-time): an index whose
+    stream checkpoint predates the BASE+id scheme stored micro-batch
+    N at batch_id N+1. Resuming such a stream here replays any
+    uncommitted batch N to BASE+N while its old copy at N+1 survives
+    — duplicate ids (verify_ivf_index flags them) — and the old
+    stream batches keep squatting in the manual namespace. Before
+    resuming an old checkpoint: drain/stop the stream, run
+    ``compact_ivf_index`` (folds every legacy batch into batch 0 and
+    vacates the manual range), and verify. New indexes and fresh
+    checkpoints are unaffected."""
     from ..operators.similarity import (
         IVF_STREAM_BATCH_BASE,
         append_to_ivf_index,

@@ -695,3 +695,69 @@ def test_verify_ivf_index_detects_crash_and_replay_residue(
     fs.mkdirs(HPath(f"{path}/vectors.staging"))
     rep = verify_ivf_index(spark, path)
     assert rep["stale_compact_marker"] and rep["stale_staging_dir"]
+
+def test_ivf_two_flag_protocol_append_lease_vs_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The other direction of the single-writer fence: a compaction
+    that STARTS while an append is in flight must back off (the
+    append's _APPENDING lease is visible because the append stores it
+    BEFORE loading the marker), and a compaction that FAILS mid-run
+    must leave the index fenced (_COMPACTING kept on failure, not
+    released in a finally)."""
+    import pytest as _pytest
+
+    from finance_etl_system_spark.catalog import load_table
+    from finance_etl_system_spark.operators import textindex
+    from finance_etl_system_spark.operators.similarity import (
+        _append_lease,
+        _compact_marker,
+        _ivf_fs,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        verify_ivf_index,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        e.filter(F.col("vec_id") < 300), path, k_clusters=3, id_col="vec_id"
+    )
+    fs, HPath = _ivf_fs(spark, path)
+
+    # 1) in-flight append (its lease is on disk) -> compaction backs
+    #    off AND releases its own marker so the append can finish
+    lease = HPath(_append_lease(path, "deadbeef"))
+    assert fs.createNewFile(lease)
+    with _pytest.raises(RuntimeError, match="_APPENDING"):
+        compact_ivf_index(spark, path)
+    assert not fs.exists(HPath(_compact_marker(path)))
+    rep = verify_ivf_index(spark, path)
+    assert rep["stale_append_leases"] == ["_APPENDING.deadbeef"]
+    assert not rep["consistent"]
+    fs.delete(lease, False)
+
+    # 2) a successful append leaves no lease behind
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 300), path)
+    assert verify_ivf_index(spark, path)["stale_append_leases"] == []
+
+    # 3) a compaction that raises mid-swap keeps the index FENCED
+    def boom(*a, **k):
+        raise RuntimeError("executor lost mid-swap")
+
+    monkeypatch.setattr(textindex, "_swap_dir", boom)
+    with _pytest.raises(RuntimeError, match="mid-swap"):
+        compact_ivf_index(spark, path)
+    assert fs.exists(HPath(_compact_marker(path)))  # still fenced
+    with _pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_to_ivf_index(e.limit(1), path)
+    monkeypatch.undo()
+
+    # heal: inspect, drop staging + marker, and the index works again
+    rep = verify_ivf_index(spark, path)
+    assert rep["stale_compact_marker"] and rep["stale_staging_dir"]
+    fs.delete(HPath(f"{path}/vectors.staging"), True)
+    fs.delete(HPath(_compact_marker(path)), False)
+    compact_ivf_index(spark, path)
+    assert verify_ivf_index(spark, path)["consistent"]
