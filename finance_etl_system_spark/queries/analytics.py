@@ -26,22 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import discounted_revenue, tick_sum
 
 def _revenue():
     # built lazily — Column construction needs an active SparkContext,
     # and this module must import before the session exists.
     # EXACT 1e4-tick accumulation (the 2dp x 2dp product is a 4dp
     # rational): order-insensitive bigint sum, one double division —
-    # round-7 determinism policy, see functions/columns.tick_sum
-    return (
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000,
-                0,
-            ).cast("long")
-        )
-        / 10_000.0
-    )
+    # round-7 determinism policy (functions/columns.tick_sum)
+    return tick_sum(discounted_revenue(), 10_000) / 10_000.0
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

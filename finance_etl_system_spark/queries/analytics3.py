@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum
 
 
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,16 +49,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * F.col("l_discount")
-                        * 10_000,
-                        0,
-                    ).cast("long")
-                )
-                / 10_000.0,
-                2,
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10_000
             ).alias("forecast_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -218,11 +211,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("order_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.round(profit * 10_000, 0).cast("long")) / 10_000.0, 2
-            ).alias("profit")
-        )
+        .agg(money_sum(profit, 10_000).alias("profit"))
         .orderBy(F.col("nation").asc(), F.col("order_year").desc())
     )
 

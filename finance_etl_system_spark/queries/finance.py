@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import tick_sum
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +352,7 @@ def q_yoy_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("yr"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("ticks"))
+        .agg(tick_sum("o_totalprice").alias("ticks"))
     )
     w = Window.partitionBy("n_name").orderBy("yr")
     return (

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.columns import money_sum, tick_avg
+from ..functions.columns import discounted_revenue, money_sum, tick_avg
 from ..operators.joins import asof_join, range_join
 
 
@@ -71,18 +71,7 @@ def q_join_big_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("line_count"),
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10_000,
-                        0,
-                    ).cast("long")
-                )
-                / 10_000.0,
-                2,
-            ).alias("revenue"),
+            money_sum(discounted_revenue(), 10_000).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import money_sum
 from ..pipeline.ml import (
     chronological_split,
     train_ols_per_group,
@@ -32,9 +33,7 @@ def q_ml_chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return split.groupBy("user_id", "split").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0, 2).alias(
-            "value_sum"
-        ),
+        money_sum("value").alias("value_sum"),
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.columns import tick_sum
 
 
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,9 +103,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
         F.round(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w)
-            / 100.0,
-            2,
+            tick_sum("value").over(w) / 100.0, 2
         ).alias("value_last_hour"),
     )
 
@@ -167,9 +166,7 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w)
-            / 100.0,
-            2,
+            tick_sum("value").over(w) / 100.0, 2
         ).alias("running_value"),
         F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias("seq"),
     )
