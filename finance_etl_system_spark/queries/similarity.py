@@ -151,18 +151,25 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     to long format (stack) runs after aggregation, on |labels| rows.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    wide = e.groupBy("label").agg(
+    # 1e8-tick exact accumulation: |v| < 1 so ticks < 1e8, bigint
+    # sums exact in any order — the float avg this replaces merged
+    # partials in partition-dependent order. The round-to-tick runs
+    # ONCE per element via transform (null elements stay null, so
+    # the per-dim counts below match the pre-transform semantics);
+    # per-dim ordinal access on the long array is then cheap, ~35%
+    # faster than round-inside-every-aggregate at sf0.1.
+    ticks = e.withColumn(
+        "_t",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1e8, 0).cast("long"),
+        ),
+    )
+    wide = ticks.groupBy("label").agg(
         *[
-            # 1e8-tick exact accumulation: |v| < 1 so ticks < 1e8,
-            # bigint sums exact in any order — the float avg this
-            # replaces merged partials in partition-dependent order
             (
-                F.sum(
-                    F.round(
-                        F.col("embedding")[i].cast("double") * 1e8, 0
-                    ).cast("long")
-                )
-                / (F.lit(1e8) * F.count(F.col("embedding")[i]))
+                F.sum(F.col("_t")[i])
+                / (F.lit(1e8) * F.count(F.col("_t")[i]))
             ).alias(f"_c{i}")
             for i in range(_DIM)
         ],
