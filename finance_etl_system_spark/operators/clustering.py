@@ -8,14 +8,14 @@ coarse quantizer previously reused a label column) and the standard
 corpus-partitioning step (cluster-then-sample) in training-data
 curation.
 
-Scale shape per iteration:
-- assignment: one Arrow-batched pandas UDF against a BROADCAST k×d
-  numpy matrix — vectorized argmin, no shuffle, no Python per-row.
-- update: posexplode to (cluster, dim, x) then groupBy(cluster, dim)
-  sum/count — map-side combinable, shuffle carries k·d·partitions
-  rows, not N.
-- the driver collects exactly k×d sums + k counts per iteration
-  (same contract as MLlib's KMeans collectAsMap) — never the data.
+Scale shape per iteration: ONE shuffle-free mapInPandas pass fuses
+assignment (vectorized argmin against the k×d matrix closed over by
+the UDF) with the centroid update's partial sums — each partition
+emits at most k rows (cluster, Σx as array<double>, n), and the
+driver reduces the ≤ k×P row result to the new k×d matrix. No
+explode, no shuffle stage, no N-row intermediate; the driver holds
+k×d sums + k counts per iteration (same contract as MLlib's KMeans
+collectAsMap) — never the data.
 
 Determinism: seeds are the k rows with the smallest
 (xxhash64(id), id) — content-addressed, replay-stable, no rand().
@@ -31,7 +31,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
 
 
 @dataclass
@@ -42,22 +41,40 @@ class KMeansModel:
     shifts: list[float] = field(default_factory=list)
 
 
-def _assign_udf(centroids: np.ndarray):
-    """cluster = argmin_c ||x - c||² as a vectorized pandas UDF.
-
-    Expands ||x−c||² = ||x||² − 2x·c + ||c||²; the ||x||² term is
-    constant per row, so argmin needs only −2X·Cᵀ + ||c||² — one
-    matmul per Arrow batch."""
+def _partial_stats_fn(centroids: np.ndarray):
+    """One Lloyd iteration's map side: assign each vector to its
+    nearest centroid (argmin over ||x−c||² expanded as −2X·Cᵀ +
+    ||c||², the ||x||² row-constant dropped — one matmul per Arrow
+    batch) and fold the per-cluster (Σx, n) partials across the
+    partition's batches. Emits ≤ k rows per PARTITION, so the
+    iteration is a single shuffle-free stage and the driver reduce
+    sees k×P rows regardless of N. Ties break toward the lowest
+    cluster id (np.argmin)."""
     c = np.ascontiguousarray(centroids, dtype=np.float64)
     c_norm2 = (c * c).sum(axis=1)
+    k, d = c.shape
 
-    @F.pandas_udf(IntegerType())
-    def assign(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy())
-        scores = -2.0 * (x @ c.T) + c_norm2  # (n, k)
-        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+    def stats(batches):
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["_v"].to_numpy())
+            idx = np.argmin(-2.0 * (x @ c.T) + c_norm2, axis=1)
+            onehot = (idx == np.arange(k)[:, None]).astype(np.float64)
+            sums += onehot @ x  # (k, n) @ (n, d)
+            counts += np.bincount(idx, minlength=k)
+        nz = counts > 0
+        yield pd.DataFrame(
+            {
+                "cluster": np.arange(k)[nz].astype(np.int32),
+                "s": list(sums[nz]),
+                "n": counts[nz],
+            }
+        )
 
-    return assign
+    return stats
 
 
 def kmeans_fit(
@@ -93,24 +110,18 @@ def kmeans_fit(
     inertia = float("nan")
     it = 0
     for it in range(1, max_iter + 1):
-        assigned = src.withColumn("cluster", _assign_udf(centroids)("_v"))
-        # k·d partial sums per partition reach the shuffle; the driver
-        # sees only the k×d reduced matrix
-        stats = (
-            assigned.select(
-                "cluster",
-                F.posexplode("_v").alias("dim", "x"),
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # fused assign+partial-sum: one shuffle-free stage, ≤ k rows
+        # per partition reach the driver
+        stats = src.mapInPandas(
+            _partial_stats_fn(centroids),
+            schema="cluster int, s array<double>, n long",
+        ).collect()
         new_c = centroids.copy()
         counts = np.zeros(len(centroids), dtype=np.int64)
         sums = np.zeros_like(centroids)
         for r in stats:
-            sums[r["cluster"], r["dim"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
         nonempty = counts > 0
         new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
         shift = float(np.sqrt(((new_c - centroids) ** 2).sum(axis=1)).max())

@@ -483,8 +483,8 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_match(
-    corpus: DataFrame,
-    probe: DataFrame,
+    corpus: DataFrame | None,
+    probe: DataFrame | None,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -494,6 +494,8 @@ def minhash_lsh_match(
     seed: int = 42,
     verify_threshold: float = 0.0,
     max_bucket: int | None = None,
+    corpus_sig: DataFrame | None = None,
+    probe_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric LSH match: which CORPUS docs near-match any PROBE
     doc — the fuzzy-decontamination primitive (the probe side is an
@@ -508,13 +510,23 @@ def minhash_lsh_match(
     possible, and ``max_bucket`` still caps boilerplate buckets on
     the corpus side. Returns (corpus_id, probe_id, est_jaccard)
     pairs at >= verify_threshold.
+
+    ``corpus_sig`` / ``probe_sig`` let a caller that already holds
+    (id, sig) frames (from ``minhash_signatures`` with MATCHING
+    n/num_perm/seed) skip the signature pass — e.g. when corpus and
+    probe are disjoint slices of one table, sign the table once and
+    pass both filtered views. Presigned frames must already be
+    materialized (checkpointed); this function will not re-barrier
+    them.
     """
     assert num_perm % bands == 0
     rpb = num_perm // bands
     kw = dict(text_col=text_col, id_col=id_col, n=n,
               num_perm=num_perm, seed=seed)
-    csig = minhash_signatures(corpus, **kw).localCheckpoint(eager=True)
-    psig = minhash_signatures(probe, **kw).localCheckpoint(eager=True)
+    csig = (corpus_sig if corpus_sig is not None
+            else minhash_signatures(corpus, **kw).localCheckpoint(eager=True))
+    psig = (probe_sig if probe_sig is not None
+            else minhash_signatures(probe, **kw).localCheckpoint(eager=True))
     cband = _cap_hot_buckets(_band_rows(csig, bands, rpb), max_bucket)
     pband = _band_rows(psig, bands, rpb)
     cands = (

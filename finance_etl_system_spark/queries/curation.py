@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.frames import ranked_topk
-from ..operators.dedup import minhash_lsh_match
+from ..operators.dedup import minhash_lsh_match, minhash_signatures
 from ..operators.packing import prefix_pack
 from ..operators.partitioning import spread_for_expansion
 
@@ -415,10 +415,17 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_curation.py::test_decontaminate_fuzzy_recall.
     """
     d = load_table(spark, sf_dir, "documents")
-    eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
-    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    # corpus and eval are disjoint slices of ONE table: sign it once
+    # and hand both filtered views to the matcher (half the signature
+    # jobs vs signing each slice separately)
+    sig = minhash_signatures(d).localCheckpoint(eager=True)
     pairs = minhash_lsh_match(
-        corpus, eval_slice, verify_threshold=0.5, max_bucket=64
+        None,
+        None,
+        verify_threshold=0.5,
+        max_bucket=64,
+        corpus_sig=sig.filter(F.col("id") % EVAL_MOD != 0),
+        probe_sig=sig.filter(F.col("id") % EVAL_MOD == 0),
     )
     return (
         pairs.groupBy("corpus_id")
