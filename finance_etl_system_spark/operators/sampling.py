@@ -22,10 +22,11 @@ state); md5 is JVM-side, whole-stage-codegen'd. Granularity is 16^4 =
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 16**4  # 4 hex chars
+KEY_SPACE = 2**32  # budget_take order keys are expected in [0, KEY_SPACE)
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -72,6 +73,81 @@ def stratified_hash_sample(
             (F.col(strata_col) == stratum) & (bucket < F.lit(_hex_threshold(frac)))
         )
     return df.filter(keep)
+
+
+def budget_take(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    budgets: dict[str, int],
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-group weight-budget selection ("mixture sampling"): for
+    each group, keep the rows whose running weight total in
+    deterministic (order_col, tiebreak_col) order STARTS before the
+    group's budget — the domain-rebalancing step of a pretraining
+    pipeline (take ~N tokens of web, ~M of code, ...; DoReMi-style
+    mixture weights land here as per-domain token budgets).
+
+    Greedy boundary semantics match operators/packing.prefix_pack:
+    the row that crosses the budget line is KEPT, so a group's kept
+    weight total lands in [budget, budget + max_row_weight) — the
+    standard contract when documents are not split.
+
+    Scale shape: NO single-partition window. Grouped two-phase
+    distributed prefix sum: ``order_col`` (integral in [0,
+    KEY_SPACE)) is range-bucketed monotonically, the within-bucket
+    window cumsum runs on groups×buckets parallel partitions, and the
+    bucket-offset scan is a window over the groups×buckets-row totals
+    aggregate (partitioned by group — never one task), broadcast-
+    joined back. Budgets ride a literal map (domain counts are
+    human-sized). All integer arithmetic → bit-identical across
+    partitionings, bucket counts, and engines, so the DuckDB oracle
+    can use the naive one-window formulation and still hash-match.
+
+    Groups absent from ``budgets`` are dropped (the rebalancing
+    contract, same as stratified_hash_sample). Returns the kept rows
+    plus ``cum_before`` — the group's weight total strictly before
+    the row, useful for auditing how full each budget ran.
+    """
+    width = max(1, KEY_SPACE // buckets)
+    b = df.withColumn("_bucket", F.expr(f"{order_col} div {width}"))
+    w_in = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = b.withColumn("_cum_in", F.sum(weight_col).over(w_in))
+    totals = b.groupBy(group_col, "_bucket").agg(
+        F.sum(weight_col).alias("_total")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_bucket",
+        F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    return (
+        b.join(F.broadcast(offsets), [group_col, "_bucket"])
+        .withColumn(
+            "cum_before",
+            (F.col("_offset") + F.col("_cum_in") - F.col(weight_col)).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("cum_before") < budget_map[F.col(group_col)])
+        .drop("_bucket", "_cum_in", "_offset")
+    )
 
 
 def train_test_split_by_key(

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import money_sum
-from ..operators.sampling import hash_sample, stratified_hash_sample
+from ..operators.sampling import budget_take, hash_sample, stratified_hash_sample
+from .curation import _TOKS_SQL, _toks
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,12 +82,82 @@ ORDER BY o_orderpriority
 """
 
 
+# Per-domain token budgets for the mixture sampler. Domains not
+# listed are dropped; budgets are set to BIND at every test SF (each
+# sf0.01 domain holds ~1.3k whitespace tokens, sf0.1 ~13k).
+MIXTURE_BUDGETS = {
+    "src1": 700,
+    "src3": 450,
+    "src7": 650,
+    "src13": 250,
+    "src19": 500,
+}
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: take ~budget whitespace tokens per
+    source in deterministic Knuth-hash order (operators/sampling.py
+    budget_take — grouped two-phase prefix sum, no single-partition
+    window). Emits every kept doc with its in-group token offset, so
+    the oracle hashes the exact selected set AND the prefix structure.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("h"),
+    )
+    kept = budget_take(
+        d,
+        group_col="source",
+        weight_col="n_tokens",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budgets=MIXTURE_BUDGETS,
+    )
+    return kept.select("source", "doc_id", "n_tokens", "cum_before").orderBy(
+        "source", "doc_id"
+    )
+
+
+_MIXTURE_VALUES = ", ".join(
+    f"('{k}', {v})" for k, v in MIXTURE_BUDGETS.items()
+)
+
+_MIXTURE_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS cum_before
+  FROM t
+),
+b(source, budget) AS (VALUES {_MIXTURE_VALUES})
+SELECT c.source, c.doc_id, c.n_tokens, c.cum_before
+FROM c JOIN b ON c.source = b.source
+WHERE c.cum_before < b.budget
+ORDER BY c.source, c.doc_id
+"""
+
+
 QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "mixture_token_budget": q_mixture_token_budget,
 }
 
 ORACLE = {
     "hash_sample": _HASH_SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "mixture_token_budget": _MIXTURE_TOKEN_BUDGET_SQL,
 }

@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from finance_etl_system_spark.catalog import load_table
 from finance_etl_system_spark.operators.sampling import (
+    budget_take,
     hash_bucket,
     hash_sample,
     stratified_hash_sample,
@@ -83,6 +86,88 @@ def test_split_is_leakage_safe_and_total(spark):
     )
     assert both == 0
     assert test.count() == pytest.approx(0.25 * l.count(), rel=0.2)
+
+
+def _docs_with_weights(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), " +"), lambda x: x != ""))
+        .cast("long")
+        .alias("w"),
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("h"),
+    )
+
+
+def test_budget_take_greedy_boundary_and_drop(spark):
+    """Each listed group's kept weight lands in [budget, budget +
+    max_row_weight) when the budget binds (the boundary-crossing row
+    is kept, nothing after it); unlisted groups are dropped."""
+    d = _docs_with_weights(spark)
+    budgets = {"src1": 120, "src3": 80}
+    kept = budget_take(
+        d,
+        group_col="source",
+        weight_col="w",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budgets=budgets,
+    )
+    rows = kept.collect()
+    assert {r["source"] for r in rows} == set(budgets)
+    max_w = {r["source"]: r["mw"] for r in
+             d.groupBy("source").agg(F.max("w").alias("mw")).collect()}
+    for src, budget in budgets.items():
+        tot = sum(r["w"] for r in rows if r["source"] == src)
+        assert budget <= tot < budget + max_w[src]
+    # cum_before is the exact prefix sum in (h, doc_id) order
+    for src in budgets:
+        grp = sorted(
+            (r for r in rows if r["source"] == src),
+            key=lambda r: (r["h"], r["doc_id"]),
+        )
+        run = 0
+        for r in grp:
+            assert r["cum_before"] == run
+            run += r["w"]
+
+
+def test_budget_take_bucket_and_partitioning_invariant(spark):
+    """The kept SET is independent of the bucket count and the input
+    partitioning — the integer-arithmetic property the oracle gate
+    relies on."""
+    d = _docs_with_weights(spark)
+    kw = dict(
+        group_col="source",
+        weight_col="w",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budgets={"src2": 150, "src5": 90},
+    )
+    key = lambda df: {  # noqa: E731
+        (r["source"], r["doc_id"], r["cum_before"]) for r in df.collect()
+    }
+    a = key(budget_take(d, **kw))
+    b = key(budget_take(d, buckets=3, **kw))
+    c = key(budget_take(d.repartition(13, "doc_id"), **kw))
+    assert a == b == c and a
+
+
+def test_budget_take_oversized_budget_keeps_whole_group(spark):
+    d = _docs_with_weights(spark)
+    kept = budget_take(
+        d,
+        group_col="source",
+        weight_col="w",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budgets={"src4": 10**9},
+    )
+    assert kept.count() == d.filter(F.col("source") == "src4").count()
 
 
 def test_bucket_column_is_reusable(spark):
