@@ -98,6 +98,7 @@ HEADLINE: list[str] = [
     "anomaly_seasonal",
     "dedup_semantic",
     "decontaminate_fuzzy",
+    "mixture_token_budget",
 ]
 
 

@@ -593,6 +593,25 @@ SELECT * FROM (
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE vocabulary induction: 10 merge rounds over the corpus
+    word-frequency table (operators/bpe.py — one corpus scan, then
+    vocab-sized pair aggregates whose per-round driver payload is ONE
+    row). Rows-only: the iterative argmax loop is not one SQL query;
+    the merge list is pinned by exact equality with a pure-Python
+    reference trainer in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = bpe_train(d, num_merges=10, min_freq=2)
+    rows = [
+        (i + 1, l, r, m, f) for i, (l, r, m, f) in enumerate(model.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, freq long"
+    )
+
+
 def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE quality scorecard — the data-vendor triage view an
     LLM pipeline uses to decide which feeds to keep: volume, size,
@@ -680,6 +699,7 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "bigram_surprisal": q_bigram_surprisal,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "bpe_train_merges": q_bpe_train_merges,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
