@@ -121,6 +121,12 @@ def budget_take(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     b = b.withColumn("_cum_in", F.sum(weight_col).over(w_in))
+    # the totals branch re-scans the (column-pruned) input rather than
+    # reusing the windowed frame: its shuffle then carries only
+    # map-side-combined (group, bucket, total) partials — groups×
+    # buckets rows per partition — where a post-window aggregate would
+    # re-shuffle the whole corpus (and materializing the windowed
+    # frame to share the scan would cache corpus-sized state)
     totals = b.groupBy(group_col, "_bucket").agg(
         F.sum(weight_col).alias("_total")
     )
