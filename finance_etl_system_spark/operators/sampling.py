@@ -84,6 +84,7 @@ def budget_take(
     tiebreak_col: str,
     budgets: dict[str, int],
     buckets: int = 64,
+    consumed: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-group weight-budget selection ("mixture sampling"): for
     each group, keep the rows whose running weight total in
@@ -112,6 +113,14 @@ def budget_take(
     contract, same as stratified_hash_sample). Returns the kept rows
     plus ``cum_before`` — the group's weight total strictly before
     the row, useful for auditing how full each budget ran.
+
+    ``consumed`` makes the take INCREMENTAL (the prefix_pack
+    base_offset pattern): pass each group's weight total already
+    taken by previous batches and this batch fills only the remaining
+    budget — today's take never re-reads yesterday's corpus.
+    ``cum_before`` then includes the carry, so the next batch's
+    ``consumed`` is simply max(cum_before + weight) over this batch's
+    kept rows per group (unchanged for groups that kept nothing).
     """
     width = max(1, KEY_SPACE // buckets)
     b = df.withColumn("_bucket", F.expr(f"{order_col} div {width}"))
@@ -143,13 +152,19 @@ def budget_take(
     budget_map = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )
+    carry = F.lit(0)
+    if consumed:
+        carry_map = F.create_map(
+            *[F.lit(x) for kv in consumed.items() for x in kv]
+        )
+        carry = F.coalesce(carry_map[F.col(group_col)], F.lit(0))
     return (
         b.join(F.broadcast(offsets), [group_col, "_bucket"])
         .withColumn(
             "cum_before",
-            (F.col("_offset") + F.col("_cum_in") - F.col(weight_col)).cast(
-                "long"
-            ),
+            (
+                carry + F.col("_offset") + F.col("_cum_in") - F.col(weight_col)
+            ).cast("long"),
         )
         .filter(F.col("cum_before") < budget_map[F.col(group_col)])
         .drop("_bucket", "_cum_in", "_offset")

@@ -157,6 +157,45 @@ def test_budget_take_bucket_and_partitioning_invariant(spark):
     assert a == b == c and a
 
 
+def test_budget_take_incremental_carry(spark):
+    """Two-day top-up: day 2 with the day-1 carry fills exactly the
+    remaining budget, and a group exhausted on day 1 takes nothing."""
+    d = _docs_with_weights(spark)
+    day1 = d.filter(F.col("doc_id") % 2 == 0)
+    day2 = d.filter(F.col("doc_id") % 2 == 1)
+    # src1's budget exceeds day-1 supply (top-up path); src3's is
+    # exhausted on day 1 (zero-take path)
+    budgets = {"src1": 1000, "src3": 60}
+    kw = dict(
+        group_col="source",
+        weight_col="w",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budgets=budgets,
+    )
+    k1 = budget_take(day1, **kw).collect()
+    consumed = {
+        src: max(
+            (r["cum_before"] + r["w"] for r in k1 if r["source"] == src),
+            default=0,
+        )
+        for src in budgets
+    }
+    k2 = budget_take(day2, consumed=consumed, **kw).collect()
+    max_w = {r["source"]: r["mw"] for r in
+             d.groupBy("source").agg(F.max("w").alias("mw")).collect()}
+    for src, budget in budgets.items():
+        took1 = consumed[src]
+        took2 = sum(r["w"] for r in k2 if r["source"] == src)
+        if took1 >= budget:  # exhausted on day 1
+            assert took2 == 0
+        else:  # day 2 fills the remainder (greedy overrun allowed)
+            assert budget <= took1 + took2 < budget + max_w[src]
+    # carry-inclusive cum_before: day-2 rows start at the day-1 total
+    for r in k2:
+        assert r["cum_before"] >= consumed[r["source"]]
+
+
 def test_budget_take_oversized_budget_keeps_whole_group(spark):
     d = _docs_with_weights(spark)
     kept = budget_take(
