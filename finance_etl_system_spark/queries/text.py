@@ -612,6 +612,34 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under the TRAINED tokenizer — the budget
+    input every context-window / cost estimate actually needs (raw
+    word counts mis-size packing the moment a real tokenizer is
+    used): train 8 merges, encode the corpus (Arrow-batched replay,
+    operators/bpe.py), report per-source docs, total BPE tokens, and
+    chars-per-token compression. Rows-only (the trained merge list is
+    not SQL-expressible); encode faithfulness is pinned in
+    tests/test_bpe.py, and the integer totals make the output
+    engine-deterministic."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = bpe_train(d, num_merges=8, min_freq=2)
+    enc = bpe_encode(d, model)
+    n_tok = F.sum(F.size("bpe_tokens")).cast("long")
+    n_chars = F.sum(F.length("text")).cast("long")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_tok.alias("total_tokens"),
+            F.round(n_chars / n_tok, 6).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE quality scorecard — the data-vendor triage view an
     LLM pipeline uses to decide which feeds to keep: volume, size,
@@ -700,6 +728,7 @@ QUERIES = {
     "bigram_surprisal": q_bigram_surprisal,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_token_lengths": q_bpe_token_lengths,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,
