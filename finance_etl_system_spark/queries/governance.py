@@ -203,13 +203,62 @@ FROM pairs p JOIN tot t ON p.src = t.src
 ORDER BY p.src, p.dst
 """
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit before releasing a dataset:
+    k-anonymity and l-diversity per quasi-identifier class. QI =
+    (nation, market segment); the sensitive attribute is the account
+    balance bucketed to exact-integer bands (cents shifted
+    non-negative then integer-divided, so the band is bit-identical
+    on both engines — no float floor at a boundary). Emits every QI
+    class with its size (k of the class), distinct sensitive values
+    (l), and an at-risk flag (k < 5, the conventional disclosure
+    threshold).
+
+    Scale: ONE map-combinable groupBy over QI-cardinality keys; the
+    l-diversity count_distinct expands by at most the number of bands
+    per class. Output is |QI classes| rows — bounded by the QI
+    domain, not the data."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        "(cast(round(c_acctbal * 100, 0) as bigint) + 100000) div 200000"
+    )
+    return (
+        c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("band").alias("l_diversity"),
+        )
+        .withColumn("at_risk", (F.col("class_size") < 5).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000) // 200000 AS band
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(DISTINCT band) AS l_diversity,
+       CAST(COUNT(*) < 5 AS INT) AS at_risk
+FROM b
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "gdpr_scrub": q_gdpr_scrub,
     "ab_test_analysis": q_ab_test_analysis,
     "event_transitions": q_event_transitions,
+    "k_anonymity": q_k_anonymity,
 }
 ORACLE = {
     "gdpr_scrub": _GDPR_SCRUB_SQL,
     "ab_test_analysis": _AB_TEST_SQL,
     "event_transitions": _EVENT_TRANSITIONS_SQL,
+    "k_anonymity": _K_ANONYMITY_SQL,
 }
