@@ -47,6 +47,9 @@ _EXTRA = [
     "cdc_merge",
     "zorder_stats",
     "nation_pagerank",
+    "bpe_train_merges",
+    "bpe_token_lengths",
+    "k_anonymity",
 ]
 
 
