@@ -150,14 +150,81 @@ ORDER BY c.source, c.doc_id
 """
 
 
+def q_quality_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first mixture: fill each source's token budget with its
+    HIGHEST-lexical-diversity documents instead of a uniform hash
+    sample — the curation policy when budgets are tight and quality
+    is measurable. The order key is the type-token ratio quantized to
+    an integer grid, inverted (budget_take scans ascending), and
+    spread across the full key space so the range-bucketing keeps its
+    parallelism; ties break on doc_id. Same grouped two-phase prefix
+    sum, same oracle discipline (all-integer key, identical on both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    ttr_grid = F.round(
+        F.size(F.array_distinct(toks))
+        / F.greatest(n_tokens, F.lit(1))
+        * 1000000
+    ).cast("long")
+    prepared = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        ((F.lit(1000000) - ttr_grid) * F.lit(4294)).alias("k"),
+    )
+    kept = budget_take(
+        prepared,
+        group_col="source",
+        weight_col="n_tokens",
+        order_col="k",
+        tiebreak_col="doc_id",
+        budgets=MIXTURE_BUDGETS,
+    )
+    return kept.select("source", "doc_id", "n_tokens", "cum_before").orderBy(
+        "source", "doc_id"
+    )
+
+
+_QUALITY_BUDGET_TAKE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (1000000 - CAST(ROUND(len(list_distinct(toks))
+             / greatest(CAST(len(toks) AS BIGINT), 1) * 1000000, 0) AS BIGINT)
+         ) * 4294 AS k
+  FROM t
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS cum_before
+  FROM g
+),
+b(source, budget) AS (VALUES {_MIXTURE_VALUES})
+SELECT c.source, c.doc_id, c.n_tokens, c.cum_before
+FROM c JOIN b ON c.source = b.source
+WHERE c.cum_before < b.budget
+ORDER BY c.source, c.doc_id
+"""
+
+
 QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "mixture_token_budget": q_mixture_token_budget,
+    "quality_budget_take": q_quality_budget_take,
 }
 
 ORACLE = {
     "hash_sample": _HASH_SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "mixture_token_budget": _MIXTURE_TOKEN_BUDGET_SQL,
+    "quality_budget_take": _QUALITY_BUDGET_TAKE_SQL,
 }

@@ -209,6 +209,35 @@ def test_budget_take_oversized_budget_keeps_whole_group(spark):
     assert kept.count() == d.filter(F.col("source") == "src4").count()
 
 
+def test_quality_budget_take_is_best_first(spark):
+    """The kept set is a PREFIX of each source's quality order: every
+    kept doc sorts (quality key, doc_id)-before every dropped doc."""
+    from finance_etl_system_spark.queries.sampling import (
+        MIXTURE_BUDGETS,
+        q_quality_budget_take,
+    )
+
+    kept = {
+        (r["source"], r["doc_id"])
+        for r in q_quality_budget_take(spark, SF_SMOKE).collect()
+    }
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.filter(F.split(F.lower("text"), " +"), lambda x: x != "")
+    n = F.size(toks).cast("long")
+    grid = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)) * 1000000
+    ).cast("long")
+    rows = d.select(
+        "doc_id", "source", ((F.lit(1000000) - grid) * F.lit(4294)).alias("k")
+    ).collect()
+    for src in MIXTURE_BUDGETS:
+        ks = sorted(
+            ((r["k"], r["doc_id"]) for r in rows if r["source"] == src)
+        )
+        kept_keys = [t for t in ks if (src, t[1]) in kept]
+        assert kept_keys == ks[: len(kept_keys)] and kept_keys
+
+
 def test_bucket_column_is_reusable(spark):
     """hash_bucket persisted once reproduces hash_sample membership."""
     o = load_table(spark, SF_SMOKE, "orders").withColumn(
