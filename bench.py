@@ -99,6 +99,8 @@ HEADLINE: list[str] = [
     "dedup_semantic",
     "decontaminate_fuzzy",
     "mixture_token_budget",
+    "quality_budget_take",
+    "k_anonymity",
 ]
 
 
