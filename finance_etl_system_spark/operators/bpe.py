@@ -60,14 +60,22 @@ class BPEModel:
     merges: list[tuple[str, str, str, int]] = field(default_factory=list)
 
 
-def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_freq(
+    df: DataFrame, text_col: str = "text", max_word_chars: int = 64
+) -> DataFrame:
     """(term, freq) over the normalized whitespace tokens — the one
-    corpus-sized pass."""
+    corpus-sized pass. ``max_word_chars`` drops degenerate "words"
+    (URLs, base64 blobs) whose quadratic merge-pass cost would
+    otherwise dominate a round — the same pre-tokenizer length cap
+    every production trainer applies; at web scale such tokens are
+    noise, not vocabulary."""
     return (
         df.select(
             F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term")
         )
-        .filter(F.col("term") != "")
+        .filter(
+            (F.col("term") != "") & (F.length("term") <= max_word_chars)
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -164,13 +172,13 @@ def merge_pass(sym: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def encode_word(
+def replay_word(
     word: str, merges: list[tuple[str, str, str, int]]
 ) -> list[str]:
-    """Reference BPE encode of one word: replay the merge list in
-    training order — exactly the transformation training applied to
-    the vocab, so encoding the training corpus reproduces the final
-    training-time symbol sequences."""
+    """Definitional BPE encode: replay the merge list in training
+    order — exactly the transformation training applied to the vocab.
+    O(|merges|·len) per word; the production path is ``encode_word``,
+    whose equality with this is pinned in tests/test_bpe.py."""
     sym = list(word) + [END_OF_WORD]
     for left, right, _, _ in merges:
         if len(sym) < 2:
@@ -179,14 +187,48 @@ def encode_word(
     return sym
 
 
+def encode_word(
+    word: str,
+    merges: list[tuple[str, str, str, int]],
+    ranks: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """Rank-greedy BPE encode (the GPT-2/HF algorithm): repeatedly
+    merge all occurrences of the lowest-rank adjacent pair present.
+    O(len²) per word, INDEPENDENT of |merges| — at a 50k-merge vocab
+    this is what makes corpus-scale encoding feasible. Equal to
+    ``replay_word`` for any training-produced merge list: a merge's
+    constituents always predate it, so pairs created by merging the
+    current minimum have strictly higher ranks and can never preempt
+    its remaining occurrences (equality pinned by test)."""
+    if ranks is None:
+        ranks = {(l, r): i for i, (l, r, _, _) in enumerate(merges)}
+    sym = list(word) + [END_OF_WORD]
+    while len(sym) >= 2:
+        best = min(
+            (
+                ranks[p]
+                for p in zip(sym, sym[1:])
+                if p in ranks
+            ),
+            default=None,
+        )
+        if best is None:
+            break
+        left, right = merges[best][0], merges[best][1]
+        sym = merge_pass(sym, left, right)
+    return sym
+
+
 def bpe_encode(
     df: DataFrame, model: BPEModel, text_col: str = "text"
 ) -> DataFrame:
     """Add ``bpe_tokens``: the text tokenized with the trained merge
-    list. Arrow-batched pandas UDF replaying the merge list (see
-    module docstring for why this is not a JVM expression); per-batch
-    word memoization keeps the Python work at unique-words volume."""
+    list. Arrow-batched pandas UDF running the rank-greedy encoder
+    (see module docstring for why this is not a JVM expression);
+    per-batch word memoization keeps the Python work at unique-words
+    volume."""
     merges = list(model.merges)
+    ranks = {(l, r): i for i, (l, r, _, _) in enumerate(merges)}
 
     @F.pandas_udf(ArrayType(StringType()))
     def enc(texts: pd.Series) -> pd.Series:
@@ -196,7 +238,7 @@ def bpe_encode(
             out: list[str] = []
             for w in (t or "").lower().split():
                 if w not in cache:
-                    cache[w] = encode_word(w, merges)
+                    cache[w] = encode_word(w, merges, ranks)
                 out.extend(cache[w])
             return out
 

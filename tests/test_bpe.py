@@ -20,6 +20,7 @@ from finance_etl_system_spark.operators.bpe import (
     encode_word,
     merge_pass,
     merge_symbols,
+    replay_word,
     word_freq,
 )
 from tests.conftest import SF_SMOKE
@@ -120,9 +121,24 @@ def test_encode_replays_training_and_is_lossless(spark):
             w + END_OF_WORD for w in row["text"].lower().split()
         )
         assert joined == expect
-        # faithfulness: per-word tokens equal the reference replay
+        # faithfulness: per-word tokens equal the definitional replay
         i = 0
         for w in row["text"].lower().split():
-            ref = encode_word(w, model.merges)
+            ref = replay_word(w, model.merges)
             assert toks[i : i + len(ref)] == ref
             i += len(ref)
+
+
+def test_rank_greedy_encoder_equals_replay(spark):
+    """encode_word (rank-greedy, |merges|-independent) ≡ replay_word
+    (training-order replay) on every corpus word plus adversarial
+    synthetic words, for a REAL trained merge list."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    model = bpe_train(d, num_merges=12, min_freq=2)
+    ranks = {(l, r): i for i, (l, r, _, _) in enumerate(model.merges)}
+    words = {w["term"] for w in word_freq(d).collect()}
+    words |= {"", "a", "aa" * 10, "spark" * 5, "mergemerge", "xyzzy"}
+    for w in words:
+        assert encode_word(w, model.merges, ranks) == replay_word(
+            w, model.merges
+        ), w
