@@ -219,6 +219,35 @@ def encode_word(
     return sym
 
 
+def save_bpe_model(
+    spark, model: BPEModel, path: str, *, overwrite: bool = True
+) -> None:
+    """Persist the merge list as a rank-ordered parquet artifact —
+    the tokenizer-asset twin of the repo's model blob store: train
+    once, encode from the artifact in any later session/stream. The
+    table is |merges| rows (KB-scale for real vocabs)."""
+    rows = [
+        (i, l, r, m, f) for i, (l, r, m, f) in enumerate(model.merges)
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, freq long"
+    )
+    mode = "overwrite" if overwrite else "errorifexists"
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_bpe_model(spark, path: str) -> BPEModel:
+    """Load a persisted merge list; rank order restored explicitly
+    (parquet row order is not a contract)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return BPEModel(
+        merges=[
+            (r["left"], r["right"], r["merged"], int(r["freq"]))
+            for r in rows
+        ]
+    )
+
+
 def bpe_encode(
     df: DataFrame, model: BPEModel, text_col: str = "text"
 ) -> DataFrame:

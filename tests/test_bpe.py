@@ -19,8 +19,10 @@ from finance_etl_system_spark.operators.bpe import (
     bpe_train,
     encode_word,
     merge_pass,
+    load_bpe_model,
     merge_symbols,
     replay_word,
+    save_bpe_model,
     word_freq,
 )
 from tests.conftest import SF_SMOKE
@@ -127,6 +129,18 @@ def test_encode_replays_training_and_is_lossless(spark):
             ref = replay_word(w, model.merges)
             assert toks[i : i + len(ref)] == ref
             i += len(ref)
+
+
+def test_model_persistence_roundtrip(spark, tmp_path):
+    d = load_table(spark, SF_SMOKE, "documents").limit(80)
+    model = bpe_train(d, num_merges=5, min_freq=2)
+    path = str(tmp_path / "bpe_model")
+    save_bpe_model(spark, model, path)
+    loaded = load_bpe_model(spark, path)
+    assert loaded.merges == model.merges
+    a = bpe_encode(d, model).select("bpe_tokens").collect()
+    b = bpe_encode(d, loaded).select("bpe_tokens").collect()
+    assert a == b
 
 
 def test_rank_greedy_encoder_equals_replay(spark):
