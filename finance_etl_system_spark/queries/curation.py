@@ -439,9 +439,42 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing: the pack_sequences shape, but
+    weighted by the REAL token counts of a trained BPE tokenizer
+    (train 8 merges → Arrow-batched encode → two-phase prefix pack).
+    Whitespace word counts mis-size context windows the moment a real
+    tokenizer is used; this is the composition a pretraining pipeline
+    actually runs. Rows-only (the trained merge list is not
+    SQL-expressible); the packing kernel and the encoder each carry
+    their own oracle/ground-truth (pack_sequences PASS,
+    tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = bpe_train(d, num_merges=8, min_freq=2)
+    counts = bpe_encode(d, model).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("h"),
+    )
+    packed = prefix_pack(
+        counts,
+        weight_col="n_tokens",
+        order_col="h",
+        tiebreak_col="doc_id",
+        budget=PACK_BUDGET,
+    )
+    return packed.select("doc_id", "n_tokens", "bin_id").orderBy("doc_id")
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
+    "pack_bpe": q_pack_bpe,
     "chunk_documents": q_chunk_documents,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_incremental": q_corpus_incremental,

@@ -143,6 +143,33 @@ def test_model_persistence_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_pack_bpe_bins_respect_budget(spark):
+    """Tokenizer-aware packing (queries/curation.q_pack_bpe): bins are
+    contiguous from 0 and each bin's fill is within one document of
+    the budget (the greedy start-bin contract)."""
+    from collections import defaultdict
+
+    from finance_etl_system_spark.queries.curation import (
+        PACK_BUDGET,
+        q_pack_bpe,
+    )
+
+    rows = q_pack_bpe(spark, SF_SMOKE).collect()
+    assert rows
+    fills: dict[int, int] = defaultdict(int)
+    for r in rows:
+        fills[r["bin_id"]] += r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert max_doc < PACK_BUDGET  # precondition for contiguity below
+    assert set(fills) == set(range(len(fills)))  # contiguous bins
+    for b, fill in fills.items():
+        # start-bin greedy: fill = budget − spill_in + spill_out,
+        # each spill < max_doc
+        assert fill < PACK_BUDGET + max_doc
+        if b != max(fills):
+            assert fill > PACK_BUDGET - max_doc
+
+
 def test_rank_greedy_encoder_equals_replay(spark):
     """encode_word (rank-greedy, |merges|-independent) ≡ replay_word
     (training-order replay) on every corpus word plus adversarial
