@@ -66,6 +66,8 @@ def _partial_stats_fn(centroids: np.ndarray):
             sums += onehot @ x  # (k, n) @ (n, d)
             counts += np.bincount(idx, minlength=k)
         nz = counts > 0
+        if not nz.any():  # empty partition: emit nothing (an empty
+            return  # object column trips Arrow's NumPyConverter)
         yield pd.DataFrame(
             {
                 "cluster": np.arange(k)[nz].astype(np.int32),

@@ -1,0 +1,300 @@
+"""Product quantization (PQ) for embedding compression + ANN search —
+the FAISS-style codebook tier (Jégou et al. 2011, public method) that
+completes the engine's quantization family (SQ8 scalar quantization in
+operators/quantize.py, IVF routing in operators/similarity.py).
+
+Spark-first shapes:
+
+- **Train** (``pq_train``): all m sub-codebooks learn TOGETHER — each
+  Lloyd iteration is ONE shuffle-free mapInPandas pass that assigns
+  every subvector to its nearest codeword (m vectorized argmins per
+  Arrow batch) and folds per-(subspace, codeword) partial sums inside
+  the partition; at most m×k rows per partition reach the driver, which
+  holds only the (m, k, d/m) codebook tensor (the fused-kmeans contract
+  of operators/clustering.py, multiplied across subspaces — never m
+  separate training jobs).
+- **Encode** (``pq_encode``): one Arrow-batched pandas UDF → m small
+  codes per vector (array<int>); 64-dim float vectors compress 32× at
+  m=8 (8 bytes of codes vs 256 bytes of floats) — the difference
+  between an in-memory and an on-disk corpus at 100 TB.
+- **Search** (``pq_topk_adc``): asymmetric distance computation —
+  per query ONE (m, k) lookup table of subspace inner products, score =
+  Σ_s LUT[s, code_s]; corpus vectors are never reconstructed. The
+  mapInPandas kernel emits only each partition's top-k per query
+  (np.argpartition), so the global rank runs over k×partitions rows —
+  rank-after-limit, same hygiene as functions/frames.ranked_topk.
+
+Determinism: seeds are the k rows with the smallest (xxhash64(id), id)
+— content-addressed, replay-stable, no rand(); ADC scores round to 6dp
+with cid tiebreak before ranking.
+
+Exactness property pinned by tests: the ADC score of a corpus vector
+IS the inner product of the query with the vector's reconstruction
+(Σ_s q_s · codeword_s) — bit-for-bit, not approximately.
+
+The reference has no vector tier at all (`/root/reference/spark-job/
+etl_job.py` stops at OHLCV rows); this is the X2 extension path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PQModel:
+    codebooks: np.ndarray  # (m, k, dsub) float64
+    dim: int
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codebooks.shape[1]
+
+
+def _as_matrix(pdf_col) -> np.ndarray:
+    return np.vstack(pdf_col.to_numpy()).astype(np.float64)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0  # zero vectors stay zero (cosine 0 vs anything)
+    return x / n
+
+
+def _subspaces(x: np.ndarray, m: int) -> np.ndarray:
+    n, d = x.shape
+    return x.reshape(n, m, d // m)
+
+
+def _pq_stats_fn(codebooks: np.ndarray):
+    """One fused Lloyd iteration across ALL subspaces: per partition,
+    assign each subvector to its nearest codeword and fold
+    per-(subspace, codeword) (Σx, n) partials. ≤ m×k output rows per
+    partition."""
+    c = np.ascontiguousarray(codebooks)  # (m, k, dsub)
+    m, k, dsub = c.shape
+    c_norm2 = (c * c).sum(axis=2)  # (m, k)
+
+    def stats(batches):
+        sums = np.zeros((m, k, dsub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _subspaces(_normalize(_as_matrix(pdf["_v"])), m)
+            for s in range(m):
+                scores = -2.0 * (x[:, s, :] @ c[s].T) + c_norm2[s]
+                idx = np.argmin(scores, axis=1)
+                onehot = (idx == np.arange(k)[:, None]).astype(np.float64)
+                sums[s] += onehot @ x[:, s, :]
+                counts[s] += np.bincount(idx, minlength=k)
+        nz = counts > 0
+        if not nz.any():  # empty partition: emit nothing (an empty
+            return  # object column trips Arrow's NumPyConverter)
+        ss, cc = np.nonzero(nz)
+        yield pd.DataFrame(
+            {
+                "sub": ss.astype(np.int32),
+                "cluster": cc.astype(np.int32),
+                "s": [sums[a, b] for a, b in zip(ss, cc)],
+                "n": counts[nz],
+            }
+        )
+
+    return stats
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 8,
+    tol: float = 1e-6,
+) -> PQModel:
+    """Learn m sub-codebooks of k codewords over unit-normalized
+    vectors (PQ for cosine/IP search). ``dim`` must divide by ``m``."""
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+    src = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(id_col).alias("_id"),
+    )
+    seeds = (
+        src.orderBy(F.xxhash64("_id"), "_id").limit(k).select("_v").collect()
+    )
+    seed_x = _normalize(
+        np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
+    )
+    if len(seed_x) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codewords")
+    codebooks = np.stack(
+        [_subspaces(seed_x, m)[:, s, :].copy() for s in range(m)]
+    )  # (m, k, dsub)
+    data = src.select("_v")
+    for _ in range(max_iter):
+        stats = data.mapInPandas(
+            _pq_stats_fn(codebooks),
+            schema="sub int, cluster int, s array<double>, n long",
+        ).collect()
+        new_c = codebooks.copy()
+        sums = np.zeros_like(codebooks)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in stats:
+            sums[r["sub"], r["cluster"]] += np.asarray(r["s"])
+            counts[r["sub"], r["cluster"]] += r["n"]
+        nz = counts > 0
+        new_c[nz] = sums[nz] / counts[nz][:, None]
+        shift = float(np.sqrt(((new_c - codebooks) ** 2).sum(axis=2)).max())
+        codebooks = new_c
+        if shift < tol:
+            break
+    return PQModel(codebooks=codebooks, dim=dim)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``codes``: the m nearest-codeword indices of the
+    unit-normalized vector — the 32×-compressed corpus
+    representation."""
+    c = model.codebooks
+    m = model.m
+    c_norm2 = (c * c).sum(axis=2)
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        x = _subspaces(_normalize(_as_matrix(vecs)), m)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            codes[:, s] = np.argmin(
+                -2.0 * (x[:, s, :] @ c[s].T) + c_norm2[s], axis=1
+            )
+        return pd.Series(list(codes))
+
+    return df.withColumn("codes", enc(F.col(vec_col)))
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    model: PQModel,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    rerank: int = 50,
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries (driver-sized, same contract
+    as the brute-force/LSH paths) become (m, k_codes) inner-product
+    LUTs; each corpus partition scores its codes with m table lookups
+    per vector and emits only its local top candidates per query
+    (np.argpartition), so the global rank runs over candidates ×
+    partitions rows. Pure-ADC output: (qid, rnk, cid, score), score =
+    q · reconstruction rounded 6dp, cid tiebreak.
+
+    ``rerank_with`` (the original-vector frame) switches to the
+    IVF-PQ production pattern: ADC shortlists ``rerank`` candidates
+    per query, float vectors are fetched ONLY for the ≤ nq×rerank
+    survivors (broadcast semi-join shape — the corpus never
+    shuffles), and exact cosine re-ranks the top-``k``. Output gains
+    the ``adc`` coarse score next to the exact ``score``."""
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = [int(r["qid"]) for r in q_rows]
+    qx = _normalize(
+        np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    )
+    c = model.codebooks
+    m = model.m
+    # (nq, m, k_codes): LUT[q, s, j] = q_s · codeword_{s,j}
+    luts = np.einsum("qsd,skd->qsk", _subspaces(qx, m), c)
+    n_local = rerank if rerank_with is not None else k
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            cids = pdf["_cid"].to_numpy()
+            cols = np.arange(m)
+            out = {"qid": [], "cid": [], "score": []}
+            for qi, qid in enumerate(qids):
+                sc = luts[qi][cols, codes].sum(axis=1)  # (n,)
+                top = min(n_local, len(sc))
+                idx = np.argpartition(-sc, top - 1)[:top]
+                out["qid"].extend([qid] * top)
+                out["cid"].extend(cids[idx])
+                out["score"].extend(np.round(sc[idx], 6))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    local = codes_df.select(
+        F.col(id_col).alias("_cid"), "codes"
+    ).mapInPandas(score, schema="qid long, cid long, score double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    ranked = local.withColumn("rnk", F.row_number().over(w))
+    if rerank_with is None:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "qid", "rnk", "cid", "score"
+        )
+
+    from .similarity import _as_double, _dot, _norm
+
+    survivors = ranked.filter(F.col("rnk") <= rerank).select(
+        "qid", "cid", F.col("score").alias("adc")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    )
+    cv = rerank_with.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(corpus_vec_col)).alias("cv"),
+    )
+    exact = (
+        cv.join(F.broadcast(survivors), "cid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            "adc",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("cv")),
+                    _norm(F.col("qv")) * _norm(F.col("cv")),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "score", "adc")
+    )

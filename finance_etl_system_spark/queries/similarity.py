@@ -329,8 +329,34 @@ ORDER BY qid, rnk
 """
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 compression path: product-quantization search in the
+    IVF-PQ production shape (operators/pq.py — fused multi-subspace
+    codebook training, 32× code compression, per-partition ADC LUT
+    shortlist of 50, exact cosine rerank fetching floats only for
+    survivors). Approximate → rows-only; recall and the
+    ADC-equals-reconstruction-IP property pinned in tests/test_pq.py."""
+    from ..operators.pq import pq_encode, pq_topk_adc, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # m=16 4-dim subspaces x 32 codewords: 16 byte codes (16x), ADC
+    # shortlist 50 -> exact rerank measures recall@10 = 0.98 on the
+    # fixture (tests/test_pq.py)
+    model = pq_train(e, dim=_DIM, m=16, k=32, max_iter=6)
+    codes = pq_encode(e, model)
+    return pq_topk_adc(
+        codes,
+        _queries_df(spark, sf_dir),
+        model,
+        k=_K,
+        rerank_with=e,
+        rerank=50,
+    ).orderBy("qid", "rnk")
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_pq": q_knn_pq,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,

@@ -1,0 +1,133 @@
+"""Product quantization (operators/pq.py): the ADC score must be
+EXACTLY the query·reconstruction inner product (not approximately),
+codes must be partitioning-invariant, and end-to-end recall against
+brute-force cosine must clear the compression operating point on the
+real fixture embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.operators.pq import (
+    PQModel,
+    _normalize,
+    _subspaces,
+    pq_encode,
+    pq_topk_adc,
+    pq_train,
+)
+from finance_etl_system_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from tests.conftest import SF_SMOKE
+
+DIM, M, K_CODES = 64, 8, 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def model(spark, corpus):
+    return pq_train(corpus, dim=DIM, m=M, k=K_CODES, max_iter=6)
+
+
+def test_codebook_shape_and_determinism(spark, corpus, model):
+    assert model.codebooks.shape == (M, K_CODES, DIM // M)
+    again = pq_train(
+        corpus.repartition(7, "label"), dim=DIM, m=M, k=K_CODES, max_iter=6
+    )
+    assert np.allclose(model.codebooks, again.codebooks)
+
+
+def test_encode_is_partitioning_invariant(spark, corpus, model):
+    a = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(corpus, model).select("vec_id", "codes").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(corpus.repartition(5, "vec_id"), model)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert a == b
+    assert all(len(c) == M for c in a.values())
+    assert all(0 <= v < K_CODES for c in a.values() for v in c)
+
+
+def test_adc_score_equals_reconstruction_ip(spark, corpus, model):
+    """ADC is exact w.r.t. the quantized corpus: score(q, x) ==
+    normalize(q) · reconstruction(codes(x)), to rounding."""
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = {
+        r["vec_id"]: np.asarray(r["codes"])
+        for r in pq_encode(corpus, model).select("vec_id", "codes").collect()
+    }
+    raw_q = {
+        r["query_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in queries.collect()
+    }
+    got = pq_topk_adc(
+        pq_encode(corpus, model), queries, model, k=5
+    ).collect()
+    c = model.codebooks
+    for r in got:
+        recon = np.concatenate(
+            [c[s, codes[r["cid"]][s]] for s in range(M)]
+        )
+        qn = _normalize(raw_q[r["qid"]].reshape(1, -1))[0]
+        assert r["score"] == pytest.approx(float(qn @ recon), abs=2e-6)
+
+
+def test_recall_vs_bruteforce(spark, corpus, model):
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in cosine_topk_bruteforce(queries, corpus, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    codes = pq_encode(corpus, model)
+
+    def recall(df):
+        approx = {}
+        for r in df.collect():
+            approx.setdefault(r["qid"], set()).add(r["cid"])
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    # pure-ADC shortlist quality at the 32x operating point (m=8,
+    # 16 codewords) — lossy by design, the rerank path is the product
+    assert recall(pq_topk_adc(codes, queries, model, k=10)) >= 0.3
+    # ADC-shortlist + exact rerank at the registered operating point
+    # (m=16, k=32, rerank=50 — queries/similarity.q_knn_pq)
+    prod = pq_train(corpus, dim=DIM, m=16, k=32, max_iter=6)
+    prod_codes = pq_encode(corpus, prod)
+    assert (
+        recall(
+            pq_topk_adc(
+                prod_codes, queries, prod, k=10,
+                rerank_with=corpus, rerank=50,
+            )
+        )
+        >= 0.9
+    )
+
+
+def test_subspace_helpers_roundtrip():
+    x = np.arange(2 * DIM, dtype=np.float64).reshape(2, DIM)
+    assert _subspaces(x, M).shape == (2, M, DIM // M)
+    assert np.allclose(_subspaces(x, M).reshape(2, DIM), x)
+    z = np.zeros((1, DIM))
+    assert np.allclose(_normalize(z), z)  # zero vector stays zero

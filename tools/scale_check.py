@@ -50,6 +50,9 @@ _EXTRA = [
     "bpe_train_merges",
     "bpe_token_lengths",
     "k_anonymity",
+    "knn_pq",
+    "pack_bpe",
+    "quality_budget_take",
 ]
 
 
