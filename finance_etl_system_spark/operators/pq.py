@@ -75,7 +75,19 @@ def _subspaces(x: np.ndarray, m: int) -> np.ndarray:
     return x.reshape(n, m, d // m)
 
 
-def _pq_stats_fn(codebooks: np.ndarray):
+def _prep(vmat: np.ndarray, pdf, residual_centroids: np.ndarray | None):
+    """Unit-normalize; in residual mode (IVF-PQ) subtract the row's
+    assigned (normalized) centroid — PQ then codes the residual, which
+    is what keeps codes informative inside a coarse cluster."""
+    x = _normalize(vmat)
+    if residual_centroids is not None:
+        x = x - residual_centroids[pdf["_cl"].to_numpy()]
+    return x
+
+
+def _pq_stats_fn(
+    codebooks: np.ndarray, residual_centroids: np.ndarray | None = None
+):
     """One fused Lloyd iteration across ALL subspaces: per partition,
     assign each subvector to its nearest codeword and fold
     per-(subspace, codeword) (Σx, n) partials. ≤ m×k output rows per
@@ -90,7 +102,9 @@ def _pq_stats_fn(codebooks: np.ndarray):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = _subspaces(_normalize(_as_matrix(pdf["_v"])), m)
+            x = _subspaces(
+                _prep(_as_matrix(pdf["_v"]), pdf, residual_centroids), m
+            )
             for s in range(m):
                 scores = -2.0 * (x[:, s, :] @ c[s].T) + c_norm2[s]
                 idx = np.argmin(scores, axis=1)
@@ -123,29 +137,39 @@ def pq_train(
     k: int = 16,
     max_iter: int = 8,
     tol: float = 1e-6,
+    cluster_col: str | None = None,
+    residual_centroids: np.ndarray | None = None,
 ) -> PQModel:
     """Learn m sub-codebooks of k codewords over unit-normalized
-    vectors (PQ for cosine/IP search). ``dim`` must divide by ``m``."""
+    vectors (PQ for cosine/IP search). ``dim`` must divide by ``m``.
+    Passing ``cluster_col`` + ``residual_centroids`` (the normalized
+    coarse-centroid matrix) trains on IVF residuals instead — the
+    classic IVF-PQ refinement."""
     assert dim % m == 0, "dim must divide into m equal subspaces"
-    src = df.select(
+    cols = [
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col(id_col).alias("_id"),
-    )
-    seeds = (
-        src.orderBy(F.xxhash64("_id"), "_id").limit(k).select("_v").collect()
-    )
+    ]
+    if cluster_col is not None:
+        cols.append(F.col(cluster_col).alias("_cl"))
+    src = df.select(*cols)
+    seeds = src.orderBy(F.xxhash64("_id"), "_id").limit(k).collect()
     seed_x = _normalize(
         np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
     )
+    if residual_centroids is not None:
+        seed_x = seed_x - residual_centroids[
+            np.asarray([r["_cl"] for r in seeds])
+        ]
     if len(seed_x) < k:
         raise ValueError(f"need >= {k} vectors to seed {k} codewords")
     codebooks = np.stack(
         [_subspaces(seed_x, m)[:, s, :].copy() for s in range(m)]
     )  # (m, k, dsub)
-    data = src.select("_v")
+    data = src.drop("_id")
     for _ in range(max_iter):
         stats = data.mapInPandas(
-            _pq_stats_fn(codebooks),
+            _pq_stats_fn(codebooks, residual_centroids),
             schema="sub int, cluster int, s array<double>, n long",
         ).collect()
         new_c = codebooks.copy()
@@ -168,17 +192,24 @@ def pq_encode(
     model: PQModel,
     *,
     vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    residual_centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``codes``: the m nearest-codeword indices of the
-    unit-normalized vector — the 32×-compressed corpus
-    representation."""
+    unit-normalized vector (or of its coarse residual, when
+    ``cluster_col`` + ``residual_centroids`` are given) — the
+    compressed corpus representation."""
     c = model.codebooks
     m = model.m
     c_norm2 = (c * c).sum(axis=2)
+    residual = residual_centroids is not None
 
     @F.pandas_udf("array<int>")
-    def enc(vecs: pd.Series) -> pd.Series:
-        x = _subspaces(_normalize(_as_matrix(vecs)), m)
+    def enc(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        x = _normalize(_as_matrix(vecs))
+        if residual:
+            x = x - residual_centroids[clusters.to_numpy()]
+        x = _subspaces(x, m)
         codes = np.empty((len(x), m), dtype=np.int32)
         for s in range(m):
             codes[:, s] = np.argmin(
@@ -186,7 +217,10 @@ def pq_encode(
             )
         return pd.Series(list(codes))
 
-    return df.withColumn("codes", enc(F.col(vec_col)))
+    cl = F.col(cluster_col) if cluster_col is not None else F.lit(0)
+    # two-arg pandas UDF + withColumn: only the vector and cluster
+    # columns cross the Arrow boundary, everything else stays JVM-side
+    return df.withColumn("codes", enc(F.col(vec_col), cl.cast("int")))
 
 
 def pq_topk_adc(
@@ -268,6 +302,230 @@ def pq_topk_adc(
     )
     qv = queries.select(
         F.col(query_id_col).alias("qid"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    )
+    cv = rerank_with.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(corpus_vec_col)).alias("cv"),
+    )
+    exact = (
+        cv.join(F.broadcast(survivors), "cid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            "adc",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("cv")),
+                    _norm(F.col("qv")) * _norm(F.col("cv")),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "score", "adc")
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    k_clusters: int = 8,
+    m: int = 16,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 8,
+) -> PQModel:
+    """The full FAISS-IVF-PQ composition as a table LAYOUT: coarse
+    k-means routing (operators/clustering.py) + residual PQ codes,
+    persisted as
+
+    - ``{path}/codes``     (id, codes) parquet PARTITIONED BY cluster
+    - ``{path}/centroids`` the coarse k×d table (k rows)
+    - ``{path}/codebooks`` the m×k_codes residual codeword table
+    - ``{path}/meta``      column/shape contract
+
+    A probe reads an nprobe/k_clusters fraction of a corpus that is
+    ALSO 16–32× smaller than the float table (codes, not vectors) —
+    the two compressions multiply, which is the whole point of
+    IVF-PQ at 100 TB. Float vectors never enter the index; the exact
+    rerank joins the caller's corpus table for shortlist survivors
+    only."""
+    from .clustering import kmeans_assign, kmeans_fit
+
+    spark = corpus.sparkSession
+    coarse = kmeans_fit(
+        corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
+        max_iter=max_iter,
+    )
+    cents_hat = _normalize(np.asarray(coarse.centroids, dtype=np.float64))
+    assigned = kmeans_assign(corpus, coarse.centroids, vec_col=vec_col)
+    model = pq_train(
+        assigned,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        m=m,
+        k=k_codes,
+        max_iter=max_iter,
+        cluster_col="cluster",
+        residual_centroids=cents_hat,
+    )
+    codes = pq_encode(
+        assigned,
+        model,
+        vec_col=vec_col,
+        cluster_col="cluster",
+        residual_centroids=cents_hat,
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    (
+        codes.select(id_col, "codes", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents_hat)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = model.codebooks
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in cb[s, j]])
+            for s in range(m)
+            for j in range(k_codes)
+        ],
+        "sub int, code int, vec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(id_col, vec_col, int(k_clusters), int(m), int(k_codes), int(dim))],
+        "id_col string, vec_col string, k_clusters int, m int,"
+        " k_codes int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return model
+
+
+def cosine_topk_ivf_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_with: DataFrame | None = None,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: route each query to its nprobe
+    nearest coarse centroids (broadcast k-row table), push the routed
+    cluster ids as a LITERAL partition filter (static pruning — the
+    cosine_topk_ivf_index precedent), ADC-score ONLY the probed
+    clusters' codes (score = q̂·ĉ_cluster + Σ_s LUT[s, code_s], the
+    residual decomposition), shortlist per partition, exact-cosine
+    rerank against ``rerank_with`` survivors."""
+    from .similarity import _as_double, _dot, _norm, _route_queries
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, m = meta["id_col"], int(meta["m"])
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    cents = np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = np.zeros((m, int(meta["k_codes"]), int(meta["dim"]) // m))
+    for r in cb_rows:
+        cb[r["sub"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = [int(r["qid"]) for r in q_rows]
+    qx = _normalize(
+        np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    )
+    luts = np.einsum("qsd,skd->qsk", _subspaces(qx, m), cb)
+    offsets = qx @ cents.T  # (nq, k_clusters): q̂·ĉ
+
+    centroids_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    )
+    routed = _route_queries(q, centroids_df, nprobe)
+    probed = sorted(
+        r["cluster"] for r in routed.select("cluster").distinct().collect()
+    )
+    codes_df = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cluster").isin(probed)
+    )
+    n_local = rerank if rerank_with is not None else k
+    qprobes = {
+        int(r["qid"]): set() for r in q_rows
+    }
+    for r in routed.select("qid", "cluster").collect():
+        qprobes[int(r["qid"])].add(int(r["cluster"]))
+    cols = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())
+            cids = pdf["_cid"].to_numpy()
+            cls = pdf["cluster"].to_numpy()
+            out = {"qid": [], "cid": [], "score": []}
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cls, list(qprobes[qid]))
+                if not mask.any():
+                    continue
+                sc = offsets[qi, cls[mask]] + luts[qi][
+                    cols, codes[mask]
+                ].sum(axis=1)
+                top = min(n_local, len(sc))
+                idx = np.argpartition(-sc, top - 1)[:top]
+                out["qid"].extend([qid] * top)
+                out["cid"].extend(cids[mask][idx])
+                out["score"].extend(np.round(sc[idx], 6))
+            if out["qid"]:
+                yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    local = codes_df.select(
+        F.col(id_col).alias("_cid"), "cluster", "codes"
+    ).mapInPandas(score, schema="qid long, cid long, score double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    ranked = local.withColumn("rnk", F.row_number().over(w))
+    if rerank_with is None:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "qid", "rnk", "cid", "score"
+        )
+    survivors = ranked.filter(F.col("rnk") <= rerank).select(
+        "qid", "cid", F.col("score").alias("adc")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("qid"),
         _as_double(F.col(query_vec_col)).alias("qv"),
     )
     cv = rerank_with.select(

@@ -354,9 +354,59 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+# process-cached persistent IVF-PQ index (same lifecycle as the IVF
+# cache above)
+_IVFPQ_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.pq import build_ivf_pq_index
+    from .retrieval import _table_fingerprint
+
+    key = (sf_dir, _table_fingerprint(sf_dir, table="embeddings"))
+    path = _IVFPQ_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfpqindex_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_ivf_pq_index(
+            load_table(spark, sf_dir, "embeddings"), path,
+            dim=_DIM, k_clusters=4, m=16, k_codes=32, id_col="vec_id",
+        )
+        _IVFPQ_CACHE[key] = path
+    return path
+
+
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-IVF-PQ composition (operators/pq.py
+    build_ivf_pq_index): coarse k-means routing over a codes table
+    partitioned by cluster (literal partition pruning) ×
+    residual-PQ 16-byte codes (the two compressions multiply: a
+    probe reads nprobe/k of a 16×-smaller corpus), ADC shortlist,
+    exact rerank fetching floats only for survivors. Rows-only;
+    recall vs brute force pinned in tests/test_pq.py."""
+    from ..operators.pq import cosine_topk_ivf_pq
+
+    path = _cached_ivf_pq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_pq(
+        spark,
+        path,
+        _queries_df(spark, sf_dir),
+        k=_K,
+        nprobe=2,
+        rerank_with=e,
+        rerank=50,
+    ).orderBy("qid", "rnk")
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_pq": q_knn_pq,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,

@@ -51,6 +51,7 @@ _EXTRA = [
     "bpe_token_lengths",
     "k_anonymity",
     "knn_pq",
+    "knn_ivf_pq",
     "pack_bpe",
     "quality_budget_take",
 ]
