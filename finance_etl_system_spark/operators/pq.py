@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .quantize import _round_half_away
+
 
 @dataclass
 class PQModel:
@@ -278,7 +280,7 @@ def pq_topk_adc(
                 idx = np.argpartition(-sc, top - 1)[:top]
                 out["qid"].extend([qid] * top)
                 out["cid"].extend(cids[idx])
-                out["score"].extend(np.round(sc[idx], 6))
+                out["score"].extend(_round_half_away(sc[idx], 6))
             yield pd.DataFrame(out)
 
     from pyspark.sql import Window
@@ -504,7 +506,7 @@ def cosine_topk_ivf_pq(
                 idx = np.argpartition(-sc, top - 1)[:top]
                 out["qid"].extend([qid] * top)
                 out["cid"].extend(cids[mask][idx])
-                out["score"].extend(np.round(sc[idx], 6))
+                out["score"].extend(_round_half_away(sc[idx], 6))
             if out["qid"]:
                 yield pd.DataFrame(out)
 
