@@ -89,6 +89,12 @@ def dedup_increment_batch(
         .partitionBy("batch_id")
         .parquet(verdict_dir)
     )
+    survivors = survivors.localCheckpoint(eager=True)
+    if survivors.isEmpty():
+        # an all-duplicate batch must not write an empty partitioned
+        # dir (only _SUCCESS): the next batch's _load_state would die
+        # on UNABLE_TO_INFER_SCHEMA instead of reading prior state
+        return
     (
         survivors.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")

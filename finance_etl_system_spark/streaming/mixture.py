@@ -92,6 +92,14 @@ def mixture_increment_batch(
         budgets=budgets,
         consumed=consumed,
     )
+    kept = kept.localCheckpoint(eager=True)  # compute once: emptiness
+    # probe + write must see the same rows
+    if kept.isEmpty():
+        # nothing kept (budgets exhausted or all groups unlisted):
+        # writing an empty partitioned frame would create a dir with
+        # only _SUCCESS, and the NEXT batch's state read would die on
+        # UNABLE_TO_INFER_SCHEMA instead of seeing "no carry yet"
+        return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         kept.withColumn("batch_id", F.lit(batch_id))

@@ -663,6 +663,41 @@ def test_stream_dedup_incremental_replay_converges(spark, tmp_path):
     } == sigs_a
 
 
+def test_stream_dedup_all_duplicate_batch_keeps_state_readable(
+    spark, tmp_path
+):
+    """A batch whose docs ALL duplicate history writes no survivors —
+    and must not leave an empty partitioned dir that breaks the next
+    batch's state read (UNABLE_TO_INFER_SCHEMA on a _SUCCESS-only
+    directory)."""
+    from finance_etl_system_spark.streaming.dedup import (
+        dedup_increment_batch,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    novel = (
+        "novel document on watermarking late event streams "
+        "with bounded state and exactly once sinks"
+    )
+    verd, state = str(tmp_path / "verd"), str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id LONG, text STRING"
+    )
+    dedup_increment_batch(mk([(1, base)]), 0, verd, state)
+    # batch 1: pure duplicate -> zero survivors
+    dedup_increment_batch(mk([(2, base + " extra")]), 1, verd, state)
+    # batch 2 must still read state and dedupe against doc 1
+    dedup_increment_batch(mk([(3, base + " more"), (4, novel)]), 2, verd, state)
+    verdicts = {
+        r.id: r.dup_of for r in spark.read.parquet(verd).collect()
+    }
+    assert verdicts[2] == 1 and verdicts[3] == 1
+    assert {r.id for r in spark.read.parquet(state).collect()} == {1, 4}
+
+
 @pytest.mark.timeout(300)
 def test_kafka_connector_absent_and_wire_fixture_roundtrip(spark, tmp_path):
     """Adjudication of the embedded-broker-stub question (round-3

@@ -105,6 +105,20 @@ def test_retry_converges_bytewise(spark, tmp_path):
     assert snap == again
 
 
+def test_zero_keep_batch_keeps_state_readable(spark, tmp_path):
+    """A batch keeping nothing (all groups unlisted) writes no
+    partition — and must not leave a _SUCCESS-only dir that breaks the
+    next batch's carry read."""
+    kept_dir = str(tmp_path / "kept")
+    only_tail = [_doc(500 + i, "tail", 5) for i in range(3)]
+    mixture_increment_batch(_prepared(spark, only_tail), 0, kept_dir, **_KW)
+    mixture_increment_batch(
+        _prepared(spark, _BATCHES[0]), 1, kept_dir, **_KW
+    )
+    kept = spark.read.parquet(kept_dir).collect()
+    assert kept and all(r["batch_id"] == 1 for r in kept)
+
+
 def test_stream_end_to_end(spark, tmp_path):
     src = tmp_path / "src"
     kept_dir = str(tmp_path / "kept")
