@@ -352,8 +352,12 @@ def build_ivf_pq_index(
     k-means routing (operators/clustering.py) + residual PQ codes,
     persisted as
 
-    - ``{path}/codes``     (id, codes) parquet PARTITIONED BY cluster
-    - ``{path}/centroids`` the coarse k×d table (k rows)
+    - ``{path}/codes``     (id, codes) parquet PARTITIONED BY
+      (batch_id, cluster) — the build is batch 0, appends land as
+      their own batch partitions (the IVF vectors-table layout)
+    - ``{path}/centroids`` the coarse k×d table (k rows, RAW k-means
+      centroids — appends must assign with exactly the build's
+      centroids; the query side normalizes at load)
     - ``{path}/codebooks`` the m×k_codes residual codeword table
     - ``{path}/meta``      column/shape contract
 
@@ -392,13 +396,16 @@ def build_ivf_pq_index(
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     (
-        codes.select(id_col, "codes", "cluster")
+        codes.select(
+            id_col, "codes", F.lit(0).alias("batch_id"), "cluster"
+        )
         .write.mode("overwrite")
-        .partitionBy("cluster")
+        .partitionBy("batch_id", "cluster")
         .parquet(f"{path}/codes")
     )
+    raw_cents = np.asarray(coarse.centroids, dtype=np.float64)
     spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents_hat)],
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(raw_cents)],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     cb = model.codebooks
@@ -445,8 +452,13 @@ def cosine_topk_ivf_pq(
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )
-    cents = np.vstack(
-        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    # persisted centroids are the RAW k-means means (the append path
+    # assigns with them); score offsets and routing want the
+    # normalized form — cosine routing is norm-invariant anyway
+    cents = _normalize(
+        np.vstack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+        )
     )
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     cb = np.zeros((m, int(meta["k_codes"]), int(meta["dim"]) // m))
@@ -557,4 +569,71 @@ def cosine_topk_ivf_pq(
         exact.withColumn("rnk", F.row_number().over(we))
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "cid", "score", "adc")
+    )
+
+
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    batch_id: int | None = None,
+) -> None:
+    """Incremental IVF-PQ maintenance — the FAISS add-with-frozen-
+    model pattern: new vectors route to their nearest EXISTING coarse
+    centroid (same L2 assignment the build used, on the persisted RAW
+    centroids) and their residuals encode with the EXISTING codebooks,
+    appending as their own ``batch_id`` partition with DYNAMIC
+    overwrite — a retried append with the same explicit batch_id
+    replaces its own (batch, cluster) partitions instead of
+    duplicating (the append_to_ivf_index contract). Centroids and
+    codebooks are deliberately NOT retrained per batch: probe routing
+    and ADC LUTs must stay stable between retrains. Quantization
+    quality decays as the distribution drifts — rebuild on budget,
+    the FAISS retrain cadence.
+
+    This layout has no compaction/delete path yet, so there is no
+    writer-vs-swap race to fence (the IVF vectors index grew its
+    two-flag fence only WITH compaction); the residual risk is two
+    concurrent AUTO-assigned appends racing max+1 to the same
+    batch_id — serialize auto-assigned appends, or give each writer
+    an explicit batch_id namespace (the streaming pattern)."""
+    from .clustering import kmeans_assign
+
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, vec_col, m = meta["id_col"], meta["vec_col"], int(meta["m"])
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    raw_cents = np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = np.zeros((m, int(meta["k_codes"]), int(meta["dim"]) // m))
+    for r in cb_rows:
+        cb[r["sub"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+    model = PQModel(codebooks=cb, dim=int(meta["dim"]))
+    if batch_id is None:
+        existing = spark.read.parquet(f"{path}/codes")
+        batch_id = (
+            existing.agg(F.max("batch_id").alias("mx")).collect()[0]["mx"]
+            or 0
+        ) + 1
+    assigned = kmeans_assign(new_vectors, raw_cents, vec_col=vec_col)
+    codes = pq_encode(
+        assigned,
+        model,
+        vec_col=vec_col,
+        cluster_col="cluster",
+        residual_centroids=_normalize(raw_cents),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        codes.select(
+            id_col, "codes", F.lit(int(batch_id)).alias("batch_id"),
+            "cluster",
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cluster")
+        .parquet(f"{path}/codes")
     )

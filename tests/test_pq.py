@@ -166,6 +166,53 @@ def test_ivf_pq_index_prune_and_recall(spark, corpus, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_ivf_pq_append_frozen_model_and_retry(spark, corpus, tmp_path):
+    """Appends route with the build's frozen centroids and encode with
+    the frozen codebooks: appended vectors become findable (self at
+    rank 1 through the rerank), a retried batch_id rewrites its own
+    partitions byte-for-byte, and auto-assign continues from max+1."""
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        cosine_topk_ivf_pq,
+    )
+
+    base = corpus.filter(F.col("vec_id") >= 100)
+    extra = corpus.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        base, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    append_to_ivf_pq_index(extra, path)  # auto-assign -> batch 1
+    codes = spark.read.parquet(f"{path}/codes")
+    assert {r["batch_id"] for r in codes.select("batch_id").distinct().collect()} == {0, 1}
+    assert codes.count() == corpus.count()
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=4, rerank_with=corpus, rerank=50
+    ).collect()
+    top1 = {r["qid"]: r["cid"] for r in got if r["rnk"] == 1}
+    assert top1 == {i: i for i in range(5)}  # appended vecs findable
+
+    snap = sorted(
+        tuple(r)
+        for r in codes.select("vec_id", "codes", "batch_id", "cluster")
+        .collect()
+    )
+    append_to_ivf_pq_index(extra, path, batch_id=1)  # retry
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vec_id", "codes", "batch_id", "cluster")
+        .collect()
+    )
+    assert snap == again
+
+
 def test_subspace_helpers_roundtrip():
     x = np.arange(2 * DIM, dtype=np.float64).reshape(2, DIM)
     assert _subspaces(x, M).shape == (2, M, DIM // M)
