@@ -614,7 +614,15 @@ def append_to_ivf_pq_index(
         cb[r["sub"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
     model = PQModel(codebooks=cb, dim=int(meta["dim"]))
     if batch_id is None:
-        existing = spark.read.parquet(f"{path}/codes")
+        from .similarity import IVF_STREAM_BATCH_BASE
+
+        # auto-assign ignores the streaming namespace (>= BASE) so a
+        # manual append can never land on a micro-batch's id and
+        # dynamic-overwrite-delete its codes — the append_to_ivf_index
+        # precedent
+        existing = spark.read.parquet(f"{path}/codes").filter(
+            F.col("batch_id") < IVF_STREAM_BATCH_BASE
+        )
         batch_id = (
             existing.agg(F.max("batch_id").alias("mx")).collect()[0]["mx"]
             or 0

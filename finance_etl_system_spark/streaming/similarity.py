@@ -60,6 +60,50 @@ def ivf_append_batch(batch_df: DataFrame, batch_id: int, *, path: str) -> None:
     )
 
 
+def ivf_pq_append_batch(
+    batch_df: DataFrame, batch_id: int, *, path: str
+) -> None:
+    """foreachBatch body for the IVF-PQ index (operators/pq.py):
+    identical contract to ivf_append_batch — frozen centroids AND
+    frozen codebooks, own (BASE+micro_batch, cluster) partitions,
+    dynamic overwrite, empty batches write nothing."""
+    from ..operators.pq import append_to_ivf_pq_index
+    from ..operators.similarity import IVF_STREAM_BATCH_BASE
+
+    if batch_df.isEmpty():
+        return
+    append_to_ivf_pq_index(
+        batch_df, path, batch_id=IVF_STREAM_BATCH_BASE + int(batch_id)
+    )
+
+
+def stream_append_ivf_pq(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    *,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """The stream_append_ivf twin for the IVF-PQ layout: continuous
+    embedding ingestion lands as residual PQ codes — the stream pays
+    the 16× compression at write time, so the index a probe reads
+    stays codes-sized however long the stream runs."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.json(source_dir)
+    return (
+        src.writeStream.foreachBatch(
+            lambda df, bid: ivf_pq_append_batch(df, bid, path=index_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_append_ivf(
     spark: SparkSession,
     source_dir: str,

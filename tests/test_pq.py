@@ -213,6 +213,88 @@ def test_ivf_pq_append_frozen_model_and_retry(spark, corpus, tmp_path):
     assert snap == again
 
 
+def test_ivf_pq_streaming_append_idempotent(spark, corpus, tmp_path):
+    """Streaming IVF-PQ maintenance: micro-batches land as their own
+    (BASE+id, cluster) code partitions, a replayed micro-batch
+    rewrites itself, a manual auto-assigned append stays out of the
+    stream namespace, and streamed vectors are findable."""
+    import json
+
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        cosine_topk_ivf_pq,
+    )
+    from finance_etl_system_spark.operators.similarity import (
+        IVF_STREAM_BATCH_BASE,
+    )
+    from finance_etl_system_spark.streaming.similarity import (
+        ivf_pq_append_batch,
+        stream_append_ivf_pq,
+    )
+
+    base = corpus.filter(F.col("vec_id") >= 100)
+    tail = corpus.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        base, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    base_n = spark.read.parquet(f"{path}/codes").count()
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding]) for r in tail.collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    for fname, chunk in (("b0.json", rows[:half]), ("b1.json", rows[half:])):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v}) for i, v in chunk
+            )
+        )
+    q = stream_append_ivf_pq(
+        spark, str(src), "vec_id long, embedding array<double>",
+        index_path=path, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == base_n + len(rows)
+    batches = {
+        r["batch_id"] for r in codes.select("batch_id").distinct().collect()
+    }
+    assert batches == {0, IVF_STREAM_BATCH_BASE, IVF_STREAM_BATCH_BASE + 1}
+
+    # replayed micro-batch rewrites itself
+    replay = (
+        tail.filter(F.col("vec_id").isin([i for i, _ in rows[:half]]))
+        .localCheckpoint(eager=True)
+    )
+    ivf_pq_append_batch(replay, 0, path=path)
+    assert spark.read.parquet(f"{path}/codes").count() == base_n + len(rows)
+
+    # a manual auto-assigned append lands at 1, not in the stream range
+    one = corpus.filter(F.col("vec_id") == 100).select("vec_id", "embedding")
+    append_to_ivf_pq_index(one, path)
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("batch_id").distinct().collect()
+    }
+    assert 1 in batches and max(b for b in batches if b < IVF_STREAM_BATCH_BASE) == 1
+
+    # streamed vector findable through the rerank
+    queries = tail.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    qid = queries.first()["query_id"]
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=3, nprobe=4, rerank_with=corpus, rerank=20
+    ).collect()
+    assert got and got[0]["cid"] == qid and got[0]["score"] == 1.0
+
+
 def test_subspace_helpers_roundtrip():
     x = np.arange(2 * DIM, dtype=np.float64).reshape(2, DIM)
     assert _subspaces(x, M).shape == (2, M, DIM // M)
