@@ -645,3 +645,75 @@ def append_to_ivf_pq_index(
         .partitionBy("batch_id", "cluster")
         .parquet(f"{path}/codes")
     )
+
+
+def verify_ivf_pq_index(spark, path: str) -> dict:
+    """Consistency check for the IVF-PQ layout — the verify_ivf_index
+    twin, adapted to a codes table. Detects, without repairing:
+
+    - ``bad_cluster_rows``: codes routed outside the centroid range
+      (probe-invisible rows);
+    - ``bad_code_rows``: code vectors whose length ≠ m or whose
+      entries fall outside [0, k_codes) — a codebook/table mismatch
+      (e.g. codes written against a different model than the
+      persisted codebooks);
+    - ``missing_centroids`` / ``missing_codewords``: gaps in the
+      contiguous ranges the meta table promises;
+    - ``n_duplicate_ids``: ids stored more than once (a replayed
+      batch outside its own batch_id partition).
+
+    No compaction path exists for this layout, so there are no
+    marker/lease checks. One scan of the codes table; all aggregates
+    id- or shape-sized."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = meta["id_col"]
+    k_clusters, m, k_codes = (
+        int(meta["k_clusters"]), int(meta["m"]), int(meta["k_codes"])
+    )
+    cent_ids = {
+        r["cluster"]
+        for r in spark.read.parquet(f"{path}/centroids")
+        .select("cluster").collect()
+    }
+    missing_centroids = sorted(set(range(k_clusters)) - cent_ids)
+    cb = spark.read.parquet(f"{path}/codebooks")
+    have_codewords = {
+        (r["sub"], r["code"])
+        for r in cb.select("sub", "code").collect()
+    }
+    missing_codewords = sorted(
+        {(s, j) for s in range(m) for j in range(k_codes)} - have_codewords
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    bad_code = (F.size("codes") != m) | F.exists(
+        "codes", lambda x: (x < 0) | (x >= k_codes)
+    )
+    agg = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+        F.sum(
+            (
+                (F.col("cluster") < 0) | (F.col("cluster") >= k_clusters)
+            ).cast("long")
+        ).alias("bad_cluster"),
+        F.sum(bad_code.cast("long")).alias("bad_code"),
+    ).collect()[0]
+    out = {
+        "k_clusters": k_clusters,
+        "m": m,
+        "k_codes": k_codes,
+        "n_vectors": int(agg["n"]),
+        "bad_cluster_rows": int(agg["bad_cluster"] or 0),
+        "bad_code_rows": int(agg["bad_code"] or 0),
+        "missing_centroids": missing_centroids,
+        "missing_codewords": missing_codewords,
+        "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
+    }
+    out["consistent"] = (
+        out["bad_cluster_rows"] == 0
+        and out["bad_code_rows"] == 0
+        and not missing_centroids
+        and not missing_codewords
+        and out["n_duplicate_ids"] == 0
+    )
+    return out

@@ -295,6 +295,34 @@ def test_ivf_pq_streaming_append_idempotent(spark, corpus, tmp_path):
     assert got and got[0]["cid"] == qid and got[0]["score"] == 1.0
 
 
+def test_verify_ivf_pq_index(spark, corpus, tmp_path):
+    """Health check: a freshly built+appended index is consistent; a
+    duplicate-id injection (replay outside its own batch) is caught."""
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        verify_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus.filter(F.col("vec_id") >= 50), path, dim=DIM,
+        k_clusters=4, m=16, k_codes=32, id_col="vec_id",
+    )
+    append_to_ivf_pq_index(
+        corpus.filter(F.col("vec_id") < 50), path
+    )
+    rep = verify_ivf_pq_index(spark, path)
+    assert rep["consistent"], rep
+    assert rep["n_vectors"] == corpus.count()
+    # replay the SAME vectors under a different batch_id: duplicates
+    append_to_ivf_pq_index(
+        corpus.filter(F.col("vec_id") < 50), path, batch_id=7
+    )
+    rep = verify_ivf_pq_index(spark, path)
+    assert not rep["consistent"] and rep["n_duplicate_ids"] == 50
+
+
 def test_subspace_helpers_roundtrip():
     x = np.arange(2 * DIM, dtype=np.float64).reshape(2, DIM)
     assert _subspaces(x, M).shape == (2, M, DIM // M)
