@@ -717,3 +717,71 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         and out["n_duplicate_ids"] == 0
     )
     return out
+
+
+def ivf_pq_index_stats(
+    spark, path: str, corpus: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Retrain-trigger observability for a (possibly appended) IVF-PQ
+    index — the ivf_index_stats twin plus QUANTIZATION error: per
+    cluster, the vector count, corpus share, and the mean/max L2
+    reconstruction error ‖x̂ − (ĉ_cluster + recon(codes))‖ measured
+    against the caller's float corpus (the index holds no floats).
+    Appends under a frozen model grow reconstruction error as the
+    distribution drifts — rebuild when the trend breaks, the FAISS
+    retrain cadence. One broadcast-join scan of the codes table; the
+    error kernel is a two-column Arrow UDF; output is k rows."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, m = meta["id_col"], int(meta["m"])
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    cents_hat = _normalize(
+        np.vstack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+        )
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = np.zeros((m, int(meta["k_codes"]), int(meta["dim"]) // m))
+    for r in cb_rows:
+        cb[r["sub"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def recon_err(
+        vecs: pd.Series, codes: pd.Series, clusters: pd.Series
+    ) -> pd.Series:
+        x = _normalize(_as_matrix(vecs))
+        cd = np.vstack(codes.to_numpy())  # (n, m)
+        cl = clusters.to_numpy()
+        recon = cents_hat[cl] + np.concatenate(
+            [cb[s][cd[:, s]] for s in range(m)], axis=1
+        )
+        return pd.Series(np.sqrt(((x - recon) ** 2).sum(axis=1)))
+
+    codes = spark.read.parquet(f"{path}/codes")
+    joined = codes.join(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        id_col,
+    ).select(
+        "cluster",
+        recon_err(F.col("_v"), F.col("codes"), F.col("cluster")).alias("err"),
+    )
+    per = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("err"), 6).alias("mean_recon_err"),
+        F.round(F.max("err"), 6).alias("max_recon_err"),
+    )
+    total = per.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("n_total"), 6).alias("share"),
+            "mean_recon_err",
+            "max_recon_err",
+        )
+        .orderBy("cluster")
+    )

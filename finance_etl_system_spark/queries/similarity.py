@@ -403,10 +403,24 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+def q_ivf_pq_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-trigger report over the persisted IVF-PQ index: per
+    cluster — vector count, corpus share, mean/max L2 reconstruction
+    error vs the float corpus (operators/pq.py::ivf_pq_index_stats).
+    The quantization-quality dashboard row; appends under the frozen
+    model move these numbers, a rebuild resets them. Rows-only."""
+    from ..operators.pq import ivf_pq_index_stats
+
+    path = _cached_ivf_pq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_index_stats(spark, path, e)
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_pq": q_knn_pq,
     "knn_ivf_pq": q_knn_ivf_pq,
+    "ivf_pq_index_health": q_ivf_pq_index_health,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,

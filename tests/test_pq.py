@@ -323,6 +323,31 @@ def test_verify_ivf_pq_index(spark, corpus, tmp_path):
     assert not rep["consistent"] and rep["n_duplicate_ids"] == 50
 
 
+def test_ivf_pq_index_stats(spark, corpus, tmp_path):
+    """Reconstruction-error observability: k rows partitioning the
+    corpus; errors are small on the training data and the shares sum
+    to 1."""
+    from finance_etl_system_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_index_stats,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    rows = ivf_pq_index_stats(spark, path, corpus).collect()
+    assert len(rows) == 4
+    assert sum(r["n_vectors"] for r in rows) == corpus.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["mean_recon_err"] <= r["max_recon_err"]
+        # residual PQ on unit vectors: reconstruction error well
+        # under the unit norm on the training data itself
+        assert r["mean_recon_err"] < 0.8
+
+
 def test_subspace_helpers_roundtrip():
     x = np.arange(2 * DIM, dtype=np.float64).reshape(2, DIM)
     assert _subspaces(x, M).shape == (2, M, DIM // M)
