@@ -18,6 +18,10 @@ the property the oracle gate checks.
 Scale notes: the filter is a pure map-side predicate (no shuffle, no
 state); md5 is JVM-side, whole-stage-codegen'd. Granularity is 16^4 =
 65,536 buckets → requested fractions land within 1/65536.
+
+The reference has no sampling/mixture stage (its scope stops at OHLCV
+rows, /root/reference/spark-job/etl_job.py); this module is part of
+the training-data extension tier (SURVEY §2.10).
 """
 
 from __future__ import annotations
