@@ -52,6 +52,7 @@ _EXTRA = [
     "k_anonymity",
     "knn_pq",
     "knn_ivf_pq",
+    "ivf_pq_index_health",
     "pack_bpe",
     "quality_budget_take",
 ]
