@@ -416,11 +416,30 @@ def q_ivf_pq_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_index_stats(spark, path, e)
 
 
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining (operators/mining.py): content-
+    hash anchors get their nearest near-duplicate as positive and
+    their hardest sub-threshold neighbor as negative, candidates
+    bounded to the anchor's k-means cluster (blockwise panels — no
+    all-pairs). The contrastive-training data prep an embedding
+    pipeline runs downstream of dedup. Rows-only (k-means upstream);
+    invariants pinned in tests/test_mining.py. Thresholds sit at the
+    fixture's similarity scale (near-random 64-dim vectors top out at
+    cosine ≈ 0.48)."""
+    from ..operators.mining import mine_triplets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mine_triplets(
+        e, k_clusters=4, pos_threshold=0.2, neg_lo=0.08, neg_hi=0.2
+    ).orderBy("anchor_id", "pos_id", "neg_id")
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_pq": q_knn_pq,
     "knn_ivf_pq": q_knn_ivf_pq,
     "ivf_pq_index_health": q_ivf_pq_index_health,
+    "triplet_mining": q_triplet_mining,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,

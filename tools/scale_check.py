@@ -54,6 +54,7 @@ _EXTRA = [
     "knn_ivf_pq",
     "ivf_pq_index_health",
     "pack_bpe",
+    "triplet_mining",
     "quality_budget_take",
 ]
 
