@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.confs import partition_overwrite
 from .quantize import _round_half_away
 
 
@@ -156,6 +157,10 @@ def pq_train(
         cols.append(F.col(cluster_col).alias("_cl"))
     src = df.select(*cols)
     seeds = src.orderBy(F.xxhash64("_id"), "_id").limit(k).collect()
+    # guard BEFORE vstack: an empty/short input must fail with this
+    # message, not numpy's opaque "need at least one array" error
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codewords")
     seed_x = _normalize(
         np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
     )
@@ -163,8 +168,6 @@ def pq_train(
         seed_x = seed_x - residual_centroids[
             np.asarray([r["_cl"] for r in seeds])
         ]
-    if len(seed_x) < k:
-        raise ValueError(f"need >= {k} vectors to seed {k} codewords")
     codebooks = np.stack(
         [_subspaces(seed_x, m)[:, s, :].copy() for s in range(m)]
     )  # (m, k, dsub)
@@ -394,15 +397,15 @@ def build_ivf_pq_index(
         cluster_col="cluster",
         residual_centroids=cents_hat,
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    (
-        codes.select(
-            id_col, "codes", F.lit(0).alias("batch_id"), "cluster"
+    with partition_overwrite(spark, "static"):
+        (
+            codes.select(
+                id_col, "codes", F.lit(0).alias("batch_id"), "cluster"
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/codes")
         )
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/codes")
-    )
     raw_cents = np.asarray(coarse.centroids, dtype=np.float64)
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(raw_cents)],
@@ -635,16 +638,16 @@ def append_to_ivf_pq_index(
         cluster_col="cluster",
         residual_centroids=_normalize(raw_cents),
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        codes.select(
-            id_col, "codes", F.lit(int(batch_id)).alias("batch_id"),
-            "cluster",
+    with partition_overwrite(spark, "dynamic"):
+        (
+            codes.select(
+                id_col, "codes", F.lit(int(batch_id)).alias("batch_id"),
+                "cluster",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/codes")
         )
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/codes")
-    )
 
 
 def verify_ivf_pq_index(spark, path: str) -> dict:
@@ -730,7 +733,13 @@ def ivf_pq_index_stats(
     Appends under a frozen model grow reconstruction error as the
     distribution drifts — rebuild when the trend breaks, the FAISS
     retrain cadence. One broadcast-join scan of the codes table; the
-    error kernel is a two-column Arrow UDF; output is k rows."""
+    error kernel is a two-column Arrow UDF; output is k rows.
+
+    The join is LEFT from the codes table: index rows whose ids are
+    absent from the supplied corpus (an appended batch the caller
+    forgot to include) surface as ``n_unmatched`` per cluster with
+    null recon errors — exactly the drifted/orphaned rows a health
+    report exists to expose, not rows to silently drop."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, m = meta["id_col"], int(meta["m"])
     cent_rows = (
@@ -750,13 +759,19 @@ def ivf_pq_index_stats(
     def recon_err(
         vecs: pd.Series, codes: pd.Series, clusters: pd.Series
     ) -> pd.Series:
-        x = _normalize(_as_matrix(vecs))
-        cd = np.vstack(codes.to_numpy())  # (n, m)
-        cl = clusters.to_numpy()
-        recon = cents_hat[cl] + np.concatenate(
-            [cb[s][cd[:, s]] for s in range(m)], axis=1
-        )
-        return pd.Series(np.sqrt(((x - recon) ** 2).sum(axis=1)))
+        # unmatched index rows carry a null vector — keep their error
+        # null (they count in n_unmatched, not in the means)
+        matched = vecs.notna().to_numpy()
+        out = np.full(len(vecs), np.nan)
+        if matched.any():
+            x = _normalize(_as_matrix(vecs[matched]))
+            cd = np.vstack(codes[matched].to_numpy())  # (n, m)
+            cl = clusters.to_numpy()[matched]
+            recon = cents_hat[cl] + np.concatenate(
+                [cb[s][cd[:, s]] for s in range(m)], axis=1
+            )
+            out[matched] = np.sqrt(((x - recon) ** 2).sum(axis=1))
+        return pd.Series(out)
 
     codes = spark.read.parquet(f"{path}/codes")
     joined = codes.join(
@@ -764,12 +779,15 @@ def ivf_pq_index_stats(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
         ),
         id_col,
+        "left",
     ).select(
         "cluster",
+        F.col("_v").isNull().alias("_unmatched"),
         recon_err(F.col("_v"), F.col("codes"), F.col("cluster")).alias("err"),
     )
     per = joined.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("_unmatched").cast("long")).alias("n_unmatched"),
         F.round(F.avg("err"), 6).alias("mean_recon_err"),
         F.round(F.max("err"), 6).alias("max_recon_err"),
     )
@@ -779,6 +797,7 @@ def ivf_pq_index_stats(
         .select(
             "cluster",
             "n_vectors",
+            "n_unmatched",
             F.round(F.col("n_vectors") / F.col("n_total"), 6).alias("share"),
             "mean_recon_err",
             "max_recon_err",

@@ -103,8 +103,10 @@ def budget_take(
     standard contract when documents are not split.
 
     Scale shape: NO single-partition window. Grouped two-phase
-    distributed prefix sum: ``order_col`` (integral in [0,
-    KEY_SPACE)) is range-bucketed monotonically, the within-bucket
+    distributed prefix sum: ``order_col`` (integral, nominally in
+    [0, KEY_SPACE) — any long value buckets monotonically via exact
+    floor division, so signed hashes degrade to coarser buckets, not
+    wrong results) is range-bucketed monotonically, the within-bucket
     window cumsum runs on groups×buckets parallel partitions, and the
     bucket-offset scan is a window over the groups×buckets-row totals
     aggregate (partitioned by group — never one task), broadcast-
@@ -129,9 +131,20 @@ def budget_take(
     width = max(1, KEY_SPACE // buckets)
     # drop unlisted groups BEFORE the prefix-sum shuffle: the IN
     # predicate pushes to the scan, so a take of 5 domains out of 10k
-    # never shuffles the other 9,995
+    # never shuffles the other 9,995.
+    # FLOOR division (not `div`, which truncates toward zero): the
+    # bucket map must be monotone over the WHOLE long domain so an
+    # order key outside the documented [0, KEY_SPACE) — e.g. a signed
+    # hash — still buckets correctly instead of silently relying on
+    # truncation's accidental monotonicity
+    # (k - pmod(k, w)) div w == floor(k / w) exactly, in pure long
+    # arithmetic (no double round-trip, exact over the full domain)
     b = df.filter(F.col(group_col).isin(list(budgets))).withColumn(
-        "_bucket", F.expr(f"{order_col} div {width}")
+        "_bucket",
+        F.expr(
+            f"(`{order_col}` - pmod(`{order_col}`, {width}))"
+            f" div {width}"
+        ),
     )
     w_in = (
         Window.partitionBy(group_col, "_bucket")

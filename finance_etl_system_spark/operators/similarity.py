@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.confs import partition_overwrite
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -364,17 +366,15 @@ def build_ivf_index(
     # full rewrite — pin static overwrite so a rebuild over an
     # existing index never leaves stale cluster partitions behind
     # (a prior streaming sink may have set the dynamic mode)
-    corpus.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    (
-        assigned.select(
-            id_col, vec_col, F.lit(0).alias("batch_id"), "cluster"
+    with partition_overwrite(corpus.sparkSession, "static"):
+        (
+            assigned.select(
+                id_col, vec_col, F.lit(0).alias("batch_id"), "cluster"
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/vectors")
         )
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/vectors")
-    )
     rows = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.centroids)
     ]
@@ -513,15 +513,16 @@ def _append_to_ivf_index_locked(
     )
     # dynamic overwrite of THIS batch's partitions only: a replayed
     # batch_id rewrites itself; other batches' partitions untouched
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        assigned.select(
-            id_col, vec_col, F.lit(int(batch_id)).alias("batch_id"), "cluster"
+    with partition_overwrite(spark, "dynamic"):
+        (
+            assigned.select(
+                id_col, vec_col, F.lit(int(batch_id)).alias("batch_id"),
+                "cluster",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/vectors")
         )
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/vectors")
-    )
 
 
 def compact_ivf_index(
@@ -592,15 +593,15 @@ def compact_ivf_index(
             ).distinct()
         )
         v = v.join(ids, id_col, "left_anti")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    (
-        v.drop("batch_id")
-        .select("*", F.lit(0).alias("batch_id"))
-        .select(id_col, meta["vec_col"], "batch_id", "cluster")
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cluster")
-        .parquet(f"{path}/vectors.staging")
-    )
+    with partition_overwrite(spark, "static"):
+        (
+            v.drop("batch_id")
+            .select("*", F.lit(0).alias("batch_id"))
+            .select(id_col, meta["vec_col"], "batch_id", "cluster")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/vectors.staging")
+        )
     _swap_dir(spark, f"{path}/vectors")
     # released on SUCCESS only — a raise above leaves the index fenced
     # (see docstring's heal path)

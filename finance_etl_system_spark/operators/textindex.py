@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..queries.retrieval import B, K1, token_array
 from ..functions.frames import ranked_topk
+from ..functions.confs import partition_overwrite
 
 N_BUCKETS = 16
 
@@ -146,21 +147,22 @@ def build_text_index(
         docs, text_col=text_col, id_col=id_col, analyzed=analyzed,
         positions=positions,
     )
-    docs.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    # term-sorted within each bucket file: probe-time term predicates
-    # skip whole row groups off the min/max footer stats. The sort
-    # MUST lead with the write's partition column — FileFormatWriter
-    # requires bucket ordering and would inject its own sort over a
-    # term-only order, fragmenting the term runs when it spills
-    writer = post.sortWithinPartitions("bucket", "term").write.mode(
-        "overwrite"
-    )
-    if parquet_block_bytes is not None:
-        writer = writer.option("parquet.block.size", int(parquet_block_bytes))
-    writer.partitionBy("bucket").parquet(f"{path}/postings")
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    with partition_overwrite(docs.sparkSession, "static"):
+        # term-sorted within each bucket file: probe-time term
+        # predicates skip whole row groups off the min/max footer
+        # stats. The sort MUST lead with the write's partition column
+        # — FileFormatWriter requires bucket ordering and would inject
+        # its own sort over a term-only order, fragmenting the term
+        # runs when it spills
+        writer = post.sortWithinPartitions("bucket", "term").write.mode(
+            "overwrite"
+        )
+        if parquet_block_bytes is not None:
+            writer = writer.option(
+                "parquet.block.size", int(parquet_block_bytes)
+            )
+        writer.partitionBy("bucket").parquet(f"{path}/postings")
+        dl.write.mode("overwrite").parquet(f"{path}/doclen")
     # persist the build flags: append_to_text_index validates against
     # this so a wrong-flag append cannot write mixed-schema postings
     _write_meta(
@@ -403,13 +405,13 @@ def compact_text_index(
     # static overwrite: a bucket whose every posting was deleted must
     # be TRUNCATED — under the dynamic mode a streaming sink may have
     # left on this session, its old files would silently survive
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    # preserve the term-sorted file layout the probes' row-group
-    # skipping relies on — a compaction must not degrade the index
-    post.sortWithinPartitions("bucket", "term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings.staging")
-    dl.write.mode("overwrite").parquet(f"{path}/doclen.staging")
+    with partition_overwrite(spark, "static"):
+        # preserve the term-sorted file layout the probes' row-group
+        # skipping relies on — a compaction must not degrade the index
+        post.sortWithinPartitions("bucket", "term").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{path}/postings.staging")
+        dl.write.mode("overwrite").parquet(f"{path}/doclen.staging")
     _swap_dir(spark, f"{path}/doclen")
     _swap_dir(spark, f"{path}/postings")
 

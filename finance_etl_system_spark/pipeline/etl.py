@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .indicators import technical_indicators
+from ..functions.confs import partition_overwrite
 
 # Max indicator window — incremental recompute must re-read this many
 # trailing rows per symbol so SMA-200/OBV see full history
@@ -181,18 +182,14 @@ def write_processed_idempotent(processed: DataFrame, out_dir: str) -> None:
     exactly the symbol partitions it touches — replay-safe like the
     reference's ES doc-id upsert, without Mongo's append duplicates.
     """
-    (
-        processed.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    with partition_overwrite(processed.sparkSession, "dynamic"):
+        (
+            processed.repartition("symbol")
+            .sortWithinPartitions("symbol", "trading_date")
+            .write.mode("overwrite")
+            .partitionBy("symbol")
+            .parquet(out_dir)
         )
-    )
-    (
-        processed.repartition("symbol")
-        .sortWithinPartitions("symbol", "trading_date")
-        .write.mode("overwrite")
-        .partitionBy("symbol")
-        .parquet(out_dir)
-    )
 
 
 def compact_partitions(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.confs import partition_overwrite
+
 
 def rollup_aggregate(source: DataFrame, *, bucket: str = "1 day") -> DataFrame:
     """The aggregate recomputed per bucket: per (bucket, event_type)
@@ -150,11 +152,11 @@ def incremental_time_rollup(
         ),
         bucket=bucket,
     ).filter(F.col("bucket_start").isin(touched))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        refreshed.repartition("bucket_start")
-        .write.mode("overwrite")
-        .partitionBy("bucket_start")
-        .parquet(rollup_dir)
-    )
+    with partition_overwrite(spark, "dynamic"):
+        (
+            refreshed.repartition("bucket_start")
+            .write.mode("overwrite")
+            .partitionBy("bucket_start")
+            .parquet(rollup_dir)
+        )
     return sorted(touched)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_dedup_incremental
+from ..functions.confs import partition_overwrite
 
 _SIG_SCHEMA = "id bigint, sig array<bigint>"
 
@@ -82,25 +83,26 @@ def dedup_increment_batch(
     verdicts, _updated, survivors = minhash_dedup_incremental(
         batch_df, history, with_new_survivors=True, **minhash_kwargs
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        verdicts.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(verdict_dir)
-    )
-    survivors = survivors.localCheckpoint(eager=True)
-    if survivors.isEmpty():
-        # an all-duplicate batch must not write an empty partitioned
-        # dir (only _SUCCESS): the next batch's _load_state would die
-        # on UNABLE_TO_INFER_SCHEMA instead of reading prior state
-        return
-    (
-        survivors.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(state_dir)
-    )
+    with partition_overwrite(spark, "dynamic"):
+        (
+            verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(verdict_dir)
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            # an all-duplicate batch must not write an empty
+            # partitioned dir (only _SUCCESS): the next batch's
+            # _load_state would die on UNABLE_TO_INFER_SCHEMA instead
+            # of reading prior state
+            return
+        (
+            survivors.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
 
 
 def stream_dedup_incremental(

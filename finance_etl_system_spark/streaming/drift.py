@@ -35,6 +35,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.confs import partition_overwrite
+
 PSI_ALARM = 0.2
 
 
@@ -100,15 +102,15 @@ def drift_monitor_batch(
     # scanned exactly once (write-then-reaggregate would scan twice)
     rows = bucketize_counts(batch_df, value_col, edges).collect()
     batch_counts = {r["bucket"]: r["n"] for r in rows}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if batch_counts:
         counts = spark.createDataFrame(
             [(b, n, int(batch_id)) for b, n in batch_counts.items()],
             "bucket int, n bigint, batch_id long",
         )
-        counts.write.mode("overwrite").partitionBy("batch_id").parquet(
-            counts_dir
-        )
+        with partition_overwrite(spark, "dynamic"):
+            counts.write.mode("overwrite").partitionBy("batch_id").parquet(
+                counts_dir
+            )
     # else: every monitored value in the batch was NULL — nothing to
     # count (writing zero partitions would leave a schema-less dir
     # that breaks the next read), but the verdict row below still
@@ -145,9 +147,10 @@ def drift_monitor_batch(
         "batch_id long, n_batch long, n_total long, psi_batch double,"
         " psi_cum double, alarm boolean",
     )
-    verdict.write.mode("overwrite").partitionBy("batch_id").parquet(
-        verdict_dir
-    )
+    with partition_overwrite(spark, "dynamic"):
+        verdict.write.mode("overwrite").partitionBy("batch_id").parquet(
+            verdict_dir
+        )
 
 
 def reference_grid(

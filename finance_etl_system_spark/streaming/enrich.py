@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.confs import partition_overwrite
+
 
 def temporal_enrich(
     events: DataFrame,
@@ -83,8 +85,10 @@ def stream_enrich_batch(
     enriched = temporal_enrich(
         batch_df, dim, key=key, ts_col=ts_col, how=how
     ).withColumn("batch_id", F.lit(batch_id))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    enriched.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+    with partition_overwrite(spark, "dynamic"):
+        enriched.write.mode("overwrite").partitionBy("batch_id").parquet(
+            out_dir
+        )
 
 
 def stream_enrich_temporal(

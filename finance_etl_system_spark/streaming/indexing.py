@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textindex import _postings
+from ..functions.confs import partition_overwrite
 
 
 def index_batch(
@@ -42,23 +43,23 @@ def index_batch(
         batch_df, text_col=text_col, id_col=id_col, analyzed=analyzed
     )
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        post.withColumn("batch_id", F.lit(batch_id))
-        # (partition cols, term) sort: keeps each bucket file
-        # term-clustered so probe-time term predicates row-group-skip
-        # — same layout contract as the batch writers
-        .sortWithinPartitions("batch_id", "bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "bucket")
-        .parquet(f"{index_path}/postings")
-    )
-    (
-        dl.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{index_path}/doclen")
-    )
+    with partition_overwrite(spark, "dynamic"):
+        (
+            post.withColumn("batch_id", F.lit(batch_id))
+            # (partition cols, term) sort: keeps each bucket file
+            # term-clustered so probe-time term predicates row-group-
+            # skip — same layout contract as the batch writers
+            .sortWithinPartitions("batch_id", "bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "bucket")
+            .parquet(f"{index_path}/postings")
+        )
+        (
+            dl.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/doclen")
+        )
 
 
 def stream_index_documents(

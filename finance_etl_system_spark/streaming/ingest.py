@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.confs import partition_overwrite
+
 # crawler record shape (reference crawler/crawler.py:99-108)
 KAFKA_VALUE_SCHEMA = T.StructType(
     [
@@ -80,12 +82,10 @@ def write_keyed_overwrite(batch_df: DataFrame, out_dir: str) -> None:
     for tick-grain keys use the append log + compaction path instead
     (a per-row partition would be a small-files blowup; SCALE.md).
     """
-    batch_df.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
-    pick_latest_per_key(batch_df).write.mode("overwrite").partitionBy(
-        "symbol", "date"
-    ).parquet(out_dir)
+    with partition_overwrite(batch_df.sparkSession, "dynamic"):
+        pick_latest_per_key(batch_df).write.mode("overwrite").partitionBy(
+            "symbol", "date"
+        ).parquet(out_dir)
 
 
 def pick_latest_per_key(batch_df: DataFrame) -> DataFrame:
@@ -295,14 +295,12 @@ def stream_ingest_dual_sink(
                 .partitionBy("symbol")
                 .parquet(append_dir)
             )
-            batch.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            (
-                batch.write.mode("overwrite")
-                .partitionBy("symbol")
-                .parquet(upsert_dir)
-            )
+            with partition_overwrite(batch.sparkSession, "dynamic"):
+                (
+                    batch.write.mode("overwrite")
+                    .partitionBy("symbol")
+                    .parquet(upsert_dir)
+                )
         finally:
             batch.unpersist()
 

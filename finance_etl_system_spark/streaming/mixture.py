@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import budget_take
+from ..functions.confs import partition_overwrite
 
 def _load_kept(
     spark: SparkSession, kept_dir: str, group_col: str, weight_col: str
@@ -100,13 +101,13 @@ def mixture_increment_batch(
         # only _SUCCESS, and the NEXT batch's state read would die on
         # UNABLE_TO_INFER_SCHEMA instead of seeing "no carry yet"
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        kept.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(kept_dir)
-    )
+    with partition_overwrite(spark, "dynamic"):
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
 
 
 def stream_mixture_budget(
@@ -141,9 +142,13 @@ def stream_mixture_budget(
             )
             .cast("long")
             .alias("w"),
-            (
-                ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
-                % F.lit(4294967296)
+            # pmod keeps the key in [0, 2^32) even for negative
+            # doc_ids (Spark's % takes the dividend's sign) — the
+            # budget_take order-key contract
+            F.pmod(
+                F.pmod(F.col("doc_id"), F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(4294967296),
             ).alias("h"),
         )
         mixture_increment_batch(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ingest import parse_kafka_records, write_keyed_overwrite
+from ..functions.confs import partition_overwrite
 
 
 def batch_quality_metrics(batch: DataFrame) -> DataFrame:
@@ -89,28 +90,26 @@ def gate_batch(
         )
         rows = verdicts.collect()  # |checks| rows — driver-sized
         spark = batch.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            spark.createDataFrame(
-                rows,
-                schema="check_name string, metric double, "
-                "passed boolean, batch_id long",
-            )
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(verdict_dir)
-        )
-        if all(r.passed for r in rows):
-            write_keyed_overwrite(batch, clean_dir)
-        else:
+        with partition_overwrite(spark, "dynamic"):
             (
-                batch.withColumn("batch_id", F.lit(batch_id))
+                spark.createDataFrame(
+                    rows,
+                    schema="check_name string, metric double, "
+                    "passed boolean, batch_id long",
+                )
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
-                .parquet(quarantine_dir)
+                .parquet(verdict_dir)
             )
+            if all(r.passed for r in rows):
+                write_keyed_overwrite(batch, clean_dir)
+            else:
+                (
+                    batch.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(quarantine_dir)
+                )
     finally:
         batch.unpersist()
 

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .ingest import parse_kafka_records
+from ..functions.confs import partition_overwrite
 
 
 def stream_score(
@@ -119,13 +120,13 @@ def stream_score_best_model(
             feature_cols=list(feature_cols),
             blob_strategy="broadcast",  # registry is dim-sized here
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            scored.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        with partition_overwrite(spark, "dynamic"):
+            (
+                scored.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
 
     return (
         feats.writeStream.foreachBatch(fb)

@@ -15,14 +15,17 @@ from pyspark.sql import functions as F
 from finance_etl_system_spark.catalog import load_table
 from finance_etl_system_spark.operators.bpe import (
     END_OF_WORD,
+    _select_batch,
     bpe_encode,
     bpe_train,
     encode_word,
     merge_pass,
     load_bpe_model,
     merge_symbols,
+    merge_symbols_multi,
     replay_word,
     save_bpe_model,
+    segment_words,
     word_freq,
 )
 from tests.conftest import SF_SMOKE
@@ -168,6 +171,191 @@ def test_pack_bpe_bins_respect_budget(spark):
         assert fill < PACK_BUDGET + max_doc
         if b != max(fills):
             assert fill > PACK_BUDGET - max_doc
+
+
+def _ref_train_batched(
+    wf: dict[str, int], num_merges: int, min_freq: int, batch: int
+) -> list[tuple[str, str, str, int]]:
+    """Pure-Python twin of the BATCHED trainer: identical control flow
+    (rank top-(B+1), _select_batch, apply accepted merges) with a
+    Counter backend instead of Spark — lets hypothesis hammer the
+    selection rules at hundreds of examples."""
+    vocab = [(list(w) + [END_OF_WORD], f) for w, f in wf.items()]
+    symbols = {s for sym, _ in vocab for s in sym}
+    merges: list[tuple[str, str, str, int]] = []
+    while len(merges) < num_merges:
+        b = min(batch, num_merges - len(merges))
+        counts: Counter = Counter()
+        for sym, f in vocab:
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += f
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: b + 1]
+        rows = [{"l": l, "r": r, "total": t} for (l, r), t in ranked]
+        if not rows or rows[0]["total"] < min_freq:
+            break
+        accepted, done = _select_batch(rows, b, min_freq, symbols)
+        for l, r, total in accepted:
+            merges.append((l, r, l + r, total))
+            symbols.add(l + r)
+            # batch pairs are same-position-compatible: applying them
+            # one at a time (any order) equals the engine's single
+            # combined fold pass — itself pinned by
+            # test_merge_symbols_multi_equals_sequential_passes
+            vocab = [(merge_pass(sym, l, r), f) for sym, f in vocab]
+        if done:
+            break
+    return merges
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    freqs=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=12, max_size=12
+    ),
+    batch=st.integers(min_value=2, max_value=8),
+    num_merges=st.integers(min_value=1, max_value=24),
+)
+def test_batched_selection_equals_sequential_property(
+    words, freqs, batch, num_merges
+):
+    """THE batching safety property: for random corpora over a 2-char
+    alphabet (maximal tie/conflation/self-pair stress — 'a'+'b' IS a
+    live symbol whenever 'ab' was merged), the batched trainer's merge
+    list is IDENTICAL — same pairs, same order, same counts — to the
+    one-merge-per-round sequential reference, for every batch size and
+    merge budget."""
+    wf = {w: f for w, f in zip(words, freqs)}
+    want = _ref_train(wf, num_merges, 2)
+    got = _ref_train_batched(wf, num_merges, 2, batch)
+    assert got == want
+
+
+def test_batched_spark_train_equals_sequential(spark):
+    """End-to-end on the engine: all three tiers — local delta+heap
+    (the default), distributed batched folds, distributed sequential —
+    produce the identical merge list, on the real corpus AND on a
+    tie-heavy synthetic one."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    seq = bpe_train(
+        d, num_merges=12, min_freq=2, batch_merges=1, local_vocab_limit=0
+    )
+    bat = bpe_train(
+        d, num_merges=12, min_freq=2, batch_merges=16, local_vocab_limit=0
+    )
+    loc = bpe_train(d, num_merges=12, min_freq=2)  # local tier default
+    assert bat.merges == seq.merges
+    assert loc.merges == seq.merges
+    assert loc.rounds == 2  # count + collect; zero per-merge jobs
+    assert bat.rounds <= seq.rounds
+    # adversarial: equal counts everywhere, self-pairs, conflation bait
+    # ("a b" next to word "ab": merging (a,b) conflates with the live
+    # 'ab'... here as characters 'a','b' inside words)
+    texts = ["aa ab ba bb aa ab", "abab baba aabb", "a b ab ba"] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf = {r["term"]: r["freq"] for r in word_freq(df).collect()}
+    want = _ref_train(wf, 20, 2)
+    got = bpe_train(
+        df, num_merges=20, min_freq=2, batch_merges=8, local_vocab_limit=0
+    )
+    assert got.merges == want
+    assert bpe_train(df, num_merges=20, min_freq=2).merges == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    freqs=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=12, max_size=12
+    ),
+    num_merges=st.integers(min_value=1, max_value=24),
+)
+def test_local_delta_trainer_equals_sequential_property(
+    words, freqs, num_merges
+):
+    """The local tier's safety property: the delta+heap trainer is
+    bit-identical to the definitional recount-every-round reference —
+    same pairs, order, and counts — under maximal tie/conflation
+    stress (2-char alphabet)."""
+    from finance_etl_system_spark.operators.bpe import _train_local
+
+    wf = {w: f for w, f in zip(words, freqs)}
+    assert _train_local(list(wf.items()), num_merges, 2) == _ref_train(
+        wf, num_merges, 2
+    )
+
+
+def test_merge_symbols_multi_equals_sequential_passes(spark):
+    """The one-pass JVM batch fold ≡ per-pair sequential merge_pass
+    for batch-compatible pair sets — disjoint AND same-position-
+    sharing (shared left, shared right) — on adversarial runs
+    (overlaps, word-edge pairs, batch pairs adjacent to each
+    other)."""
+    words = [
+        "acbd", "abcd", "ab", "cd", "abcdabcd", "ba", "dc", "", "a",
+        "aab", "abac", "abcb", "cbab",
+    ]
+    cases = [(list(w) + [END_OF_WORD],) for w in words]
+    df = spark.createDataFrame(cases, "symbols array<string>")
+    batches = [
+        [("a", "b"), ("c", "d")],
+        [("b", "a"), ("d", "c")],
+        [("a", "c"), ("b", "d")],
+        [("a", END_OF_WORD), ("c", "d")],
+        # left-sharing: both consume 'a'-followed-by-{b,c} sites
+        [("a", "b"), ("a", "c"), ("a", "d")],
+        # right-sharing: the END_OF_WORD case that dominates real text
+        [("a", END_OF_WORD), ("b", END_OF_WORD), ("d", END_OF_WORD)],
+        [("a", "b"), ("c", "b")],
+        # mixed: left-share on a, right-share on d, disjoint (c,b)
+        [("a", "b"), ("a", "d"), ("c", "d")],
+    ]
+    for pairs in batches:
+        got = [
+            row["m"]
+            for row in df.select(
+                merge_symbols_multi(F.col("symbols"), pairs).alias("m")
+            ).collect()
+        ]
+        want = []
+        for (sym,) in cases:
+            out = sym
+            for l, r in pairs:
+                out = merge_pass(out, l, r)
+            want.append(out)
+        assert got == want, pairs
+
+
+def test_encode_segments_like_training(spark):
+    """ADVICE round-7: NBSP / Unicode spaces are word CONTENT under
+    the JVM's ASCII-\\s split — encode must agree, not str.split()'s
+    Unicode rule. A text containing NBSP yields ONE training term and
+    bpe_encode must produce exactly that term's tokens."""
+    # real NBSP (U+00A0) and EM space (U+2003) inside "words"
+    nbsp_text = "alpha\u00a0beta gamma\u2003delta"
+    df = spark.createDataFrame([(nbsp_text,)], "text string")
+    terms = sorted(r["term"] for r in word_freq(df).collect())
+    assert terms == sorted(segment_words(nbsp_text))
+    assert "alpha\u00a0beta" in terms  # NBSP kept inside the word
+    assert "gamma\u2003delta" in terms  # EM space too
+    model = bpe_train(df, num_merges=4, min_freq=1)
+    toks = bpe_encode(df, model).select("bpe_tokens").collect()[0][0]
+    expect = []
+    for w in segment_words(nbsp_text):
+        expect.extend(replay_word(w, model.merges))
+    assert toks == expect
 
 
 def test_rank_greedy_encoder_equals_replay(spark):

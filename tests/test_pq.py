@@ -342,10 +342,20 @@ def test_ivf_pq_index_stats(spark, corpus, tmp_path):
     assert sum(r["n_vectors"] for r in rows) == corpus.count()
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     for r in rows:
+        assert r["n_unmatched"] == 0
         assert 0.0 <= r["mean_recon_err"] <= r["max_recon_err"]
         # residual PQ on unit vectors: reconstruction error well
         # under the unit norm on the training data itself
         assert r["mean_recon_err"] < 0.8
+    # ADVICE round-7: index rows ABSENT from the supplied corpus must
+    # surface as n_unmatched (left join), not silently vanish — the
+    # drifted/forgotten-batch rows a health report exists to expose
+    partial = corpus.filter(F.col("vec_id") % 2 == 0)
+    rows2 = ivf_pq_index_stats(spark, path, partial).collect()
+    assert sum(r["n_vectors"] for r in rows2) == corpus.count()
+    assert sum(r["n_unmatched"] for r in rows2) == (
+        corpus.count() - partial.count()
+    )
 
 
 def test_subspace_helpers_roundtrip():
@@ -354,3 +364,39 @@ def test_subspace_helpers_roundtrip():
     assert np.allclose(_subspaces(x, M).reshape(2, DIM), x)
     z = np.zeros((1, DIM))
     assert np.allclose(_normalize(z), z)  # zero vector stays zero
+
+
+def test_pq_train_empty_input_friendly_error(spark):
+    """ADVICE round-7: an empty/short input must fail with the
+    need->=k message, not numpy's opaque vstack error."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="need >= "):
+        pq_train(empty, vec_col="embedding", id_col="vec_id",
+                 dim=DIM, m=M, k=K_CODES)
+
+
+def test_index_writers_restore_overwrite_mode(spark, corpus, tmp_path):
+    """ADVICE round-7: build/append must not leak their
+    partitionOverwriteMode override into the caller's session."""
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    path = str(tmp_path / "ivfpq_conf")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=2, m=M, k_codes=K_CODES,
+        id_col="vec_id",
+    )
+    assert spark.conf.get(key) == "static"
+    append_to_ivf_pq_index(
+        corpus.filter(F.col("vec_id") < 20), path, batch_id=3
+    )
+    # the append sets dynamic internally; caller's static must survive
+    assert spark.conf.get(key) == "static"
+    spark.conf.set(key, prior)

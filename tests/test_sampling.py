@@ -248,3 +248,38 @@ def test_bucket_column_is_reusable(spark):
         load_table(spark, SF_SMOKE, "orders"), ["o_orderkey"], 0.10
     ).select("o_orderkey")
     assert {r[0] for r in via_col.collect()} == {r[0] for r in via_op.collect()}
+
+
+def test_budget_take_negative_order_keys(spark):
+    """ADVICE round-7: order keys OUTSIDE the documented [0, 2^32)
+    domain (e.g. signed hashes) must still bucket monotonically —
+    exact integer floor division, not truncation. Kept set per group
+    must equal the naive greedy prefix."""
+    from finance_etl_system_spark.operators.sampling import budget_take
+
+    rows = [
+        (i, "g", (-1) ** i * (10_000_000_000 + i * 7_919), 10)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, k long, w long")
+    kept = budget_take(
+        df,
+        group_col="g",
+        weight_col="w",
+        order_col="k",
+        tiebreak_col="doc_id",
+        budgets={"g": 300},
+        buckets=8,
+    ).collect()
+    order = sorted((r[2], r[0]) for r in rows)
+    # greedy boundary: rows whose running total STARTS before budget
+    want, cum = set(), 0
+    for k, d in order:
+        if cum < 300:
+            want.add(d)
+        cum += 10
+    assert {r["doc_id"] for r in kept} == want
+    # cum_before audit column matches the naive prefix sums
+    naive = {d: i * 10 for i, (k, d) in enumerate(order)}
+    for r in kept:
+        assert r["cum_before"] == naive[r["doc_id"]]
