@@ -150,14 +150,31 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial per (task, label) instead of 64x the row count. The melt
     to long format (stack) runs after aggregation, on |labels| rows.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroids_frame(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def embedding_centroids_frame(e: DataFrame) -> DataFrame:
+    """The centroid kernel over any (label, embedding) frame — split
+    from the registry entry so the dirty-data fallback (per-dim
+    counts) is testable on synthetic ragged/null-element vectors."""
     # 1e8-tick exact accumulation: |v| < 1 so ticks < 1e8, bigint
     # sums exact in any order — the float avg this replaces merged
     # partials in partition-dependent order. The round-to-tick runs
-    # ONCE per element via transform (null elements stay null, so
-    # the per-dim counts below match the pre-transform semantics);
-    # per-dim ordinal access on the long array is then cheap, ~35%
-    # faster than round-inside-every-aggregate at sf0.1.
+    # ONCE per element via transform (null elements stay null).
+    #
+    # Round-8 adjudication of the r6→r7 bench move (0.63→0.94 s
+    # minima at sf0.1 on one host): the cost was the DOUBLED
+    # aggregate-function count — 64 per-dim COUNT(_t[i]) aggregates
+    # existing only for null-element/ragged-array semantics the
+    # fixtures never exercise. The per-dim counts now hide behind a
+    # single guard aggregate (_nbad: rows whose array is short or
+    # has a null element): the main pass carries 64 SUMs + 3 scalar
+    # aggregates (0.65 s — r6 parity, exactness kept), and only if
+    # some label is dirty does the exact per-dim-count form run.
+    # The guard keeps oracle semantics: when _nbad == 0,
+    # COUNT(_t[i]) == COUNT(embedding) for every dim by definition.
     ticks = e.withColumn(
         "_t",
         F.transform(
@@ -165,16 +182,47 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1e8, 0).cast("long"),
         ),
     )
+    bad = (
+        F.col("embedding").isNotNull()
+        & (
+            (F.size("embedding") != _DIM)
+            | F.exists("_t", lambda x: x.isNull())
+        )
+    ).cast("long")
     wide = ticks.groupBy("label").agg(
-        *[
-            (
-                F.sum(F.col("_t")[i])
-                / (F.lit(1e8) * F.count(F.col("_t")[i]))
-            ).alias(f"_c{i}")
-            for i in range(_DIM)
-        ],
+        # F.get: null past the end (ANSI [] throws on ragged arrays;
+        # the oracle's embedding[i+1] is null there)
+        *[F.sum(F.get("_t", i)).alias(f"_s{i}") for i in range(_DIM)],
+        F.count("embedding").alias("_nv"),
+        F.sum(bad).alias("_nbad"),
         F.count(F.lit(1)).alias("n_vectors"),
-    )
+    ).localCheckpoint(eager=True)  # |labels| rows; reused for the
+    # dirty probe and the output without a second corpus scan
+    if wide.filter(F.col("_nbad") > 0).limit(1).count() > 0:
+        # some label has ragged/null-element vectors: per-dim counts
+        # genuinely differ from _nv — run the exact form (costs the
+        # extra 64 COUNT aggregates only on dirty data)
+        wide = ticks.groupBy("label").agg(
+            *[
+                (
+                    F.sum(F.get("_t", i))
+                    / (F.lit(1e8) * F.count(F.get("_t", i)))
+                ).alias(f"_c{i}")
+                for i in range(_DIM)
+            ],
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    else:
+        wide = wide.select(
+            "label",
+            *[
+                (F.col(f"_s{i}") / (F.lit(1e8) * F.col("_nv"))).alias(
+                    f"_c{i}"
+                )
+                for i in range(_DIM)
+            ],
+            "n_vectors",
+        )
     stack_args = ", ".join(f"CAST({i + 1} AS BIGINT), _c{i}" for i in range(_DIM))
     return (
         wide.select(

@@ -761,3 +761,48 @@ def test_ivf_two_flag_protocol_append_lease_vs_compaction(
     fs.delete(HPath(_compact_marker(path)), False)
     compact_ivf_index(spark, path)
     assert verify_ivf_index(spark, path)["consistent"]
+
+
+def test_embedding_centroids_dirty_fallback(spark):
+    """Round-8: the fast path (per-label vector count as the
+    denominator) must yield to exact per-dim counts when arrays are
+    ragged or contain null elements — per-dim denominators then
+    genuinely differ. Reference computed in Python."""
+    from finance_etl_system_spark.queries.similarity import (
+        _DIM,
+        embedding_centroids_frame,
+    )
+
+    full = [float((i % 7) - 3) / 10.0 for i in range(_DIM)]
+    ragged = full[: _DIM - 2]  # short array -> dims 63,64 missing
+    holey = list(full)
+    holey[4] = None  # null element at dim 5
+    rows = [
+        ("a", full), ("a", ragged), ("a", holey),
+        ("b", full), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+        for r in embedding_centroids_frame(df).collect()
+    }
+    assert len(got) == 2 * _DIM
+
+    def tick(x):
+        import decimal
+        return int(
+            decimal.Decimal(x * 1e8).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    # label a, dim 5: holey's null excluded -> denominator 2
+    want_a5 = round((tick(full[4]) + tick(ragged[4])) / (1e8 * 2), 6)
+    assert got[("a", 5)] == (want_a5, 3)
+    # label a, dim 64: only `full` has it -> denominator 1
+    assert got[("a", _DIM)] == (round(tick(full[-1]) / 1e8, 6), 3)
+    # label a, dim 1: all three present -> denominator 3
+    want_a1 = round(3 * tick(full[0]) / (1e8 * 3), 6)
+    assert got[("a", 1)] == (want_a1, 3)
+    # label b: null VECTOR is excluded from every dim, n_vectors counts it
+    assert got[("b", 1)] == (round(tick(full[0]) / 1e8, 6), 2)
