@@ -11,8 +11,11 @@ quadratic cosine pass is (anchors_in_cluster × members_in_cluster),
 blockwise over anchors so peak memory is O(block × members + n × d),
 never n². Oversized clusters are truncated to ``max_cluster`` members
 chosen by content hash (deterministic, partition-independent) and the
-truncation is surfaced in the output's ``truncated`` flag, never
-silent. The only shuffle is the groupBy(cluster) the k-means
+truncation is surfaced in the output's ``truncated`` flag — plus, for
+clusters that emit no triplets at all (a pure boilerplate family has
+an empty in-cluster negative band), in the ``with_report`` per-cluster
+frame, so no truncation is ever silent. The only shuffle is the
+groupBy(cluster) the k-means
 assignment already requires; anchors are a content-hash sample, so
 membership is a pure function of the row (operators/sampling.py
 discipline).
@@ -52,12 +55,25 @@ def mine_triplets(
     max_cluster: int = 20_000,
     max_iter: int = 6,
     block: int = 256,
-) -> DataFrame:
+    with_report: bool = False,
+):
     """Emit up to ``per_anchor`` (anchor, positive, hard_negative)
     triplets per anchor. Anchors are rows with xxhash64(id) % and
     ``anchor_mod`` == 0 (≈ 1/anchor_mod of the corpus, content-
     addressed). Returns (anchor_id, pos_id, neg_id, pos_cos, neg_cos,
-    truncated)."""
+    truncated).
+
+    ``with_report=True`` additionally returns a per-cluster frame
+    (cluster, n_members, n_anchors, truncated) as the second element.
+    The per-triplet ``truncated`` flag alone is NOT sufficient
+    observability: a truncated cluster that emits zero triplets —
+    e.g. a pure boilerplate family, where every member is a positive
+    and the in-cluster negative band is empty — would otherwise
+    truncate SILENTLY (found by the round-8 skewed-cluster
+    rehearsal, tools/skew_cluster_check.py). The report is one
+    map-combinable aggregate over the assigned frame (k rows out);
+    it re-traverses the scan lineage rather than caching a
+    corpus-sized frame."""
     assert neg_lo < neg_hi <= pos_threshold
     model = kmeans_fit(
         df, vec_col=vec_col, id_col=id_col, k=k_clusters, max_iter=max_iter
@@ -120,6 +136,17 @@ def mine_triplets(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    triplets = assigned.groupBy("cluster").applyInPandas(
         mine_one, schema=out_schema
     )
+    if not with_report:
+        return triplets
+    report = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("_is_anchor").cast("long")).alias("n_anchors"),
+        )
+        .withColumn("truncated", F.col("n_members") > max_cluster)
+    )
+    return triplets, report

@@ -66,3 +66,48 @@ def test_truncation_flag_surfaces(spark):
     e, _ = _vecs(spark)
     rows = mine_triplets(e, max_cluster=50, **KW).collect()
     assert rows and all(r["truncated"] for r in rows)
+
+
+def test_pure_boilerplate_cluster_truncation_is_reported(spark):
+    """Round-8 skew rehearsal: a truncated cluster that emits ZERO
+    triplets (pure boilerplate family — every member is a positive,
+    the in-cluster negative band is empty) must still surface through
+    the with_report frame; the per-triplet flag alone would be
+    silent."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    d = 16
+    base = rng.randn(d)
+    rows = []
+    for i in range(300):  # near-identical family
+        v = base.copy()
+        v[i % d] += (i % 97) * 1e-9
+        rows.append((int(i), [float(x) for x in v]))
+    for i in range(300, 400):  # organic rows
+        rows.append((int(i), [float(x) for x in rng.randn(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    triplets, report = mine_triplets(
+        df,
+        k_clusters=4,
+        max_cluster=200,
+        pos_threshold=0.99,
+        neg_lo=-1.0,
+        neg_hi=0.99,
+        with_report=True,
+        anchor_mod=5,
+        max_iter=4,
+    )
+    rep = {r["cluster"]: r for r in report.collect()}
+    trunc = [r for r in rep.values() if r["truncated"]]
+    # the family cluster (300 planted + possible organic stragglers)
+    # is reported truncated even if it emits no triplets at all
+    assert len(trunc) == 1 and trunc[0]["n_members"] >= 300
+    t = triplets.collect()
+    fam_ids = set(range(300))
+    fam_triplets = [r for r in t if r["anchor_id"] in fam_ids]
+    # family triplets exist ONLY if an organic straggler survived the
+    # hash truncation as a negative; whenever they exist they carry
+    # the flag — and when none exist, the report is the only signal
+    assert all(r["truncated"] for r in fam_triplets)
+    assert report.columns == ["cluster", "n_members", "n_anchors", "truncated"]

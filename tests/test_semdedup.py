@@ -233,3 +233,43 @@ def test_semdedup_default_cap_is_bounded():
 
     cap = inspect.signature(m.semantic_dedup).parameters["max_cluster"]
     assert cap.default <= 20_000
+
+
+def test_boilerplate_skew_cluster_overflows_not_drops(spark):
+    """Round-8 skew rehearsal (tools/skew_cluster_check.py at 10x/
+    100x): a boilerplate family 40% of the corpus lands in ONE
+    cluster; over the cap it must pass through kept=True +
+    overflow=True — flagged verbatim, never silently dropped, never
+    an n^2 panel."""
+    import numpy as np
+
+    from finance_etl_system_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    d = 16
+    base = rng.randn(d)
+    rows = []
+    for i in range(400):  # the boilerplate family, cluster 0
+        v = base.copy()
+        v[i % d] += (i % 97) * 1e-9
+        rows.append((int(i), 0, 0.5, [float(x) for x in v]))
+    for i in range(400, 500):  # organic rows, cluster 1
+        rows.append(
+            (int(i), 1, 0.1, [float(x) for x in rng.randn(d)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, dist2 double,"
+        " embedding array<double>"
+    )
+    out = semantic_dedup(df, eps=0.95, max_cluster=300).collect()
+    fam = [r for r in out if r["cluster"] == 0]
+    org = [r for r in out if r["cluster"] == 1]
+    assert len(fam) == 400
+    assert all(r["overflow"] and r["kept"] for r in fam)  # verbatim
+    assert all(not r["overflow"] for r in org)
+    assert sum(r["kept"] for r in org) >= 1
+    # same family UNDER the cap: greedy keeps exactly one of the
+    # near-identical rows (cos ~ 1 > eps)
+    under = semantic_dedup(df, eps=0.95, max_cluster=1000).collect()
+    fam_kept = [r for r in under if r["cluster"] == 0 and r["kept"]]
+    assert len(fam_kept) == 1
