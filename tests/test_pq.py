@@ -161,9 +161,25 @@ def test_ivf_pq_index_prune_and_recall(spark, corpus, tmp_path):
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
-    # nprobe=2/4 bounds recall by the probed fraction's coverage;
-    # the IVF-only path tests the same operating point
+    # round-8 floors from the measured curve (tools/ivfpq_curve.py;
+    # per-query recalls at this config: nprobe=2 -> [0.6..0.9]).
+    # The pipeline is deterministic (content-addressed seeds, rounded
+    # scores), so these are exact reproductions, not luck.
     assert sum(recalls) / len(recalls) >= 0.6
+    assert min(recalls) >= 0.6  # per-query floor, not just the mean
+    # nprobe = all clusters isolates the PQ+rerank ceiling (routing
+    # loss removed): measured per-query [0.8..1.0]
+    full = {}
+    for r in cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=4, rerank_with=corpus,
+        rerank=50,
+    ).collect():
+        full.setdefault(r["qid"], set()).add(r["cid"])
+    full_recalls = [
+        len(exact[q] & full.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(full_recalls) / len(full_recalls) >= 0.85
+    assert min(full_recalls) >= 0.8
 
 
 def test_ivf_pq_append_frozen_model_and_retry(spark, corpus, tmp_path):

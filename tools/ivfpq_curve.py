@@ -1,0 +1,163 @@
+"""IVF-PQ recall-vs-nprobe operating curve (round-7 verdict #5):
+knn_ivf_pq previously carried a single averaged recall assert; this
+measures the full (nprobe, recall@10, scan fraction, probe wall)
+surface at sf0.1 and at N x sf0.1 so the cost/recall trade is a
+documented table, matching the plain-IVF treatment.
+
+Corpus at N x: replica c rolls the coordinate order by 8*c positions
+— each copy is a distinct region of the sphere with the SAME local
+neighborhood structure, so per-query difficulty matches the base
+corpus (exact duplicates would make top-10 a tie lottery, and
+epsilon-perturbed copies would BE the top-10, trivializing recall).
+
+Recall@10 is computed per query against brute-force cosine over the
+SAME corpus, with the ADC-shortlist + exact-rerank production path
+(rerank=50). Scan fraction = codes rows in the probed clusters /
+total codes rows (the index stores codes, not floats, so this is the
+fraction of an already 16x-compressed table).
+
+Usage: python tools/ivfpq_curve.py [mult]   # default 10
+Prints the markdown table SCALE.md embeds.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from finance_etl_system_spark.catalog import load_table  # noqa: E402
+from finance_etl_system_spark.operators.pq import (  # noqa: E402
+    build_ivf_pq_index,
+    cosine_topk_ivf_pq,
+)
+from finance_etl_system_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_bruteforce,
+)
+from finance_etl_system_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+DIM = 64
+K_CLUSTERS = 8
+N_QUERIES = 10
+K = 10
+
+
+def rolled_replica(e, mult: int):
+    n = e.count()
+    copies = e.sparkSession.range(mult).select(F.col("id").alias("_copy"))
+    rolled = F.transform(
+        F.col("embedding").cast("array<double>"),
+        # element i of copy c = element (i + 8c) mod DIM of the base
+        lambda _v, i: F.get(
+            F.col("embedding").cast("array<double>"),
+            F.pmod(i + F.col("_copy").cast("int") * 8, F.lit(DIM)).cast(
+                "int"
+            ),
+        ),
+    )
+    return e.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("_copy") * F.lit(n)).alias("vec_id"),
+        "label",
+        rolled.alias("embedding"),
+    )
+
+
+def curve(spark, corpus, label: str):
+    corpus = corpus.localCheckpoint(eager=True)
+    n = corpus.count()
+    path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_curve_")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=K_CLUSTERS, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk_bruteforce(queries, corpus, k=K).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    codes = spark.read.parquet(f"{path}/codes")
+    cluster_sizes = {
+        r["cluster"]: r["count"]
+        for r in codes.groupBy("cluster").count().collect()
+    }
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        got = cosine_topk_ivf_pq(
+            spark, path, queries, k=K, nprobe=nprobe,
+            rerank_with=corpus, rerank=50,
+        )
+        got.count()  # warm/build routing
+        t = float("inf")
+        res = None
+        for _ in range(3):
+            t0 = time.time()
+            res = got.collect()
+            t = min(t, time.time() - t0)
+        approx: dict[int, set[int]] = {}
+        for r in res:
+            approx.setdefault(r["qid"], set()).add(r["cid"])
+        # per-QUERY scan fraction (the probe cost a single query
+        # pays); the batch union is larger but amortized across the
+        # batch — re-derive routing with the probe's own helper
+        from finance_etl_system_spark.operators.similarity import (
+            _as_double,
+            _route_queries,
+        )
+
+        cents = spark.read.parquet(f"{path}/centroids")
+        q = queries.select(
+            F.col("query_id").alias("qid"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        per_q: dict[int, int] = {}
+        for r in _route_queries(q, cents, nprobe).select(
+            "qid", "cluster"
+        ).collect():
+            per_q[r["qid"]] = per_q.get(r["qid"], 0) + cluster_sizes.get(
+                r["cluster"], 0
+            )
+        frac = sum(per_q.values()) / (len(per_q) * n)
+        recalls = [
+            len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+            for qid in exact
+        ]
+        rows.append(
+            (
+                nprobe,
+                sum(recalls) / len(recalls),
+                min(recalls),
+                frac,
+                t,
+            )
+        )
+        print(
+            f"{label} nprobe={nprobe}: recall@10 avg="
+            f"{rows[-1][1]:.3f} min={rows[-1][2]:.3f} "
+            f"scan={rows[-1][3]:.3f} wall={t:.2f}s",
+            file=sys.stderr,
+        )
+    print(f"\n<!-- ivfpq_curve {label} rows={n} k_clusters={K_CLUSTERS}"
+          f" m=16 k_codes=32 rerank=50 -->")
+    print("| nprobe | recall@10 (avg) | recall@10 (min) |"
+          " per-query codes scan fraction | probe wall (s) |")
+    print("|---|---|---|---|---|")
+    for nprobe, avg, lo, frac, t in rows:
+        print(f"| {nprobe} | {avg:.3f} | {lo:.3f} | {frac:.3f} | {t:.2f} |")
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark()
+    base = load_table(spark, BASE_SF, "embeddings")
+    curve(spark, base, "sf0.1")
+    curve(spark, rolled_replica(base, mult), f"sf0.1x{mult}")
+
+
+if __name__ == "__main__":
+    main()
