@@ -594,12 +594,51 @@ def append_to_ivf_pq_index(
     quality decays as the distribution drifts — rebuild on budget,
     the FAISS retrain cadence.
 
-    This layout has no compaction/delete path yet, so there is no
-    writer-vs-swap race to fence (the IVF vectors index grew its
-    two-flag fence only WITH compaction); the residual risk is two
-    concurrent AUTO-assigned appends racing max+1 to the same
-    batch_id — serialize auto-assigned appends, or give each writer
-    an explicit batch_id namespace (the streaming pattern)."""
+    Mutual exclusion with :func:`compact_ivf_pq_index` is the same
+    two-flag protocol as append_to_ivf_index (round 8 — added WITH
+    the compaction path, exactly as the IVF vectors index grew its
+    fence): the append takes an ``_APPENDING.<token>`` lease BEFORE
+    checking ``_COMPACTING``, so whichever way an append and a
+    compaction interleave, at least one observes the other and
+    refuses. The remaining caller duty is two concurrent
+    AUTO-assigned appends racing max+1 to the same batch_id —
+    serialize those, or give each writer an explicit batch_id
+    namespace (the streaming pattern)."""
+    import uuid
+
+    from .similarity import (
+        _append_lease,
+        _compact_marker,
+        _ivf_fs,
+    )
+
+    spark = new_vectors.sparkSession
+    fs, HPath = _ivf_fs(spark, path)
+    lease = HPath(_append_lease(path, uuid.uuid4().hex))
+    if not fs.createNewFile(lease):  # pragma: no cover - uuid collision
+        raise RuntimeError(f"could not take append lease {lease}")
+    try:
+        if fs.exists(HPath(_compact_marker(path))):
+            raise RuntimeError(
+                f"IVF-PQ index at {path} is being compacted "
+                "(_COMPACTING marker present); retry the append after "
+                "the compaction finishes — a write racing the "
+                "directory swap would be silently lost"
+            )
+        _append_to_ivf_pq_index_locked(
+            new_vectors, path, batch_id=batch_id
+        )
+    finally:
+        fs.delete(lease, False)
+
+
+def _append_to_ivf_pq_index_locked(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    batch_id: int | None = None,
+) -> None:
+    """Body of append_to_ivf_pq_index, running under its lease."""
     from .clustering import kmeans_assign
 
     spark = new_vectors.sparkSession
@@ -650,6 +689,81 @@ def append_to_ivf_pq_index(
         )
 
 
+def compact_ivf_pq_index(
+    spark, path: str, deleted_ids: DataFrame | None = None
+) -> None:
+    """Fold the accumulated append batches of the CODES table back
+    into batch 0 (and optionally drop deleted ids) — the segment-
+    merge step between retrains, mirroring compact_ivf_index: many
+    small (batch_id, cluster) partitions from appends become one
+    file set per cluster, restoring scan efficiency without touching
+    centroids or codebooks (routing and ADC LUTs stay valid; a
+    RETRAIN is build_ivf_pq_index again). Staging + directory-swap:
+    the live index is never half-written — a crash leaves the old
+    codes tree or the new one.
+
+    SINGLE-WRITER CONTRACT (asserted): takes ``_COMPACTING`` under
+    the index root for the whole run; appends raise while it is
+    held. After taking the marker it checks for in-flight
+    ``_APPENDING.*`` leases and backs off (releasing the marker) if
+    any exist — the two-flag protocol's other half. The marker is
+    released only on SUCCESS: a failed compaction keeps the index
+    fenced; run verify_ivf_pq_index, repair (promote or remove
+    ``codes.staging``), then delete ``{path}/_COMPACTING`` to heal.
+    Streaming appends: compact only with the stream stopped on a
+    committed checkpoint (an uncommitted batch replayed after its
+    codes were folded into batch 0 re-adds duplicates — same
+    caveat as compact_ivf_index, surfaced as n_duplicate_ids)."""
+    from .similarity import (
+        _compact_marker,
+        _ivf_fs,
+        _live_append_leases,
+    )
+    from .textindex import _swap_dir
+
+    fs, HPath = _ivf_fs(spark, path)
+    marker = HPath(_compact_marker(path))
+    if not fs.createNewFile(marker):
+        raise RuntimeError(
+            f"IVF-PQ index at {path} already has a _COMPACTING "
+            "marker: another compaction is running, or a previous "
+            "one failed — verify_ivf_pq_index, repair, then delete "
+            "the marker to heal"
+        )
+    leases = _live_append_leases(fs, HPath, path)
+    if leases:
+        # back off cleanly: nothing was written, so un-fence
+        fs.delete(marker, False)
+        raise RuntimeError(
+            f"IVF-PQ index at {path} has in-flight append lease(s) "
+            f"{leases}; retry the compaction after they finish (a "
+            "stale lease from a killed append must be deleted by "
+            "the operator — see verify_ivf_pq_index)"
+        )
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = meta["id_col"]
+    codes = spark.read.parquet(f"{path}/codes")
+    if deleted_ids is not None:
+        ids = F.broadcast(
+            deleted_ids.select(
+                F.col(deleted_ids.columns[0]).alias(id_col)
+            ).distinct()
+        )
+        codes = codes.join(ids, id_col, "left_anti")
+    with partition_overwrite(spark, "static"):
+        (
+            codes.drop("batch_id")
+            .select("*", F.lit(0).alias("batch_id"))
+            .select(id_col, "codes", "batch_id", "cluster")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cluster")
+            .parquet(f"{path}/codes.staging")
+        )
+    _swap_dir(spark, f"{path}/codes")
+    # released on SUCCESS only — a raise above leaves the index fenced
+    fs.delete(marker, False)
+
+
 def verify_ivf_pq_index(spark, path: str) -> dict:
     """Consistency check for the IVF-PQ layout — the verify_ivf_index
     twin, adapted to a codes table. Detects, without repairing:
@@ -663,11 +777,14 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
     - ``missing_centroids`` / ``missing_codewords``: gaps in the
       contiguous ranges the meta table promises;
     - ``n_duplicate_ids``: ids stored more than once (a replayed
-      batch outside its own batch_id partition).
+      batch outside its own batch_id partition, or a stream batch
+      replayed after a compaction folded it into batch 0);
+    - ``stale_compact_marker`` / ``stale_staging_dir`` /
+      ``stale_append_leases``: fence residue of a failed compaction
+      or a hard-killed append (round 8, with the compaction path —
+      same fields as verify_ivf_index).
 
-    No compaction path exists for this layout, so there are no
-    marker/lease checks. One scan of the codes table; all aggregates
-    id- or shape-sized."""
+    One scan of the codes table; all aggregates id- or shape-sized."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col = meta["id_col"]
     k_clusters, m, k_codes = (
@@ -701,6 +818,13 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         ).alias("bad_cluster"),
         F.sum(bad_code.cast("long")).alias("bad_code"),
     ).collect()[0]
+    from .similarity import (
+        _compact_marker,
+        _ivf_fs,
+        _live_append_leases,
+    )
+
+    fs, HPath = _ivf_fs(spark, path)
     out = {
         "k_clusters": k_clusters,
         "m": m,
@@ -711,6 +835,13 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         "missing_centroids": missing_centroids,
         "missing_codewords": missing_codewords,
         "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
+        "stale_compact_marker": bool(
+            fs.exists(HPath(_compact_marker(path)))
+        ),
+        "stale_staging_dir": bool(
+            fs.exists(HPath(f"{path}/codes.staging"))
+        ),
+        "stale_append_leases": _live_append_leases(fs, HPath, path),
     }
     out["consistent"] = (
         out["bad_cluster_rows"] == 0
@@ -718,6 +849,9 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         and not missing_centroids
         and not missing_codewords
         and out["n_duplicate_ids"] == 0
+        and not out["stale_compact_marker"]
+        and not out["stale_staging_dir"]
+        and not out["stale_append_leases"]
     )
     return out
 

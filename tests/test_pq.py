@@ -416,3 +416,112 @@ def test_index_writers_restore_overwrite_mode(spark, corpus, tmp_path):
     # the append sets dynamic internally; caller's static must survive
     assert spark.conf.get(key) == "static"
     spark.conf.set(key, prior)
+
+
+def test_ivf_pq_compaction_folds_batches_and_deletes(spark, corpus, tmp_path):
+    """compact_ivf_pq_index folds every append batch of the codes
+    table into batch 0, optionally dropping deleted ids; probe
+    results are unchanged for survivors and deleted ids vanish."""
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        cosine_topk_ivf_pq,
+        verify_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus.filter(F.col("vec_id") >= 200), path, dim=DIM,
+        k_clusters=4, m=16, k_codes=32, id_col="vec_id",
+    )
+    append_to_ivf_pq_index(
+        corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)),
+        path,
+    )
+    append_to_ivf_pq_index(corpus.filter(F.col("vec_id") < 100), path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.select("batch_id").distinct().count() == 3
+    n = codes.count()
+
+    queries = corpus.filter(F.col("vec_id").isin(5, 450)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    probe = lambda: [  # noqa: E731
+        (r.qid, r.rnk, r.cid, r.score)
+        for r in cosine_topk_ivf_pq(
+            spark, path, queries, k=5, nprobe=4,
+            rerank_with=corpus, rerank=50,
+        ).collect()
+    ]
+    before = probe()
+    compact_ivf_pq_index(spark, path)
+    after_codes = spark.read.parquet(f"{path}/codes")
+    assert after_codes.count() == n
+    assert after_codes.select("batch_id").distinct().collect()[0][0] == 0
+    assert probe() == before
+    assert verify_ivf_pq_index(spark, path)["consistent"]
+
+    # delete one query's vector: it disappears from results but the
+    # query itself is still answered
+    compact_ivf_pq_index(
+        spark, path, spark.createDataFrame([(450,)], "vec_id long")
+    )
+    assert spark.read.parquet(f"{path}/codes").count() == n - 1
+    post = probe()
+    assert all(r[2] != 450 for r in post)
+    assert any(r[0] == 450 for r in post)
+
+
+def test_ivf_pq_append_refused_during_compaction(spark, corpus, tmp_path):
+    """Two-flag single-writer contract (the compact_ivf_index twin):
+    appends raise while _COMPACTING is held; a stale marker also
+    blocks further compactions; verify reports the residue; a normal
+    compaction takes AND releases the marker."""
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        verify_ivf_pq_index,
+    )
+    from finance_etl_system_spark.operators.similarity import (
+        _append_lease,
+        _compact_marker,
+        _ivf_fs,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus.filter(F.col("vec_id") >= 100), path, dim=DIM,
+        k_clusters=3, m=M, k_codes=K_CODES, id_col="vec_id",
+    )
+    fs, HPath = _ivf_fs(spark, path)
+    marker = HPath(_compact_marker(path))
+    assert fs.createNewFile(marker)  # a compaction is "in flight"
+    tail = corpus.filter(F.col("vec_id") < 100)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_to_ivf_pq_index(tail, path)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        compact_ivf_pq_index(spark, path)
+    rep = verify_ivf_pq_index(spark, path)
+    assert rep["stale_compact_marker"] and not rep["consistent"]
+    fs.delete(marker, False)
+
+    # an in-flight append lease makes compaction back off AND
+    # release its own marker (nothing written)
+    lease = HPath(_append_lease(path, "deadbeef"))
+    assert fs.createNewFile(lease)
+    with pytest.raises(RuntimeError, match="_APPENDING"):
+        compact_ivf_pq_index(spark, path)
+    assert not fs.exists(marker)  # backed off clean
+    rep = verify_ivf_pq_index(spark, path)
+    assert rep["stale_append_leases"] == ["_APPENDING.deadbeef"]
+    fs.delete(lease, False)
+
+    compact_ivf_pq_index(spark, path)  # normal run releases marker
+    assert not fs.exists(marker)
+    append_to_ivf_pq_index(tail, path)  # append allowed again
+    assert (
+        spark.read.parquet(f"{path}/codes").count() == corpus.count()
+    )
+    assert verify_ivf_pq_index(spark, path)["consistent"]
