@@ -60,6 +60,7 @@ _MODULES: list[str] = [
     "drift",
     "reconcile",
     "governance",
+    "substring",
 ]
 
 

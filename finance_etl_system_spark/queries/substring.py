@@ -1,0 +1,164 @@
+"""Repeated-substring (boilerplate span) detection and scrubbing over
+the documents table — the sub-document dedup tier (Lee et al. 2022
+exact-substring dedup, Spark-first; kernel in operators/substring.py).
+
+Whole-document near-dup (queries/dedup.py) misses licence headers,
+navigation chrome, and templated paragraphs pasted into otherwise-
+unique documents; these two queries find and remove them. The
+reference has no document pipeline (its scope stops at OHLCV rows,
+`/root/reference/spark-job/etl_job.py`); SURVEY §2.10 extension tier.
+
+Both queries are exactly SQL-expressible and oracle-checked: the
+engine side groups grams by the gram STRING (what DuckDB can
+reproduce; the 128-bit-hash key is the documented 100-TB path and is
+output-equivalence-tested against the string key in
+tests/test_substring.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.substring import repeated_spans, scrub_repeated_spans
+
+K = 8  # gram width (words) — spans are maximal unions of hot k-grams
+MIN_COUNT = 2  # corpus-wide occurrences (incl. same-doc repeats)
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')"
+
+# shared oracle CTE chain: tokens -> positioned grams -> hot grams ->
+# flagged starts -> merged maximal spans (gap <= K, transitive)
+_SPANS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS s FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(s, i, i + {K - 1}), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(s) - {K - 1})) AS u(i)
+  WHERE len(s) >= {K}
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= {MIN_COUNT}
+),
+flagged AS (
+  SELECT doc_id, i FROM grams JOIN hot USING (gram)
+),
+marks AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {K} THEN 0 ELSE 1 END AS new_island
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(new_island)
+           OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM marks
+),
+spans AS (
+  SELECT doc_id, MIN(i) AS span_start, MAX(i) + {K - 1} AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+def q_repeated_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal repeated spans: every run of word {K}-grams occurring
+    >= {MIN_COUNT} times corpus-wide, merged per document into
+    non-overlapping token ranges (1-based inclusive). One gram-keyed
+    shuffle + a window over flagged positions only."""
+    return (
+        repeated_spans(
+            load_table(spark, sf_dir, "documents"),
+            k=K,
+            min_count=MIN_COUNT,
+            key="string",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_REPEATED_SPANS_SQL = (
+    _SPANS_CTE
+    + """
+SELECT doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM spans
+ORDER BY doc_id, span_start
+"""
+)
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive boilerplate scrub: per document, every token covered
+    by a repeated span removed; reports token counts, span count,
+    dup_ratio (6dp) and the cleaned text. Documents without spans
+    pass through (clean_text = normalized token stream)."""
+    return (
+        scrub_repeated_spans(
+            load_table(spark, sf_dir, "documents"),
+            k=K,
+            min_count=MIN_COUNT,
+            key="string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILERPLATE_SCRUB_SQL = (
+    _SPANS_CTE
+    + """,
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         SUM(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+tok_pos AS (
+  SELECT doc_id, t, s[t] AS tok
+  FROM toks, unnest(generate_series(1, len(s))) AS u(t)
+),
+kept AS (
+  SELECT tp.doc_id, tp.t, tp.tok
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.t BETWEEN sp.span_start AND sp.span_end
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.s) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(d.s) > 0
+            THEN ROUND(COALESCE(a.dup_tokens, 0) / CAST(len(d.s) AS DOUBLE), 6)
+       END AS dup_ratio,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM toks d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+)
+
+
+QUERIES = {
+    "repeated_substring_spans": q_repeated_substring_spans,
+    "boilerplate_scrub": q_boilerplate_scrub,
+}
+
+ORACLE = {
+    "repeated_substring_spans": _REPEATED_SPANS_SQL,
+    "boilerplate_scrub": _BOILERPLATE_SCRUB_SQL,
+}
