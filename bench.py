@@ -101,6 +101,8 @@ HEADLINE: list[str] = [
     "mixture_token_budget",
     "quality_budget_take",
     "k_anonymity",
+    "repeated_substring_spans",
+    "boilerplate_scrub",
 ]
 
 
