@@ -86,6 +86,35 @@ def _gram_positions(
     )
 
 
+def gram_keys(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    key: str = "string",
+) -> tuple[DataFrame, list[str]]:
+    """(id, i, <key cols>) for every k-gram start position, plus the
+    key column names. key="string" carries the gram text (exact,
+    oracle-comparable); key="hash128" carries two independently-seeded
+    xxhash64 lanes — 16 bytes per gram regardless of k, the 100-TB
+    shuffle/state path (also what the streaming twin persists)."""
+    if key not in ("string", "hash128"):
+        raise ValueError(f"key must be 'string' or 'hash128', got {key!r}")
+    grams = _gram_positions(docs, text_col=text_col, id_col=id_col, k=k)
+    if key == "hash128":
+        return (
+            grams.select(
+                id_col,
+                "i",
+                F.xxhash64("gram").alias("_h1"),
+                F.xxhash64(F.lit(_H2_SEED), F.col("gram")).alias("_h2"),
+            ),
+            ["_h1", "_h2"],
+        )
+    return grams, ["gram"]
+
+
 def repeated_gram_positions(
     docs: DataFrame,
     *,
@@ -96,24 +125,10 @@ def repeated_gram_positions(
     key: str = "string",
 ) -> DataFrame:
     """Flagged gram-start positions: (id, i) where the k-gram starting
-    at token i (1-based) occurs >= min_count times corpus-wide.
-
-    key="string" shuffles gram text (exact, oracle-comparable);
-    key="hash128" shuffles two xxhash64 lanes (the 100-TB path).
-    """
-    if key not in ("string", "hash128"):
-        raise ValueError(f"key must be 'string' or 'hash128', got {key!r}")
-    grams = _gram_positions(docs, text_col=text_col, id_col=id_col, k=k)
-    if key == "hash128":
-        grams = grams.select(
-            id_col,
-            "i",
-            F.xxhash64("gram").alias("_h1"),
-            F.xxhash64(F.lit(_H2_SEED), F.col("gram")).alias("_h2"),
-        )
-        key_cols = ["_h1", "_h2"]
-    else:
-        key_cols = ["gram"]
+    at token i (1-based) occurs >= min_count times corpus-wide."""
+    grams, key_cols = gram_keys(
+        docs, text_col=text_col, id_col=id_col, k=k, key=key
+    )
     hot = (
         grams.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -123,24 +138,11 @@ def repeated_gram_positions(
     return grams.join(hot, key_cols).select(id_col, "i")
 
 
-def repeated_spans(
-    docs: DataFrame,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    min_count: int = 2,
-    key: str = "string",
+def spans_from_flagged(
+    flagged: DataFrame, *, id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
-    """Maximal repeated spans per document:
-    (id, span_start, span_end, span_tokens), token positions 1-based
-    inclusive. Flagged starts i, j (i < j) share a span iff
-    j - i <= k (their coverage windows [i, i+k-1], [j, j+k-1] touch
-    or overlap), applied transitively — so spans never overlap."""
-    flagged = repeated_gram_positions(
-        docs, text_col=text_col, id_col=id_col, k=k, min_count=min_count,
-        key=key,
-    )
+    """Merge flagged gram starts (id, i) into maximal non-overlapping
+    spans. Window over the flagged subset only, partitioned by id."""
     w = Window.partitionBy(id_col).orderBy("i")
     islands = flagged.withColumn(
         "_new",
@@ -163,6 +165,27 @@ def repeated_spans(
             .alias("span_tokens"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    key: str = "string",
+) -> DataFrame:
+    """Maximal repeated spans per document:
+    (id, span_start, span_end, span_tokens), token positions 1-based
+    inclusive. Flagged starts i, j (i < j) share a span iff
+    j - i <= k (their coverage windows [i, i+k-1], [j, j+k-1] touch
+    or overlap), applied transitively — so spans never overlap."""
+    flagged = repeated_gram_positions(
+        docs, text_col=text_col, id_col=id_col, k=k, min_count=min_count,
+        key=key,
+    )
+    return spans_from_flagged(flagged, id_col=id_col, k=k)
 
 
 def scrub_repeated_spans(
