@@ -721,6 +721,54 @@ ORDER BY source
 """
 
 
+def q_unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training
+    over the corpus: Viterbi-EM with count-based pruning
+    (operators/unigram.py — ONE corpus scan, then vocab-sized
+    broadcast rounds; driver round-trips are structurally few, unlike
+    sequential BPE). Returns the trained piece table. Rows-only: the
+    EM loop is not one SQL query; correctness is pinned by Viterbi
+    brute-force + tier-equivalence tests in tests/test_unigram.py."""
+    from ..operators.unigram import unigram_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = unigram_train(
+        d, vocab_size=200, seed_size=2000, max_piece_len=6, min_freq=2
+    )
+    rows = [
+        (i + 1, p, round(lp, 6)) for i, (p, lp) in enumerate(model.pieces)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, piece string, logprob double"
+    )
+
+
+def q_unigram_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under the trained UNIGRAM tokenizer (the
+    bpe_token_lengths twin for the second tokenizer family): per
+    source, docs, total pieces, chars-per-piece compression.
+    Rows-only; encode faithfulness (round-trip concatenation) is
+    pinned in tests/test_unigram.py."""
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = unigram_train(
+        d, vocab_size=200, seed_size=2000, max_piece_len=6, min_freq=2
+    )
+    enc = unigram_encode(d, model)
+    n_tok = F.sum(F.size("unigram_tokens")).cast("long")
+    n_chars = F.sum(F.length("text")).cast("long")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_tok.alias("total_tokens"),
+            F.round(n_chars / n_tok, 6).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "source_scorecard": q_source_scorecard,
     "fuzzy_match": q_fuzzy_match,
@@ -729,6 +777,8 @@ QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_token_lengths": q_bpe_token_lengths,
+    "unigram_train_pieces": q_unigram_train_pieces,
+    "unigram_token_lengths": q_unigram_token_lengths,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,

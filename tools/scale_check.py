@@ -56,6 +56,8 @@ _EXTRA = [
     "pack_bpe",
     "triplet_mining",
     "quality_budget_take",
+    "unigram_train_pieces",
+    "unigram_token_lengths",
 ]
 
 
