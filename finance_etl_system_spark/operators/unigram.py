@@ -307,6 +307,48 @@ def unigram_encode(
     return df.withColumn("unigram_tokens", enc(F.col(text_col)))
 
 
+def unigram_score(
+    df: DataFrame, model: UnigramModel, text_col: str = "text"
+) -> DataFrame:
+    """Add ``n_pieces`` and ``logprob_ticks``: per-document piece
+    count and total piece log-probability in 1e-6 ticks under the
+    trained model — the inputs of a CCNet-style perplexity quality
+    filter. Ticks are the repo's exact-integer-accumulation policy:
+    each piece's logprob rounds ONCE to integer micro-nats, so sums
+    are engine- and order-independent. One Arrow pandas UDF, memoized
+    per unique word (each word's (pieces, ticks) is computed once per
+    batch)."""
+    logp = dict(model.pieces)
+    ticks = {p: round(lp * 1_000_000) for p, lp in logp.items()}
+    max_len = max((len(p) for p in logp), default=1)
+    oov_ticks = round(-1e9 * 1_000_000)  # matches viterbi's NEG guard
+
+    @F.pandas_udf("struct<n_pieces:long,logprob_ticks:long>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, tuple[int, int]] = {}
+
+        def one(t):
+            n = 0
+            s = 0
+            for w in segment_words(t):
+                if w not in cache:
+                    pieces = viterbi_segment(w, logp, max_len)
+                    cache[w] = (
+                        len(pieces),
+                        sum(ticks.get(p, oov_ticks) for p in pieces),
+                    )
+                wn, ws = cache[w]
+                n += wn
+                s += ws
+            return {"n_pieces": n, "logprob_ticks": s}
+
+        return pd.DataFrame(list(texts.map(one)))
+
+    return df.withColumn("_s", score(F.col(text_col))).select(
+        "*", "_s.n_pieces", "_s.logprob_ticks"
+    ).drop("_s")
+
+
 def save_unigram_model(
     spark, model: UnigramModel, path: str
 ) -> None:

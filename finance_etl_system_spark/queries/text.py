@@ -769,6 +769,46 @@ def q_unigram_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality report: train the unigram LM,
+    score every document (exact integer micro-nat ticks,
+    operators/unigram.py::unigram_score), report per-source corpus
+    perplexity and the worst document — the signal a perplexity
+    filter thresholds on. Rows-only (trained model); the tick
+    accounting is pinned by hand-computed fixtures in
+    tests/test_unigram.py."""
+    from ..operators.unigram import unigram_score, unigram_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = unigram_train(
+        d, vocab_size=200, seed_size=2000, max_piece_len=6, min_freq=2
+    )
+    scored = unigram_score(d, model).filter(F.col("n_pieces") > 0)
+    doc_ppl = F.exp(
+        -(F.col("logprob_ticks") / F.lit(1_000_000.0))
+        / F.col("n_pieces")
+    )
+    return (
+        scored.withColumn("_ppl", doc_ppl)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum("logprob_ticks") / F.lit(1_000_000.0)
+                    )
+                    / F.sum("n_pieces")
+                ),
+                4,
+            ).alias("corpus_perplexity"),
+            F.round(F.max("_ppl"), 4).alias("worst_doc_perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "source_scorecard": q_source_scorecard,
     "fuzzy_match": q_fuzzy_match,
@@ -779,6 +819,7 @@ QUERIES = {
     "bpe_token_lengths": q_bpe_token_lengths,
     "unigram_train_pieces": q_unigram_train_pieces,
     "unigram_token_lengths": q_unigram_token_lengths,
+    "unigram_perplexity": q_unigram_perplexity,
     "binary_manifest": q_binary_manifest,
     "text_stats": q_text_stats,
     "text_quality_lang": q_text_quality_lang,

@@ -128,3 +128,39 @@ def test_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     m = unigram_train(df, vocab_size=50)
     assert m.pieces == []
+
+
+def test_unigram_score_ticks_match_manual(spark):
+    from finance_etl_system_spark.operators.unigram import (
+        unigram_score,
+        viterbi_segment,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    m = unigram_train(df, vocab_size=80, seed_size=600, max_piece_len=6)
+    logp = dict(m.pieces)
+    ticks = {p: round(lp * 1_000_000) for p, lp in logp.items()}
+    max_len = max(len(p) for p in logp)
+    got = {r.doc_id: r for r in unigram_score(df, m).collect()}
+    for doc_id, text in CORPUS:
+        n = s = 0
+        for w in text.lower().split():
+            pieces = viterbi_segment(w, logp, max_len)
+            n += len(pieces)
+            s += sum(ticks[p] for p in pieces)
+        assert (got[doc_id].n_pieces, got[doc_id].logprob_ticks) == (n, s)
+
+
+def test_uniform_model_perplexity_is_vocab_size():
+    import math
+
+    from finance_etl_system_spark.operators.unigram import viterbi_segment
+
+    k = 8
+    pieces = [chr(ord("a") + i) for i in range(k)]
+    logp = {p: math.log(1.0 / k) for p in pieces}
+    word = "abcabd"
+    segs = viterbi_segment(word, logp, 1)
+    total = sum(logp[p] for p in segs)
+    ppl = math.exp(-total / len(segs))
+    assert ppl == pytest.approx(k, rel=1e-12)

@@ -58,6 +58,7 @@ _EXTRA = [
     "quality_budget_take",
     "unigram_train_pieces",
     "unigram_token_lengths",
+    "unigram_perplexity",
 ]
 
 
