@@ -575,6 +575,119 @@ SELECT * FROM (
 """
 
 
+def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality evaluation harness over the BM25 ranking:
+    nDCG@10 / MRR@20 / recall@20 against data-derived graded
+    relevance (grade = n_terms_hit, the count of distinct query terms
+    a document contains — deterministic ground truth both engines can
+    reproduce). DCG/IDCG contributions accumulate as exact integer
+    micro-ticks (the repo float policy), so the metrics are
+    engine-order-independent; every frame after the shared BM25
+    scoring is top-k- or 1-row-sized (the ideal ranking is a
+    TakeOrderedAndProject, never a global window)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scored(d)  # doc_id, bm25, n_terms_hit (grade >= 1)
+    ranked = _rank_topk(scored)  # top 20, rnk
+
+    def _contrib_ticks():
+        gain = F.pow(F.lit(2.0), F.col("n_terms_hit").cast("double")) - 1.0
+        return F.round(
+            gain / F.log2(F.col("rnk") + 1) * 1_000_000
+        ).cast("long")
+
+    dcg = (
+        ranked.filter(F.col("rnk") <= 10)
+        .select(_contrib_ticks().alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("dcg_ticks"))
+    )
+    ideal = ranked_topk(
+        scored, [F.col("n_terms_hit").desc(), F.col("doc_id").asc()], 10
+    )
+    idcg = ideal.select(_contrib_ticks().alias("t")).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("idcg_ticks")
+    )
+    rel = scored.agg(F.count(F.lit(1)).alias("n_relevant"))
+    hits = ranked.agg(
+        F.count(F.lit(1)).alias("n_hits_top20"),
+        F.min(
+            F.when(F.col("n_terms_hit") >= 2, F.col("rnk"))
+        ).alias("first_rel2"),
+    )
+    # 1-row scalar frames: the adjudicated broadcast-cross shape
+    return (
+        dcg.crossJoin(idcg)
+        .crossJoin(rel)
+        .crossJoin(hits)
+        .select(
+            F.when(
+                F.col("idcg_ticks") > 0,
+                F.round(
+                    F.col("dcg_ticks")
+                    / F.col("idcg_ticks").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg_at_10"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel2"), F.lit(0.0)), 6
+            ).alias("mrr_at_20"),
+            F.when(
+                F.col("n_relevant") > 0,
+                F.round(
+                    F.col("n_hits_top20")
+                    / F.col("n_relevant").cast("double"),
+                    6,
+                ),
+            ).alias("recall_at_20"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+        )
+    )
+
+
+_RETRIEVAL_EVAL_SQL = f"""WITH {_bm25_ctes(QUERY_TERMS)},
+ranked AS (
+  SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk,
+           doc_id, n_terms_hit
+    FROM scored
+  ) WHERE rnk <= 20
+),
+dcg AS (
+  SELECT COALESCE(SUM(CAST(ROUND(
+           (POW(2.0, n_terms_hit) - 1) / log2(rnk + 1) * 1000000
+         ) AS BIGINT)), 0) AS dcg_ticks
+  FROM ranked WHERE rnk <= 10
+),
+ideal AS (
+  SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY n_terms_hit DESC, doc_id ASC) AS rnk,
+           n_terms_hit
+    FROM scored
+  ) WHERE rnk <= 10
+),
+idcg AS (
+  SELECT COALESCE(SUM(CAST(ROUND(
+           (POW(2.0, n_terms_hit) - 1) / log2(rnk + 1) * 1000000
+         ) AS BIGINT)), 0) AS idcg_ticks
+  FROM ideal
+),
+rel AS (SELECT COUNT(*) AS n_relevant FROM scored),
+hits AS (
+  SELECT COUNT(*) AS n_hits_top20,
+         MIN(CASE WHEN n_terms_hit >= 2 THEN rnk END) AS first_rel2
+  FROM ranked
+)
+SELECT CASE WHEN idcg_ticks > 0
+            THEN ROUND(dcg_ticks / CAST(idcg_ticks AS DOUBLE), 6)
+       END AS ndcg_at_10,
+       ROUND(COALESCE(1.0 / first_rel2, 0.0), 6) AS mrr_at_20,
+       CASE WHEN n_relevant > 0
+            THEN ROUND(n_hits_top20 / CAST(n_relevant AS DOUBLE), 6)
+       END AS recall_at_20,
+       CAST(n_relevant AS BIGINT) AS n_relevant
+FROM dcg, idcg, rel, hits
+"""
+
+
 QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_analyzed": q_bm25_search_analyzed,
@@ -584,6 +697,7 @@ QUERIES = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "search_phrase": q_search_phrase,
     "search_phrase_indexed": q_search_phrase_indexed,
+    "retrieval_eval_metrics": q_retrieval_eval_metrics,
 }
 ORACLE = {
     "bm25_search": _BM25_SQL,
@@ -596,4 +710,5 @@ ORACLE = {
     # the indexed path must reproduce the scan ranking bit-for-bit —
     # its oracle IS the scan path's SQL (the bm25_search_indexed rule)
     "search_phrase_indexed": _SEARCH_PHRASE_SQL,
+    "retrieval_eval_metrics": _RETRIEVAL_EVAL_SQL,
 }

@@ -497,3 +497,17 @@ def test_anomaly_mad_histogram_tracks_exact(spark):
         assert abs(r.n_flagged - exact.get(etype, 0)) <= max(
             3, 0.3 * exact.get(etype, 0)
         ), (etype, r.n_flagged, exact.get(etype, 0))
+
+
+def test_retrieval_eval_metrics_sane(spark):
+    """Metric-range sanity at sf0.001 (exactness is oracle-checked):
+    nDCG/recall in (0,1], MRR consistent with the ranked list."""
+    from finance_etl_system_spark.queries.retrieval import (
+        q_retrieval_eval_metrics,
+    )
+
+    r = q_retrieval_eval_metrics(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_relevant > 0
+    assert 0.0 < r.ndcg_at_10 <= 1.0
+    assert 0.0 < r.recall_at_20 <= 1.0
+    assert 0.0 <= r.mrr_at_20 <= 1.0

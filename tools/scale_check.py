@@ -59,6 +59,7 @@ _EXTRA = [
     "unigram_train_pieces",
     "unigram_token_lengths",
     "unigram_perplexity",
+    "retrieval_eval_metrics",
 ]
 
 
