@@ -471,6 +471,106 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "n_tokens", "bin_id").orderBy("doc_id")
 
 
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing: documents packed easy→hard by
+    corpus-unigram average log-probability (high avg-logprob = typical
+    text first, surprising/noisy text last — the curriculum-learning
+    data order), into fixed 512-token bins via the same two-phase
+    distributed prefix sum as pack_sequences.
+
+    Determinism: per-(doc, term) log-prob contributions round ONCE to
+    integer micro-nat ticks and sum exactly; the order key is the
+    6dp-rounded per-token average re-expressed as a non-negative
+    integer tick key (prefix_pack's integral-key contract), tiebroken
+    by doc_id. Scale: the same two map-combinable shuffles as TF-IDF
+    plus the bucketed prefix sum — no single-partition window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = uni.agg(F.sum("ct").cast("double").alias("total"))
+    scored = (
+        tf.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("ct") / F.col("total"))
+                    * 1_000_000
+                ).cast("long")
+            ).alias("lp_ticks"),
+        )
+    )
+    scored = scored.withColumn(
+        "avg_logprob",
+        F.round(
+            F.col("lp_ticks") / F.lit(1_000_000.0) / F.col("n_tokens"), 6
+        ),
+    ).withColumn(
+        "k",
+        F.round(-F.col("avg_logprob") * 1_000_000).cast("long"),
+    )
+    packed = prefix_pack(
+        scored,
+        weight_col="n_tokens",
+        order_col="k",
+        tiebreak_col="doc_id",
+        budget=PACK_BUDGET,
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "avg_logprob", "bin_id"
+    ).orderBy("doc_id")
+
+
+_CURRICULUM_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+uni AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM uni),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(ROUND(tf.tf * ln(uni.ct / tot.total) * 1000000) AS BIGINT)) AS lp_ticks
+  FROM tf JOIN uni USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ROUND(lp_ticks / 1000000.0 / n_tokens, 6) AS avg_logprob,
+         CAST(ROUND(-ROUND(lp_ticks / 1000000.0 / n_tokens, 6) * 1000000)
+              AS BIGINT) AS k
+  FROM scored
+),
+c AS (
+  SELECT doc_id, n_tokens, avg_logprob,
+         SUM(n_tokens) OVER (
+           ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM keyed
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pack_sequences": q_pack_sequences,
@@ -480,6 +580,7 @@ QUERIES = {
     "corpus_incremental": q_corpus_incremental,
     "importance_rank": q_importance_rank,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "curriculum_pack": q_curriculum_pack,
 }
 
 ORACLE = {
@@ -487,4 +588,5 @@ ORACLE = {
     "pack_sequences": _PACK_SQL,
     "chunk_documents": _CHUNK_SQL,
     "importance_rank": _IMPORTANCE_RANK_SQL,
+    "curriculum_pack": _CURRICULUM_PACK_SQL,
 }

@@ -60,6 +60,7 @@ _EXTRA = [
     "unigram_token_lengths",
     "unigram_perplexity",
     "retrieval_eval_metrics",
+    "curriculum_pack",
 ]
 
 
