@@ -215,11 +215,100 @@ ORDER BY c.source, c.doc_id
 """
 
 
+MIX_ALPHA = 0.3  # the multilingual sampling exponent (p_s ∝ share^α)
+MIX_TOTAL_BUDGET = 100_000  # tokens allocated across sources
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual
+    data-mixing standard: sample source s with p_s ∝ (n_s/N)^α,
+    α = 0.3 — upsamples low-resource sources, damps dominant ones).
+    Reports per source the natural share, the temperature share, the
+    resulting token budget out of 100k, and the up/down-sampling
+    factor.
+
+    Determinism: each pow() rounds ONCE to integer micro-ticks and the
+    normalizer is their exact integer sum — no float-sum order
+    dependence. Scale: ONE map-combinable groupBy(source) plus
+    |sources|-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens")
+    )
+    total = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total")
+    )
+    t = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "pow_ticks",
+        F.round(
+            F.pow(F.col("n_tokens") / F.col("total"), F.lit(MIX_ALPHA))
+            * 1_000_000
+        ).cast("long"),
+    )
+    norm = t.agg(F.sum("pow_ticks").alias("norm_ticks"))
+    return (
+        t.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("n_tokens") / F.col("total"), 6
+            ).alias("natural_share"),
+            F.round(
+                F.col("pow_ticks") / F.col("norm_ticks").cast("double"),
+                6,
+            ).alias("temp_share"),
+            F.round(
+                F.col("pow_ticks")
+                / F.col("norm_ticks").cast("double")
+                * MIX_TOTAL_BUDGET
+            )
+            .cast("long")
+            .alias("token_budget"),
+            F.round(
+                (F.col("pow_ticks") / F.col("norm_ticks").cast("double"))
+                / (F.col("n_tokens") / F.col("total")),
+                6,
+            ).alias("sampling_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_TEMPERATURE_SQL = f"""
+WITH t AS (
+  SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM t),
+p AS (
+  SELECT source, n_tokens, total,
+         CAST(ROUND(POW(n_tokens / total, {MIX_ALPHA}) * 1000000) AS BIGINT)
+           AS pow_ticks
+  FROM t CROSS JOIN tot
+),
+nrm AS (SELECT SUM(pow_ticks) AS norm_ticks FROM p)
+SELECT source,
+       n_tokens,
+       ROUND(n_tokens / total, 6) AS natural_share,
+       ROUND(pow_ticks / CAST(norm_ticks AS DOUBLE), 6) AS temp_share,
+       CAST(ROUND(pow_ticks / CAST(norm_ticks AS DOUBLE) * {MIX_TOTAL_BUDGET})
+            AS BIGINT) AS token_budget,
+       ROUND((pow_ticks / CAST(norm_ticks AS DOUBLE))
+             / (n_tokens / total), 6) AS sampling_factor
+FROM p CROSS JOIN nrm
+ORDER BY source
+"""
+
+
 QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "mixture_token_budget": q_mixture_token_budget,
     "quality_budget_take": q_quality_budget_take,
+    "mixture_temperature": q_mixture_temperature,
 }
 
 ORACLE = {
@@ -227,4 +316,5 @@ ORACLE = {
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "mixture_token_budget": _MIXTURE_TOKEN_BUDGET_SQL,
     "quality_budget_take": _QUALITY_BUDGET_TAKE_SQL,
+    "mixture_temperature": _MIXTURE_TEMPERATURE_SQL,
 }

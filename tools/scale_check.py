@@ -61,6 +61,7 @@ _EXTRA = [
     "unigram_perplexity",
     "retrieval_eval_metrics",
     "curriculum_pack",
+    "mixture_temperature",
 ]
 
 
