@@ -103,6 +103,9 @@ HEADLINE: list[str] = [
     "k_anonymity",
     "repeated_substring_spans",
     "boilerplate_scrub",
+    "mixture_temperature",
+    "curriculum_pack",
+    "retrieval_eval_metrics",
 ]
 
 

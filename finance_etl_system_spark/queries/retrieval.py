@@ -586,7 +586,10 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is top-k- or 1-row-sized (the ideal ranking is a
     TakeOrderedAndProject, never a global window)."""
     d = load_table(spark, sf_dir, "documents")
-    scored = _bm25_scored(d)  # doc_id, bm25, n_terms_hit (grade >= 1)
+    # scored is QUERY-HIT-sized (docs containing >= 1 query term) and
+    # feeds four metric branches — checkpoint it once so the corpus
+    # scoring runs once, not per branch (the dedup_minhash_lsh rule)
+    scored = _bm25_scored(d).localCheckpoint(eager=True)
     ranked = _rank_topk(scored)  # top 20, rnk
 
     def _contrib_ticks():

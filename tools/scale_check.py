@@ -59,9 +59,6 @@ _EXTRA = [
     "unigram_train_pieces",
     "unigram_token_lengths",
     "unigram_perplexity",
-    "retrieval_eval_metrics",
-    "curriculum_pack",
-    "mixture_temperature",
 ]
 
 
