@@ -1,0 +1,160 @@
+"""Right-to-be-forgotten across DERIVED artifacts: one operator that
+applies a deletion list to every persisted structure that can still
+identify a document — corpus parquet tables, the inverted text index,
+the IVF and IVF-PQ vector indexes, and dedup signature state.
+
+The reference deletes nothing (its Mongo upsert loop only ever adds,
+`/root/reference/kafka-consumer/consumer.py`); erasure across derived
+state is what a production data platform is legally required to do
+(GDPR art. 17), and the pieces already exist per artifact
+(compact_text_index / compact_ivf_index / compact_ivf_pq_index, each
+with the staging+directory-swap crash discipline). This module is the
+COMPOSITION: one request-sized deletion list applied everywhere, one
+audit row per artifact, so "did we actually forget doc X" is a single
+call with machine-checkable output.
+
+Semantics and scale:
+- the deletion list is request-sized → it broadcasts into every
+  anti-join; each artifact pays one full scan+rewrite (the same cost
+  its own compaction already pays per window — erasure batches ride
+  the regular compaction cadence at production scale).
+- parquet table rewrites use the same staging+swap discipline as the
+  index compactions: a crash leaves the OLD table or the NEW one,
+  never a half-written directory.
+- the audit output (artifact, rows_before, rows_after, rows_deleted)
+  is computed from the artifact's own tables before/after, not from
+  the request (a re-run of an already-forgotten id reports 0 deleted
+  — idempotent, and the audit says so).
+- COUNT note: rows_deleted for the text index counts POSTINGS rows
+  (term×doc), not documents — the number a storage audit wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textindex import _swap_dir, compact_text_index, verify_text_index
+
+
+def _forget_parquet_table(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Anti-join rewrite of one parquet table under staging+swap.
+    ``partition_by`` preserves a partitioned layout (e.g. the dedup
+    state's batch_id partitions) so later partition-pruned reads and
+    per-partition appends keep working. Returns (before, after)."""
+    t = spark.read.parquet(path)
+    before = t.count()
+    kept = t.join(
+        F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col))),
+        id_col,
+        "left_anti",
+    )
+    w = kept.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{path}.staging")
+    _swap_dir(spark, path)
+    return before, spark.read.parquet(path).count()
+
+
+def forget_documents(
+    spark: SparkSession,
+    deleted_ids: DataFrame,
+    *,
+    corpus_tables: dict[str, str] | None = None,
+    text_index: str | None = None,
+    ivf_index: str | None = None,
+    ivf_pq_index: str | None = None,
+    dedup_state: str | None = None,
+) -> DataFrame:
+    """Apply one deletion list to every supplied artifact; return the
+    audit frame (artifact, kind, rows_before, rows_after,
+    rows_deleted), ordered by artifact.
+
+    - ``corpus_tables``: {name: parquet_path} of doc tables keyed by
+      ``doc_id`` (first column of ``deleted_ids`` is the id either
+      way).
+    - ``text_index`` / ``ivf_index`` / ``ivf_pq_index``: index roots;
+      deletion delegates to each artifact's own compaction (which
+      also folds append batches — erasure rides the compaction).
+    - ``dedup_state``: the streaming MinHash signature table
+      (streaming/dedup.py state_dir, keyed ``id``).
+    """
+    ids = deleted_ids.select(
+        F.col(deleted_ids.columns[0]).alias("_del_id")
+    ).distinct()
+    audit: list[tuple[str, str, int, int]] = []
+
+    for name, path in (corpus_tables or {}).items():
+        b, a = _forget_parquet_table(spark, path, ids, "doc_id")
+        audit.append((name, "corpus_table", b, a))
+
+    if text_index is not None:
+        postings = f"{text_index}/postings"
+        b = spark.read.parquet(postings).count()
+        compact_text_index(
+            spark, text_index, ids.select(F.col("_del_id").alias("doc_id"))
+        )
+        ver = verify_text_index(spark, text_index)
+        if not ver["consistent"]:
+            raise RuntimeError(
+                f"text index inconsistent after forget: {ver}"
+            )
+        audit.append(
+            ("text_index", "postings",
+             b, spark.read.parquet(postings).count())
+        )
+
+    if ivf_index is not None:
+        from .similarity import compact_ivf_index, verify_ivf_index
+
+        vectors = f"{ivf_index}/vectors"
+        b = spark.read.parquet(vectors).count()
+        compact_ivf_index(
+            spark, ivf_index,
+            deleted_ids=ids.select(F.col("_del_id").alias("vec_id")),
+        )
+        ver = verify_ivf_index(spark, ivf_index)
+        if not ver["consistent"]:
+            raise RuntimeError(f"IVF index inconsistent after forget: {ver}")
+        audit.append(
+            ("ivf_index", "vectors",
+             b, spark.read.parquet(vectors).count())
+        )
+
+    if ivf_pq_index is not None:
+        from .pq import compact_ivf_pq_index, verify_ivf_pq_index
+
+        codes = f"{ivf_pq_index}/codes"
+        b = spark.read.parquet(codes).count()
+        compact_ivf_pq_index(
+            spark, ivf_pq_index,
+            deleted_ids=ids.select(F.col("_del_id").alias("vec_id")),
+        )
+        ver = verify_ivf_pq_index(spark, ivf_pq_index)
+        if not ver["consistent"]:
+            raise RuntimeError(
+                f"IVF-PQ index inconsistent after forget: {ver}"
+            )
+        audit.append(
+            ("ivf_pq_index", "codes",
+             b, spark.read.parquet(codes).count())
+        )
+
+    if dedup_state is not None:
+        b, a = _forget_parquet_table(
+            spark, dedup_state, ids, "id", partition_by=["batch_id"]
+        )
+        audit.append(("dedup_state", "signatures", b, a))
+
+    return spark.createDataFrame(
+        [(n, k, b, a, b - a) for n, k, b, a in audit],
+        "artifact string, kind string, rows_before long, "
+        "rows_after long, rows_deleted long",
+    ).orderBy("artifact")
