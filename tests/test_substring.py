@@ -204,3 +204,47 @@ def test_stream_boilerplate_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(verd).collect()
     )
     assert got == [(10, 1, 4), (11, 1, 4), (11, 6, 9)]
+
+
+def test_spans_from_flagged_matches_interval_merge(spark):
+    """Property (hypothesis-style over fixed seeds): the windowed
+    gaps-and-islands merge equals a brute-force interval merge of the
+    coverage windows [i, i+k-1]."""
+    import random
+
+    from finance_etl_system_spark.operators.substring import (
+        spans_from_flagged,
+    )
+
+    def brute(starts, k):
+        ivs = sorted((i, i + k - 1) for i in starts)
+        out = []
+        for s, e in ivs:
+            if out and s <= out[-1][1] + 1:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    rng = random.Random(42)
+    for trial in range(8):
+        k = rng.choice([2, 4, 8])
+        rows = []
+        expect = {}
+        for doc in range(1, 6):
+            starts = sorted(
+                rng.sample(range(1, 60), rng.randint(0, 12))
+            )
+            rows += [(doc, i) for i in starts]
+            if starts:
+                expect[doc] = brute(starts, k)
+        if not rows:
+            continue
+        flagged = spark.createDataFrame(rows, "doc_id long, i int")
+        got = {}
+        for r in spans_from_flagged(flagged, k=k).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == expect, f"trial {trial} k={k}"
