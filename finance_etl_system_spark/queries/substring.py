@@ -153,12 +153,59 @@ ORDER BY d.doc_id
 )
 
 
+def q_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-20 repeated {K}-grams by corpus occurrence count, with
+    the number of distinct documents carrying each — the triage view
+    an engineer reads BEFORE scrubbing (is this licence boilerplate
+    or legitimate common phrasing?). One map-combinable gram groupBy;
+    top-20 is TakeOrderedAndProject (count desc, gram asc)."""
+    from ..functions.frames import ranked_topk
+    from ..operators.substring import gram_keys
+
+    grams, _ = gram_keys(
+        load_table(spark, sf_dir, "documents"), k=K, key="string"
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    ).filter(F.col("n_occurrences") >= MIN_COUNT)
+    key = [F.col("n_occurrences").desc(), F.col("gram").asc()]
+    return ranked_topk(agg, key, 20).select(
+        "rnk", "gram", "n_occurrences", "n_docs"
+    )
+
+
+_BOILERPLATE_CATALOG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS s FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(s, i, i + {K - 1}), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(s) - {K - 1})) AS u(i)
+  WHERE len(s) >= {K}
+),
+agg AS (
+  SELECT gram,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY gram HAVING COUNT(*) >= {MIN_COUNT}
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram ASC) AS rnk,
+         gram, n_occurrences, n_docs
+  FROM agg
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "repeated_substring_spans": q_repeated_substring_spans,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "boilerplate_catalog": q_boilerplate_catalog,
 }
 
 ORACLE = {
     "repeated_substring_spans": _REPEATED_SPANS_SQL,
     "boilerplate_scrub": _BOILERPLATE_SCRUB_SQL,
+    "boilerplate_catalog": _BOILERPLATE_CATALOG_SQL,
 }

@@ -59,6 +59,7 @@ _EXTRA = [
     "unigram_train_pieces",
     "unigram_token_lengths",
     "unigram_perplexity",
+    "boilerplate_catalog",
 ]
 
 
