@@ -1,11 +1,13 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
-Per-query IO counters (scan rows/bytes, shuffle write) go to the
-``bench_io.json`` sidecar so the stdout line stays inside the driver's
-tail-capture window.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line: {"metric": ..., "value": N, "unit": "sec",
+"sf": ..., "n_queries": ..., "slowest": {...}}. The driver captures
+only a bounded tail of stdout, so the per-query timing map goes to
+``bench_history.jsonl`` (one line per run) and per-query IO counters
+(scan rows/bytes, shuffle write) to the ``bench_io.json`` sidecar —
+the stdout line must stay well under ~500 bytes to parse.
 
 Each query is warmed up once at sf0.001 (JVM/codegen warm, plan
 compiled), then timed with an ELEMENT-WISE BEST-OF-3 at the target sf:
@@ -154,16 +156,22 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — metrics are best-effort
             pass
 
-    # The driver captures a bounded tail of stdout; per-query io dicts
-    # pushed the headline line past that window for four rounds
-    # (BENCH_r* "parsed": null). Keep the stdout line compact and park
-    # the io counters in a sidecar file instead.
+    # The driver captures a bounded (~500B) TAIL of stdout; the
+    # 75-query per-query map pushed the headline line past that window
+    # (BENCH_r08 "parsed": null, tail begins mid-line). The
+    # driver-visible line must therefore stay compact: totals + sf +
+    # count + slowest query only. The full per-query map is persisted
+    # to bench_history.jsonl (appended below) and per-query IO
+    # counters to bench_io.json — both committed in-repo.
+    slowest = max(timings, key=timings.get) if timings else ""
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "slowest": {slowest: timings.get(slowest, 0.0)},
+        "queries": "see bench_history.jsonl",
     }
     try:
         io_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -174,10 +182,10 @@ def main() -> None:
         pass  # a read-only checkout must not fail the bench
     print(json.dumps(line))
 
-    # Persist per-run history in-repo: the driver's BENCH_r*.json tails
-    # truncate the headline line, so round-over-round comparability
-    # would otherwise live only in judge re-runs. One compact JSON line
-    # per run (no io counters — those stay in the stdout line).
+    # Persist per-run history in-repo: the stdout line is compact (no
+    # per-query map), so this file is the canonical per-query timing
+    # record for round-over-round comparability. One JSON line per run
+    # (io counters live in bench_io.json).
     try:
         hist = {
             "ts": round(time.time(), 1),

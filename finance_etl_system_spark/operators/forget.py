@@ -47,20 +47,52 @@ def _forget_parquet_table(
     """Anti-join rewrite of one parquet table under staging+swap.
     ``partition_by`` preserves a partitioned layout (e.g. the dedup
     state's batch_id partitions) so later partition-pruned reads and
-    per-partition appends keep working. Returns (before, after)."""
+    per-partition appends keep working. Returns (before, after).
+
+    Two crash/edge disciplines beyond the swap itself:
+    - the staging write pins ``partitionOverwriteMode=static`` (and
+      pre-deletes any stale ``.staging`` left by a crashed prior run):
+      if a streaming sink left the session in dynamic mode, a
+      partitioned overwrite would MERGE into the stale staging dir
+      and the swap would promote supposedly-forgotten rows.
+    - a deletion list covering EVERY row would, partitioned, emit a
+      dir with no data files (unreadable: UNABLE_TO_INFER_SCHEMA);
+      the empty case therefore writes unpartitioned — one
+      schema-bearing empty part file, same reader-visible columns
+      (partition cols become regular cols), so audits and later
+      state reads keep working.
+    """
+    from ..functions.confs import partition_overwrite
+
     t = spark.read.parquet(path)
     before = t.count()
     kept = t.join(
         F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col))),
         id_col,
         "left_anti",
-    )
-    w = kept.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(f"{path}.staging")
+    ).localCheckpoint(eager=True)  # count + write share one anti-join
+    after = kept.count()
+    staging = f"{path}.staging"
+    _delete_dir(spark, staging)
+    with partition_overwrite(spark, "static"):
+        w = kept.write.mode("overwrite")
+        if partition_by and after > 0:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
     _swap_dir(spark, path)
     return before, spark.read.parquet(path).count()
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Remove a stale directory (crashed prior staging write) via the
+    Hadoop FS API — same FS-portability contract as _swap_dir."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    p = Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def forget_documents(

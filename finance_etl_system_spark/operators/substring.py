@@ -32,9 +32,13 @@ Scale posture (100 TB)
   (doc_id, position) is a plain equi join AQE can re-plan.
 - Key width: ``key="string"`` groups by the gram text itself —
   exact, zero collision risk, and what the oracle can reproduce;
-  ``key="hash128"`` groups by two independently-seeded xxhash64
-  values (128 effective bits — birthday collision odds at 10^12
-  grams ~ 10^-14), cutting shuffle bytes ~k*avg_word wide down to 16
+  ``key="hash128"`` groups by two xxhash64 lanes — one over the gram,
+  one over the gram PREFIXED WITH A SALT literal (PySpark's xxhash64
+  does not expose the seed parameter, so the second lane is salted
+  input, not an independent seed; the lanes are distinct hash
+  functions of the gram but their independence is empirical, so treat
+  the ~10^-14 birthday bound at 10^12 grams as an estimate, not a
+  guarantee). This cuts shuffle bytes ~k*avg_word wide down to 16
   bytes. Both modes are output-equivalent (tested); hash128 is the
   100-TB default recommendation.
 - Span merge is a per-document window over FLAGGED positions only
@@ -61,9 +65,13 @@ _H2_SEED = 0x9E3779B9  # second-lane salt for key="hash128"
 
 
 def _toks(text_col: str) -> Column:
-    """ASCII-whitespace tokens, lowercased — the repo-wide rule shared
-    with queries/curation.py and the DuckDB oracle."""
-    return F.filter(F.split(F.lower(F.col(text_col)), " +"), lambda x: x != "")
+    """Whitespace tokens, lowercased — the ONE repo-wide rule
+    (operators/text.py::ws_tokens, any-whitespace split), shared with
+    queries/curation.py and the DuckDB oracle
+    (operators/text.py::ws_tokens_sql)."""
+    from .text import ws_tokens
+
+    return ws_tokens(F.col(text_col))
 
 
 def _gram_positions(
@@ -96,8 +104,9 @@ def gram_keys(
 ) -> tuple[DataFrame, list[str]]:
     """(id, i, <key cols>) for every k-gram start position, plus the
     key column names. key="string" carries the gram text (exact,
-    oracle-comparable); key="hash128" carries two independently-seeded
-    xxhash64 lanes — 16 bytes per gram regardless of k, the 100-TB
+    oracle-comparable); key="hash128" carries two xxhash64 lanes (the
+    second over salt+gram — see module docstring for the independence
+    caveat) — 16 bytes per gram regardless of k, the 100-TB
     shuffle/state path (also what the streaming twin persists)."""
     if key not in ("string", "hash128"):
         raise ValueError(f"key must be 'string' or 'hash128', got {key!r}")

@@ -32,6 +32,26 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def ws_tokens(text: Column) -> Column:
+    """THE repo-wide whitespace tokenizer: lowercase, split on runs of
+    ANY whitespace (Java ``\\s`` class — spaces, tabs, newlines), drop
+    empty tokens. Equivalent to ``F.split(normalized(text), " ")``
+    modulo empties, and to ``bpe.segment_words``'s Python twin. Every
+    corpus-token operator (substring/gram analysis, curation,
+    quality, retrieval, streaming mixture) shares this ONE rule — a
+    second rule (the pre-r9 ``' +'`` space-run split) silently
+    disagreed on tab/newline-joined tokens."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def ws_tokens_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`ws_tokens` — keep in lockstep."""
+    return (
+        f"list_filter(string_split_regex(lower({col}), '\\s+'),"
+        " x -> x <> '')"
+    )
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of the normalized text."""
     return F.split(normalized(text), " ")

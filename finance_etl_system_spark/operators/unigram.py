@@ -36,7 +36,11 @@ pairs pre-aggregated per partition, so the round's shuffle is
 vocab-sized and map-combinable. Driver round-trips are structurally
 few (~em_iters × prune_rounds ≈ 10–30 for any vocab size — unlike
 sequential BPE's one-per-merge), so there is no round-latency cliff
-to batch away. Below ``bpe.LOCAL_VOCAB_LIMIT`` unique words the word
+to batch away. The seed prune also runs IN the plan (single chars
+collect alphabet-sized; multi-char pieces via TakeOrderedAndProject
+with the same count-DESC/piece-ASC order as the local ``_prune``), so
+driver state is O(seed_size) — never O(unique substrings), which
+grows with the vocabulary. Below ``bpe.LOCAL_VOCAB_LIMIT`` unique words the word
 table collects once and the whole EM runs driver-local (identical
 results — the tier equivalence is pinned by test, exact because hard
 EM state is integer counts and the Viterbi DP's float additions run
@@ -205,16 +209,22 @@ def unigram_train(
                     out.append(c)
                 return pd.Series(out)
 
-            agg = (
-                wf.select(
-                    F.explode(seg_counts("term", "freq")).alias(
-                        "piece", "c"
+            try:
+                agg = (
+                    wf.select(
+                        F.explode(seg_counts("term", "freq")).alias(
+                            "piece", "c"
+                        )
                     )
+                    .groupBy("piece")
+                    .agg(F.sum("c").alias("c"))
+                    .collect()
                 )
-                .groupBy("piece")
-                .agg(F.sum("c").alias("c"))
-                .collect()
-            )
+            finally:
+                # each EM round's vocab-sized log-prob broadcast is
+                # dead after the collect; without this they accumulate
+                # on executors for the session lifetime
+                b.unpersist(blocking=False)
             return {r["piece"]: int(r["c"]) for r in agg}
 
         # distributed seed: positional substring explode, vocab-sized agg
@@ -238,13 +248,29 @@ def unigram_train(
             ).alias("piece"),
             "freq",
         )
-        seed = {
-            r["piece"]: int(r["c"])
-            for r in sub.groupBy("piece")
-            .agg(F.sum("freq").alias("c"))
+        # the prune runs IN the plan, not on the driver: unique short
+        # substrings grow with the vocabulary (a web-scale corpus has
+        # 10^7-10^8 of them), so collecting them all to keep seed_size
+        # would be a multi-GB driver collect. Single chars (exempt
+        # from pruning, alphabet-sized) collect separately; multi-char
+        # pieces go through orderBy+limit — a TakeOrderedAndProject
+        # whose ordering (count DESC, piece ASC) is exactly _prune's,
+        # so the two tiers stay bit-identical. Driver state is
+        # O(seed_size), never O(unique substrings).
+        pc = sub.groupBy("piece").agg(F.sum("freq").alias("c"))
+        pc = pc.localCheckpoint(eager=True)  # chars + top-k share it
+        char_rows = pc.filter(F.length("piece") == 1).collect()
+        target = max(seed_size, vocab_size)
+        multi_rows = (
+            pc.filter(F.length("piece") > 1)
+            .orderBy(F.desc("c"), F.asc("piece"))
+            .limit(max(0, target - len(char_rows)))
             .collect()
+        )
+        seed = {
+            r["piece"]: int(r["c"]) for r in char_rows + multi_rows
         }
-        rounds += 1
+        rounds += 2
 
     chars = {p for p in seed if len(p) == 1}
     # state is always an exact-count dict (ints + 0.5 floors): sums of

@@ -36,6 +36,7 @@ from ..functions.frames import ranked_topk
 from ..operators.dedup import minhash_lsh_match, minhash_signatures
 from ..operators.packing import prefix_pack
 from ..operators.partitioning import spread_for_expansion
+from ..operators.text import ws_tokens, ws_tokens_sql
 
 NGRAM = 5  # decontamination shingle width (words)
 EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 → held-out "benchmark" doc
@@ -43,11 +44,11 @@ PACK_BUDGET = 512  # tokens per packed context window
 CHUNK_LEN = 32  # chunk width (tokens)
 CHUNK_STRIDE = 24  # chunk stride (tokens; overlap = LEN - STRIDE)
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')"
+_TOKS_SQL = ws_tokens_sql("text")
 
 
 def _toks() -> Column:
-    return F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
+    return ws_tokens(F.col("text"))
 
 
 def _grams(toks: Column) -> Column:
@@ -291,9 +292,12 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Length normalization keeps the score comparable across doc sizes.
 
     Scale shape: two map-combinable term aggregates (target counts,
-    raw counts) produce a vocabulary-sized weight table that joins
-    back onto per-doc tf — the same broadcast-the-vocab pattern as
-    unigram_surprisal; the three scalars (N_T, N_R, V) are one-row
+    raw counts) produce a weight table that joins back onto per-doc
+    tf. The TARGET vocab (benchmark-sized by construction) is
+    broadcast-hinted; the raw-corpus weight table grows with the
+    corpus (Heaps' law) so its join onto tf is left un-hinted — a
+    plain shuffle join that AQE upgrades to broadcast when the vocab
+    is genuinely small. The three scalars (N_T, N_R, V) are one-row
     cross joins. No all-pairs anywhere; top-20 is
     TakeOrderedAndProject.
     """
@@ -333,7 +337,7 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(llr), "term")
+        tf.join(llr, "term")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
@@ -500,7 +504,7 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = uni.agg(F.sum("ct").cast("double").alias("total"))
     scored = (
-        tf.join(F.broadcast(uni), "term")
+        tf.join(uni, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -250,11 +250,71 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten ACROSS DERIVED ARTIFACTS
+    (operators/forget.py::forget_documents): build the four persisted
+    structures a real corpus deployment keeps — a corpus parquet
+    table, the inverted text index, an IVF-PQ vector index, and the
+    streaming-dedup signature state — apply ONE deterministic
+    deletion list (doc_id % 97 == 3, the gdpr_scrub convention), and
+    return the audit frame (artifact, kind, rows_before, rows_after,
+    rows_deleted).
+
+    Rows-only: the pipeline mutates freshly-staged fixture artifacts
+    (k-means-trained IVF-PQ upstream is not SQL-expressible, and an
+    oracle would need its own filesystem side effects). Erasure
+    accuracy — absence via every artifact's own read path, audit
+    exactness, idempotent re-run, crash-window behavior — is pinned
+    in tests/test_forget.py. Artifacts are rebuilt per call in a
+    fresh temp dir precisely because forget MUTATES them: a cached
+    fixture would make the second run report 0 deletions.
+
+    Scale: the deletion list is request-sized (broadcast anti-joins);
+    each artifact pays one scan+rewrite under staging+swap — the same
+    cost its own compaction window already pays, which is where
+    erasure batches ride in production."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.forget import forget_documents
+    from ..operators.pq import build_ivf_pq_index
+    from ..operators.textindex import build_text_index
+    from ..streaming.dedup import dedup_increment_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="spark_graft_forget_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    corpus = f"{root}/corpus.parquet"
+    docs.write.parquet(corpus)
+    ti = f"{root}/text_index"
+    build_text_index(docs, ti)
+    ivfpq = f"{root}/ivfpq"
+    build_ivf_pq_index(
+        embs, ivfpq, dim=64, k_clusters=4, m=8, k_codes=16
+    )
+    verd, state = f"{root}/verdicts", f"{root}/state"
+    dedup_increment_batch(docs.select("doc_id", "text"), 0, verd, state)
+
+    ids = docs.filter(F.col("doc_id") % ERASE_MOD == 3).select("doc_id")
+    return forget_documents(
+        spark,
+        ids,
+        corpus_tables={"documents": corpus},
+        text_index=ti,
+        ivf_pq_index=ivfpq,
+        dedup_state=state,
+    )
+
+
 QUERIES = {
     "gdpr_scrub": q_gdpr_scrub,
     "ab_test_analysis": q_ab_test_analysis,
     "event_transitions": q_event_transitions,
     "k_anonymity": q_k_anonymity,
+    "forget_audit": q_forget_audit,
 }
 ORACLE = {
     "gdpr_scrub": _GDPR_SCRUB_SQL,

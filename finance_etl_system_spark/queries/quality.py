@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import ws_tokens
 
 # deliberately simple, RE2-and-Java-compatible patterns
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -46,9 +47,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), " +"), lambda x: x != "")
-        ).alias("tok"),
+        F.explode(ws_tokens(F.col("text"))).alias("tok"),
     )
     per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -77,7 +76,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_REPETITION_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                     x -> x <> '')) AS tok
   FROM documents
 ),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.frames import ranked_topk
 from ..operators.similarity import cosine_topk_bruteforce
+from ..operators.text import ws_tokens
 
 K1 = 1.2
 B = 0.75
@@ -94,7 +95,7 @@ def token_array(text_col, *, analyzed: bool = False):
     single definition shared by the scan-path ranker AND the
     persisted index (operators/textindex.py) — any analyzer change
     lands in both or the index≠scan parity oracle breaks."""
-    arr = F.filter(F.split(F.lower(text_col), " +"), lambda x: x != "")
+    arr = ws_tokens(text_col)
     if analyzed:
         arr = F.transform(
             F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
@@ -290,7 +291,7 @@ def _bm25_ctes(terms: list[str], *, analyzed: bool = False) -> str:
   SELECT doc_id, t.term
   FROM documents,
        LATERAL unnest(list_transform(
-         list_filter(string_split_regex(lower(text), ' +'),
+         list_filter(string_split_regex(lower(text), '\s+'),
                      x -> x <> '' AND x NOT IN ({stops})),
          x -> {_STEM_SQL})) AS t(term)
 ),"""
@@ -298,7 +299,7 @@ def _bm25_ctes(terms: list[str], *, analyzed: bool = False) -> str:
         toks_cte = """toks AS (
   SELECT doc_id, t.term
   FROM documents,
-       LATERAL unnest(string_split_regex(lower(text), ' +')) AS t(term)
+       LATERAL unnest(string_split_regex(lower(text), '\s+')) AS t(term)
   WHERE t.term <> ''
 ),"""
     return f"""{toks_cte}
@@ -468,9 +469,7 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w1, w2 = PHRASE.split(" ")
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), " +"), lambda x: x != ""
-    )
+    toks = ws_tokens(F.col("text"))
     with_toks = d.select("doc_id", toks.alias("toks"))
     # count adjacent (w1, w2) pairs WITHOUT materializing bigram
     # strings: zip the array against its own 1-shift and sum boolean
@@ -554,7 +553,7 @@ def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEARCH_PHRASE_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
            AS toks
   FROM documents
 ),
@@ -580,7 +579,8 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nDCG@10 / MRR@20 / recall@20 against data-derived graded
     relevance (grade = n_terms_hit, the count of distinct query terms
     a document contains — deterministic ground truth both engines can
-    reproduce). DCG/IDCG contributions accumulate as exact integer
+    reproduce; MRR and recall bind at grade >= 2, strictly above the
+    >= 1 candidacy bar, so both actually measure ranking quality). DCG/IDCG contributions accumulate as exact integer
     micro-ticks (the repo float policy), so the metrics are
     engine-order-independent; every frame after the shared BM25
     scoring is top-k- or 1-row-sized (the ideal ranking is a
@@ -609,9 +609,19 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = ideal.select(_contrib_ticks().alias("t")).agg(
         F.coalesce(F.sum("t"), F.lit(0)).alias("idcg_ticks")
     )
-    rel = scored.agg(F.count(F.lit(1)).alias("n_relevant"))
+    # relevance for recall@20 is STRICTER than candidacy: candidacy
+    # (>= 1 term hit) is also the pool the top-20 is drawn from, so a
+    # >= 1 relevance grade would make n_hits_top20 == min(20,
+    # n_relevant) regardless of ranking quality (ADVICE r8). Using
+    # the >= 2 grade (the MRR relevance bar) makes recall@20 measure
+    # whether the ranker actually surfaces multi-term docs.
+    rel = scored.filter(F.col("n_terms_hit") >= 2).agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
     hits = ranked.agg(
-        F.count(F.lit(1)).alias("n_hits_top20"),
+        F.coalesce(
+            F.sum((F.col("n_terms_hit") >= 2).cast("long")), F.lit(0)
+        ).alias("n_hits_top20"),
         F.min(
             F.when(F.col("n_terms_hit") >= 2, F.col("rnk"))
         ).alias("first_rel2"),
@@ -673,9 +683,10 @@ idcg AS (
          ) AS BIGINT)), 0) AS idcg_ticks
   FROM ideal
 ),
-rel AS (SELECT COUNT(*) AS n_relevant FROM scored),
+rel AS (SELECT COUNT(*) AS n_relevant FROM scored WHERE n_terms_hit >= 2),
 hits AS (
-  SELECT COUNT(*) AS n_hits_top20,
+  SELECT COALESCE(SUM(CASE WHEN n_terms_hit >= 2 THEN 1 ELSE 0 END), 0)
+           AS n_hits_top20,
          MIN(CASE WHEN n_terms_hit >= 2 THEN rnk END) AS first_rel2
   FROM ranked
 )

@@ -22,11 +22,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.substring import repeated_spans, scrub_repeated_spans
+from ..operators.text import ws_tokens_sql
 
 K = 8  # gram width (words) — spans are maximal unions of hot k-grams
 MIN_COUNT = 2  # corpus-wide occurrences (incl. same-doc repeats)
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')"
+_TOKS_SQL = ws_tokens_sql("text")
 
 # shared oracle CTE chain: tokens -> positioned grams -> hot grams ->
 # flagged starts -> merged maximal spans (gap <= K, transitive)

@@ -156,8 +156,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 TF-IDF: top-5 terms per document by tf·ln(N/df).
 
     explode → two aggregations (term-in-doc counts, doc frequency) →
-    window top-k. At 100 TB the df table is the only broadcast-size
-    product (vocabulary), and the tf pass is map-side combinable.
+    window top-k. The df table is the corpus's own vocabulary and
+    grows with the corpus (Heaps' law), so its join back onto tf is
+    left un-hinted: dfreq leaves a groupBy("term") already
+    hash-partitioned on the join key, and AQE broadcasts it only when
+    it is genuinely small. The tf pass is map-side combinable.
     Ranking uses the ROUNDED score so selection is deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -171,7 +174,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint here, it would break the reuse and double the cost
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
@@ -354,7 +357,9 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     array with its own shift — same trick as phrase search); the
     per-(doc, bigram) counts shuffle doc-keyed, the bigram table joins
     back on its own key (data-sized equi join), and the context /
-    unigram tables are vocabulary-sized broadcasts. Ranking is on the
+    unigram tables — the corpus's own vocabulary, which grows with the
+    corpus — join un-hinted (co-partitioned shuffle joins off their
+    groupBys; AQE broadcasts when small). Ranking is on the
     6dp-rounded average with doc_id tiebreak."""
     from pyspark.sql import Window
 
@@ -399,8 +404,8 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.join(bg, "bigram")
         .withColumn("w1", F.split("bigram", " ")[0])
         .withColumn("w2", F.split("bigram", " ")[1])
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("term", "w2"), "w2")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -478,9 +483,14 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every scored token is by construction in the corpus.
 
     Scale: same two map-combinable shuffles as TF-IDF (tf per
-    (doc, term), then the vocabulary-sized unigram table broadcast
-    back onto tf); the corpus total is one scalar. Ranking is on the
-    6dp-rounded average with doc_id tiebreak.
+    (doc, term), then the unigram table joined back onto tf). The
+    unigram table is the corpus's own vocabulary and grows with the
+    corpus (Heaps' law), so it is NOT broadcast-hinted: both sides
+    leave a groupBy on the join key, so the un-hinted join is a
+    co-partitioned shuffle join, and AQE still broadcasts when the
+    vocab is genuinely small. The corpus total is one scalar (safe
+    broadcast). Ranking is on the 6dp-rounded average with doc_id
+    tiebreak.
     """
     from pyspark.sql import Window
 
@@ -493,7 +503,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = uni.agg(F.sum("ct").alias("total"))
     scored = (
-        tf.join(F.broadcast(uni), "term")
+        tf.join(uni, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sampling import budget_take
 from ..functions.confs import partition_overwrite
+from ..operators.text import ws_tokens
 
 def _load_kept(
     spark: SparkSession, kept_dir: str, group_col: str, weight_col: str
@@ -138,7 +139,7 @@ def stream_mixture_budget(
             "doc_id",
             group_col,
             F.size(
-                F.filter(F.split(F.lower("text"), " +"), lambda x: x != "")
+                ws_tokens(F.col("text"))
             )
             .cast("long")
             .alias("w"),

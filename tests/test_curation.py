@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from finance_etl_system_spark.operators.text import ws_tokens
+
 from finance_etl_system_spark.catalog import load_table
 from finance_etl_system_spark.operators.packing import prefix_pack
 from finance_etl_system_spark.queries.curation import (
@@ -43,7 +45,7 @@ def test_pack_matches_naive_cumsum_and_is_bucket_invariant(spark):
     # bucket count is a parallelism knob, not a semantics knob
     base = load_table(spark, SF_SMOKE, "documents").select(
         "doc_id",
-        F.size(F.filter(F.split(F.lower("text"), " +"), lambda x: x != ""))
+        F.size(ws_tokens(F.col("text")))
         .cast("long")
         .alias("n_tokens"),
         (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),

@@ -116,3 +116,63 @@ def F_col_in(col, vals):
     from pyspark.sql import functions as F
 
     return F.col(col).isin(vals)
+
+
+@pytest.mark.timeout(300)
+def test_forget_everything_partitioned_table_stays_readable(
+    spark, tmp_path
+):
+    """A deletion list covering EVERY row of a partitioned table: the
+    rewritten table must stay readable (schema-bearing empty file, not
+    a data-file-less partitioned dir) with the full column set, so the
+    audit's after-count and later dedup-state reads don't die with
+    UNABLE_TO_INFER_SCHEMA."""
+    path = str(tmp_path / "state.parquet")
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")],
+        "id long, batch_id long, sig string",
+    )
+    df.write.partitionBy("batch_id").parquet(path)
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    audit = forget_documents(spark, ids, dedup_state=path)
+    row = audit.collect()[0]
+    assert (row.rows_before, row.rows_after, row.rows_deleted) == (3, 0, 3)
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "batch_id", "sig"}
+
+
+@pytest.mark.timeout(300)
+def test_forget_ignores_stale_staging_under_dynamic_mode(
+    spark, tmp_path
+):
+    """GDPR hazard from ADVICE r8: a crashed prior forget leaves
+    {path}.staging containing rows for the to-be-forgotten id, and a
+    streaming sink left the session in DYNAMIC partitionOverwriteMode.
+    Without the static pin + staging pre-delete, the partitioned
+    overwrite merges into the stale staging dir and the swap promotes
+    supposedly-forgotten rows. The fixed writer must erase id=1."""
+    path = str(tmp_path / "state.parquet")
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")],
+        "id long, batch_id long, sig string",
+    )
+    df.write.partitionBy("batch_id").parquet(path)
+    # stale staging from a "crashed" earlier run: id=1 in batch 7,
+    # a partition the retry's kept-set does not touch
+    stale = spark.createDataFrame(
+        [(1, 7, "zombie")], "id long, batch_id long, sig string"
+    )
+    stale.write.partitionBy("batch_id").parquet(f"{path}.staging")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ids = spark.createDataFrame([(1,)], "id long")
+        forget_documents(spark, ids, dedup_state=path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    back = spark.read.parquet(path)
+    assert back.filter("id = 1").count() == 0
+    assert back.count() == 2

@@ -12,6 +12,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from finance_etl_system_spark.operators.text import ws_tokens
+
 from finance_etl_system_spark.catalog import load_table
 from finance_etl_system_spark.operators.sampling import (
     budget_take,
@@ -93,7 +95,7 @@ def _docs_with_weights(spark):
     return d.select(
         "doc_id",
         "source",
-        F.size(F.filter(F.split(F.lower("text"), " +"), lambda x: x != ""))
+        F.size(ws_tokens(F.col("text")))
         .cast("long")
         .alias("w"),
         (
@@ -222,7 +224,7 @@ def test_quality_budget_take_is_best_first(spark):
         for r in q_quality_budget_take(spark, SF_SMOKE).collect()
     }
     d = load_table(spark, SF_SMOKE, "documents")
-    toks = F.filter(F.split(F.lower("text"), " +"), lambda x: x != "")
+    toks = ws_tokens(F.col("text"))
     n = F.size(toks).cast("long")
     grid = F.round(
         F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)) * 1000000
