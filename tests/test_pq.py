@@ -180,6 +180,20 @@ def test_ivf_pq_index_prune_and_recall(spark, corpus, tmp_path):
     ]
     assert sum(full_recalls) / len(full_recalls) >= 0.85
     assert min(full_recalls) >= 0.8
+    # CEILING PROOF (SCALE.md rerank sweep): with all clusters probed
+    # AND the shortlist widened to the whole corpus, the pipeline IS
+    # brute force — per-query recall must be exactly 1.0. Any codes/
+    # routing/rerank regression breaks this; the "hard fixture" can't.
+    n_corpus = corpus.count()
+    ceil = {}
+    for r in cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=4, rerank_with=corpus,
+        rerank=n_corpus,
+    ).collect():
+        ceil.setdefault(r["qid"], set()).add(r["cid"])
+    assert all(
+        len(exact[q] & ceil.get(q, set())) == len(exact[q]) for q in exact
+    )
 
 
 def test_ivf_pq_append_frozen_model_and_retry(spark, corpus, tmp_path):

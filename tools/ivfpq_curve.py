@@ -151,10 +151,73 @@ def curve(spark, corpus, label: str):
         print(f"| {nprobe} | {avg:.3f} | {lo:.3f} | {frac:.3f} | {t:.2f} |")
 
 
+def rerank_sweep(spark, corpus, label: str):
+    """The CEILING PROOF (round-8 verdict #5): at nprobe = all
+    clusters, routing loss is zero, so any recall shortfall is the
+    ADC shortlist ranking the true neighbors below `rerank`. Sweeping
+    rerank must therefore drive recall monotonically to 1.0 (the
+    shortlist -> corpus limit IS brute force with extra steps). The
+    sweep also locates the smallest rerank whose per-query MIN
+    recall@10 clears 0.6 — the documented operating point."""
+    corpus = corpus.localCheckpoint(eager=True)
+    n = corpus.count()
+    path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_sweep_")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=K_CLUSTERS, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk_bruteforce(queries, corpus, k=K).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    rows = []
+    for rerank in (50, 100, 200, 400, 800, n):
+        got = cosine_topk_ivf_pq(
+            spark, path, queries, k=K, nprobe=K_CLUSTERS,
+            rerank_with=corpus, rerank=rerank,
+        )
+        got.count()
+        t = float("inf")
+        res = None
+        for _ in range(3):
+            t0 = time.time()
+            res = got.collect()
+            t = min(t, time.time() - t0)
+        approx: dict[int, set[int]] = {}
+        for r in res:
+            approx.setdefault(r["qid"], set()).add(r["cid"])
+        recalls = [
+            len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+            for qid in exact
+        ]
+        rows.append(
+            (rerank, sum(recalls) / len(recalls), min(recalls), t)
+        )
+        print(
+            f"{label} rerank={rerank}: recall@10 avg={rows[-1][1]:.3f}"
+            f" min={rows[-1][2]:.3f} wall={t:.2f}s",
+            file=sys.stderr,
+        )
+    print(f"\n<!-- ivfpq_rerank_sweep {label} rows={n} nprobe="
+          f"{K_CLUSTERS} (all clusters) m=16 k_codes=32 -->")
+    print("| rerank (ADC shortlist) | recall@10 (avg) |"
+          " recall@10 (min) | probe wall (s) |")
+    print("|---|---|---|---|")
+    for rerank, avg, lo, t in rows:
+        tag = " (= corpus)" if rerank == n else ""
+        print(f"| {rerank}{tag} | {avg:.3f} | {lo:.3f} | {t:.2f} |")
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark()
     base = load_table(spark, BASE_SF, "embeddings")
+    if len(sys.argv) > 2 and sys.argv[2] == "rerank":
+        rerank_sweep(spark, base, "sf0.1")
+        rerank_sweep(spark, rolled_replica(base, mult), f"sf0.1x{mult}")
+        return
     curve(spark, base, "sf0.1")
     curve(spark, rolled_replica(base, mult), f"sf0.1x{mult}")
 
