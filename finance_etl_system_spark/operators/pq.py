@@ -24,9 +24,21 @@ Spark-first shapes:
   (np.argpartition), so the global rank runs over k×partitions rows —
   rank-after-limit, same hygiene as functions/frames.ranked_topk.
 
+- **OPQ pretransform** (``opq_rotation`` / ``rotate_vectors``,
+  Ge et al. 2013 CVPR, the parametric eigenvalue-allocation variant):
+  one covariance pass (d×d partial per partition), driver-side
+  eigendecomposition, greedy per-subspace eigenvalue-product
+  balancing. Compose as FAISS does (``OPQ<m>,IVF<k>,PQ<m>``):
+  ``build_ivf_pq_index(opq=True)`` trains and stores the whole index
+  in the rotated space and probes/appends rotate transparently; flat
+  PQ callers apply ``rotate_vectors`` to corpus AND queries
+  themselves. Lifts the ADC ceiling on anisotropic (real-embedding)
+  corpora; provably a no-op in expectation on isotropic fixtures.
+
 Determinism: seeds are the k rows with the smallest (xxhash64(id), id)
 — content-addressed, replay-stable, no rand(); ADC scores round to 6dp
-with cid tiebreak before ranking.
+with cid tiebreak before ranking; OPQ eigenvector signs are
+canonicalized and covariance partials sum in sorted-partition order.
 
 Exactness property pinned by tests: the ADC score of a corpus vector
 IS the inner product of the query with the vector's reconstruction
@@ -128,6 +140,103 @@ def _pq_stats_fn(
         )
 
     return stats
+
+
+def opq_rotation(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+) -> np.ndarray:
+    """Learn the OPQ-P (parametric) rotation of Ge et al. 2013
+    ("Optimized Product Quantization", CVPR): eigendecompose the
+    corpus second-moment matrix, then allocate principal directions
+    to the m subspaces balancing the per-subspace eigenvalue PRODUCT
+    (greedy: next-largest eigenvalue goes to the non-full bucket with
+    the smallest log-product). PQ then quantizes independent-ish,
+    variance-balanced subspaces instead of arbitrary contiguous
+    coordinate blocks — the classic pretransform that lifts the ADC
+    ceiling on ANISOTROPIC embedding corpora (isotropic corpora, like
+    the synthetic near-orthogonal test fixture, are rotation-
+    invariant: expect parity there, not a win — measured in
+    tests/test_opq.py both ways).
+
+    Returns R with shape (dim, dim), rows orthonormal; apply as
+    ``y = x @ R.T``. Rotation of a raw vector commutes with
+    normalization, so it can be applied before or after unit-norm.
+
+    Scale: ONE mapInPandas pass emits a single (pid, d*d partial
+    second moment, n) row per partition (d=64 → 4 KB); the driver
+    holds only the d×d matrix. Partials are summed in sorted
+    partition-id order and eigenvector signs are canonicalized
+    (largest-|component| positive), so the rotation is replay-stable
+    for a fixed input layout."""
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+
+    def moments(batches):
+        s = np.zeros((dim, dim))
+        n = 0
+        pid = -1
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            x = _normalize(_as_matrix(pdf["_v"]))
+            s += x.T @ x
+            n += len(x)
+        if n:
+            yield pd.DataFrame(
+                {"pid": [pid], "s": [s.ravel()], "n": [n]}
+            )
+
+    rows = (
+        df.select(
+            F.spark_partition_id().alias("_pid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .mapInPandas(moments, schema="pid int, s array<double>, n long")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_rotation: empty input")
+    S = np.zeros((dim, dim))
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        S += np.asarray(r["s"], dtype=np.float64).reshape(dim, dim)
+    evals, evecs = np.linalg.eigh(S)  # ascending
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    # canonical sign: the largest-|component| entry of each vector > 0
+    for j in range(dim):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    dsub = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logprod = np.zeros(m)
+    eps = 1e-12
+    for j in range(dim):  # eigenvalues descending
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda b: (logprod[b], b))
+        buckets[b].append(j)
+        logprod[b] += float(np.log(max(evals[j], eps)))
+    perm = [j for b in buckets for j in b]
+    return evecs[:, perm].T.copy()  # (dim, dim), rows = axes
+
+
+def rotate_vectors(
+    df: DataFrame, rotation: np.ndarray, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Replace ``vec_col`` with its OPQ-rotated form (Arrow-batched
+    matmul; the one hot-path Python stage, same class as pq_encode)."""
+    R_T = np.ascontiguousarray(rotation.T)
+
+    @F.pandas_udf("array<double>")
+    def rot(vecs: pd.Series) -> pd.Series:
+        x = _as_matrix(vecs) @ R_T
+        return pd.Series(list(x))
+
+    return df.withColumn(vec_col, rot(F.col(vec_col)))
 
 
 def pq_train(
@@ -350,6 +459,7 @@ def build_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 8,
+    opq: bool = False,
 ) -> PQModel:
     """The full FAISS-IVF-PQ composition as a table LAYOUT: coarse
     k-means routing (operators/clustering.py) + residual PQ codes,
@@ -363,6 +473,16 @@ def build_ivf_pq_index(
       centroids; the query side normalizes at load)
     - ``{path}/codebooks`` the m×k_codes residual codeword table
     - ``{path}/meta``      column/shape contract
+    - ``{path}/rotation``  (only with ``opq=True``) the d×d OPQ
+      pretransform, one (row, vec) row per output axis — presence of
+      this table IS the OPQ flag; probes and appends rotate with it
+      and a compaction never touches it (codes-only fold)
+
+    ``opq=True`` runs the FAISS ``OPQ<m>,IVF<k>,PQ<m>`` composition:
+    the whole index (coarse k-means, residuals, codebooks) trains and
+    lives in the rotated space; queries rotate at probe time; the
+    exact rerank stays in the ORIGINAL space (cosine is rotation-
+    invariant) so callers pass their unrotated corpus as always.
 
     A probe reads an nprobe/k_clusters fraction of a corpus that is
     ALSO 16–32× smaller than the float table (codes, not vectors) —
@@ -373,6 +493,13 @@ def build_ivf_pq_index(
     from .clustering import kmeans_assign, kmeans_fit
 
     spark = corpus.sparkSession
+    if opq:
+        R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
+        corpus = rotate_vectors(corpus, R, vec_col=vec_col)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(R)],
+            "row int, vec array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
     coarse = kmeans_fit(
         corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
         max_iter=max_iter,
@@ -447,11 +574,17 @@ def cosine_topk_ivf_pq(
     cosine_topk_ivf_index precedent), ADC-score ONLY the probed
     clusters' codes (score = q̂·ĉ_cluster + Σ_s LUT[s, code_s], the
     residual decomposition), shortlist per partition, exact-cosine
-    rerank against ``rerank_with`` survivors."""
+    rerank against ``rerank_with`` survivors.
+
+    OPQ indexes (a ``{path}/rotation`` table exists): queries rotate
+    into the index's space for routing and ADC; the exact rerank
+    keeps the caller's ORIGINAL vectors — cosine is rotation-
+    invariant, so the two spaces agree on the final scores."""
     from .similarity import _as_double, _dot, _norm, _route_queries
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, m = meta["id_col"], int(meta["m"])
+    R = _load_rotation(spark, path)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )
@@ -476,6 +609,8 @@ def cosine_topk_ivf_pq(
     qx = _normalize(
         np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
     )
+    if R is not None:
+        qx = qx @ R.T  # into the index's rotated space
     luts = np.einsum("qsd,skd->qsk", _subspaces(qx, m), cb)
     offsets = qx @ cents.T  # (nq, k_clusters): q̂·ĉ
 
@@ -487,6 +622,8 @@ def cosine_topk_ivf_pq(
         F.col(query_id).alias("qid"),
         _as_double(F.col(query_vec_col)).alias("qv"),
     )
+    if R is not None:
+        q = rotate_vectors(q, R, vec_col="qv")
     routed = _route_queries(q, centroids_df, nprobe)
     probed = sorted(
         r["cluster"] for r in routed.select("cluster").distinct().collect()
@@ -575,6 +712,20 @@ def cosine_topk_ivf_pq(
     )
 
 
+def _load_rotation(spark, path: str) -> np.ndarray | None:
+    """The OPQ pretransform, if this index has one (presence of the
+    ``{path}/rotation`` table is the flag — no meta version bump)."""
+    from .similarity import _ivf_fs
+
+    fs, HPath = _ivf_fs(spark, path)
+    if not fs.exists(HPath(f"{path}/rotation")):
+        return None
+    rows = spark.read.parquet(f"{path}/rotation").orderBy("row").collect()
+    return np.vstack(
+        [np.asarray(r["vec"], dtype=np.float64) for r in rows]
+    )
+
+
 def append_to_ivf_pq_index(
     new_vectors: DataFrame,
     path: str,
@@ -644,6 +795,9 @@ def _append_to_ivf_pq_index_locked(
     spark = new_vectors.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, vec_col, m = meta["id_col"], meta["vec_col"], int(meta["m"])
+    R = _load_rotation(spark, path)
+    if R is not None:  # OPQ index: append in the index's space
+        new_vectors = rotate_vectors(new_vectors, R, vec_col=vec_col)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )
@@ -873,9 +1027,20 @@ def ivf_pq_index_stats(
     absent from the supplied corpus (an appended batch the caller
     forgot to include) surface as ``n_unmatched`` per cluster with
     null recon errors — exactly the drifted/orphaned rows a health
-    report exists to expose, not rows to silently drop."""
+    report exists to expose, not rows to silently drop.
+
+    OPQ indexes: the caller's float corpus rotates into the index's
+    space before the error kernel (the stored centroids/codebooks
+    live there)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, m = meta["id_col"], int(meta["m"])
+    R = _load_rotation(spark, path)
+    if R is not None:
+        corpus = rotate_vectors(
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>")),
+            R,
+            vec_col=vec_col,
+        )
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )

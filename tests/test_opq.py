@@ -1,0 +1,169 @@
+"""OPQ pretransform (operators/pq.py::opq_rotation, Ge et al. 2013
+OPQ-P): the rotation must be orthonormal and replay-stable, must cut
+quantization error vs plain PQ on ANISOTROPIC data (the case it
+exists for), and the OPQ-flagged IVF-PQ index must keep every
+invariant of the plain one — self at rank 1, appends findable, the
+rerank ceiling (shortlist = corpus, nprobe = all -> recall exactly
+1.0), and a consistent verify report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finance_etl_system_spark.catalog import load_table
+from finance_etl_system_spark.operators.pq import (
+    _as_matrix,
+    _normalize,
+    _subspaces,
+    build_ivf_pq_index,
+    cosine_topk_ivf_pq,
+    opq_rotation,
+    pq_encode,
+    pq_train,
+    rotate_vectors,
+)
+from finance_etl_system_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from tests.conftest import SF_SMOKE
+
+DIM, M, K_CODES = 64, 8, 16
+
+
+@pytest.fixture(scope="module")
+def aniso(spark):
+    """Anisotropic corpus: decaying spectrum mixed by a fixed
+    orthogonal basis so the variance structure is NOT axis-aligned —
+    plain PQ's contiguous coordinate blocks straddle correlated
+    directions; OPQ's eigen-allocation should undo that."""
+    rng = np.random.default_rng(7)
+    spectrum = 1.0 / np.arange(1, DIM + 1)  # strong decay
+    z = rng.normal(size=(400, DIM)) * np.sqrt(spectrum)
+    q, _ = np.linalg.qr(rng.normal(size=(DIM, DIM)))
+    x = z @ q.T
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4, "vec_id")
+
+
+def _mse(df, model, rotation=None):
+    """Mean squared quantization error of the (optionally rotated)
+    unit-normalized corpus under the model's codebooks."""
+    src = df if rotation is None else rotate_vectors(df, rotation)
+    rows = pq_encode(src, model).select("embedding", "codes").collect()
+    x = _normalize(
+        np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    codes = np.vstack([np.asarray(r["codes"]) for r in rows])
+    cb = model.codebooks
+    recon = np.concatenate(
+        [cb[s][codes[:, s]] for s in range(cb.shape[0])], axis=1
+    )
+    return float(((x - recon) ** 2).sum(axis=1).mean())
+
+
+def test_rotation_orthonormal_and_replay_stable(spark, aniso):
+    r1 = opq_rotation(aniso, dim=DIM, m=M)
+    r2 = opq_rotation(aniso, dim=DIM, m=M)
+    assert r1.shape == (DIM, DIM)
+    assert np.allclose(r1 @ r1.T, np.eye(DIM), atol=1e-10)
+    assert np.array_equal(r1, r2)  # same layout -> bit-identical
+
+
+def test_opq_cuts_quantization_error_on_anisotropic(spark, aniso):
+    plain = pq_train(aniso, dim=DIM, m=M, k=K_CODES, max_iter=6)
+    R = opq_rotation(aniso, dim=DIM, m=M)
+    rotated = rotate_vectors(aniso, R)
+    opq = pq_train(rotated, dim=DIM, m=M, k=K_CODES, max_iter=6)
+    e_plain = _mse(aniso, plain)
+    e_opq = _mse(aniso, opq, rotation=R)
+    # the OPQ-P claim, with slack under the measured ~2x gap
+    assert e_opq < 0.8 * e_plain, (e_opq, e_plain)
+
+
+def test_opq_parity_on_isotropic_fixture(spark):
+    """The near-orthogonal fixture is rotation-invariant in
+    distribution: OPQ must not HURT (parity band, not a win)."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    plain = pq_train(corpus, dim=DIM, m=M, k=K_CODES, max_iter=6)
+    R = opq_rotation(corpus, dim=DIM, m=M)
+    opq = pq_train(rotate_vectors(corpus, R), dim=DIM, m=M, k=K_CODES,
+                   max_iter=6)
+    e_plain = _mse(corpus, plain)
+    e_opq = _mse(corpus, opq, rotation=R)
+    assert e_opq < 1.15 * e_plain, (e_opq, e_plain)
+
+
+@pytest.mark.timeout(600)
+def test_opq_ivf_pq_index_end_to_end(spark, tmp_path):
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "opq_ivfpq")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id", opq=True,
+    )
+    rot = spark.read.parquet(f"{path}/rotation")
+    assert rot.count() == DIM
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=2, rerank_with=corpus,
+        rerank=50,
+    ).collect()
+    top1 = {r["qid"]: r["cid"] for r in got if r["rnk"] == 1}
+    assert top1 == {i: i for i in range(5)}  # self survives rotation
+    # rerank ceiling holds under OPQ: all clusters + corpus-wide
+    # shortlist IS brute force (rotation preserves cosine)
+    exact = {}
+    for r in cosine_topk_bruteforce(queries, corpus, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    n = corpus.count()
+    ceil = {}
+    for r in cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=4, rerank_with=corpus,
+        rerank=n,
+    ).collect():
+        ceil.setdefault(r["qid"], set()).add(r["cid"])
+    assert all(
+        len(exact[q] & ceil.get(q, set())) == len(exact[q]) for q in exact
+    )
+
+
+@pytest.mark.timeout(600)
+def test_opq_index_append_and_health(spark, tmp_path):
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        ivf_pq_index_stats,
+        verify_ivf_pq_index,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    base = corpus.filter(F.col("vec_id") < 40)
+    extra = corpus.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    )
+    path = str(tmp_path / "opq_append")
+    build_ivf_pq_index(
+        base, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id", opq=True,
+    )
+    append_to_ivf_pq_index(extra, path)
+    q = extra.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk_ivf_pq(
+        spark, path, q, k=5, nprobe=4,
+        rerank_with=base.unionByName(extra), rerank=30,
+    ).collect()
+    top1 = {r["qid"]: r["cid"] for r in got if r["rnk"] == 1}
+    assert top1 == {i: i for i in range(40, 50)}
+    ver = verify_ivf_pq_index(spark, path)
+    assert ver["consistent"], ver
+    stats = ivf_pq_index_stats(
+        spark, path, base.unionByName(extra)
+    ).collect()
+    assert sum(r["n_unmatched"] for r in stats) == 0
+    # rotated-space reconstruction errors are finite and sane
+    assert all(r["mean_recon_err"] is not None for r in stats)
