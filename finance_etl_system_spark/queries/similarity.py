@@ -402,6 +402,42 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 compression path with the OPQ pretransform (Ge et al. 2013
+    OPQ-P, operators/pq.py::opq_rotation): eigen-allocation rotation
+    from one covariance pass, PQ trained/encoded/queried in the
+    rotated space, exact rerank in the original space — the FAISS
+    ``OPQ16,PQ16`` composition. The rotation is a no-op in
+    expectation on this isotropic fixture (pinned as a parity band
+    in tests/test_opq.py; the >20% quantization-error win is pinned
+    on anisotropic data there) — this registry entry keeps the
+    end-to-end path under the per-round attestation diff.
+    Approximate + eigendecomposition upstream → rows-only."""
+    from ..operators.pq import (
+        opq_rotation,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+        rotate_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    R = opq_rotation(e, dim=_DIM, m=16)
+    rot = rotate_vectors(e, R)
+    model = pq_train(rot, dim=_DIM, m=16, k=32, max_iter=6)
+    codes = pq_encode(rot, model)
+    return pq_topk_adc(
+        codes,
+        rotate_vectors(
+            _queries_df(spark, sf_dir), R, vec_col="embedding"
+        ),
+        model,
+        k=_K,
+        rerank_with=rot,
+        rerank=50,
+    ).orderBy("qid", "rnk")
+
+
 # process-cached persistent IVF-PQ index (same lifecycle as the IVF
 # cache above)
 _IVFPQ_CACHE: dict[tuple[str, str], str] = {}
@@ -485,6 +521,7 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_pq": q_knn_pq,
+    "knn_opq": q_knn_opq,
     "knn_ivf_pq": q_knn_ivf_pq,
     "ivf_pq_index_health": q_ivf_pq_index_health,
     "triplet_mining": q_triplet_mining,
