@@ -148,6 +148,7 @@ def opq_rotation(
     vec_col: str = "embedding",
     dim: int,
     m: int = 8,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Learn the OPQ-P (parametric) rotation of Ge et al. 2013
     ("Optimized Product Quantization", CVPR): eigendecompose the
@@ -167,12 +168,19 @@ def opq_rotation(
     normalization, so it can be applied before or after unit-norm.
 
     Scale: ONE mapInPandas pass emits a single (pid, d*d partial
-    second moment, n) row per partition (d=64 → 4 KB); the driver
-    holds only the d×d matrix. Partials are summed in sorted
+    second moment, n) row per partition (d=64 → 32 KB); the driver
+    holds only the d×d matrix. The partial grows QUADRATICALLY in the
+    embedding dim — at d=4096 each partition row is ~128 MB — so for
+    high-dim models pass ``sample_fraction`` (the rotation is a model
+    artifact; a seeded row sample estimates the second moment as well
+    as the full pass, the standard FAISS practice of training the
+    OPQ transform on a subset). Partials are summed in sorted
     partition-id order and eigenvector signs are canonicalized
     (largest-|component| positive), so the rotation is replay-stable
     for a fixed input layout."""
     assert dim % m == 0, "dim must divide into m equal subspaces"
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=7)
 
     def moments(batches):
         s = np.zeros((dim, dim))
