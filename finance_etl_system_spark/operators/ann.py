@@ -17,7 +17,7 @@ full compression × recall × probe-cost × maintenance matrix):
 | lsh            | corpus       | no (rerank)   | one-shot batch search, no index upkeep |
 | ivf            | corpus       | in-probe      | corpus already bucketed by a cluster col |
 | sq8            | corpus       | rerank-exact  | 4x memory cut, exact integer coarse tier |
-| pq             | corpus       | no (rerank)   | 16-32x compression, in-session |
+| pq             | corpus       | no (rerank)   | 16-32x compression, in-session; opq=True adds the OPQ pretransform (anisotropic corpora) |
 | ivf_index      | index_path   | in-probe      | build-once/query-many, partition-pruned |
 | ivf_pq_index   | index_path   | no (rerank)   | the 100-TB shape: pruning x compression |
 
@@ -51,7 +51,7 @@ _ALLOWED_OPTS = {
     "lsh": {"nbits", "bands", "seed"},
     "ivf": {"nprobe", "cluster_col"},
     "sq8": {"rerank"},
-    "pq": {"m", "k_codes", "max_iter", "rerank"},
+    "pq": {"m", "k_codes", "max_iter", "rerank", "opq"},
     "ivf_index": {"nprobe"},
     "ivf_pq_index": {"nprobe", "rerank"},
 }
@@ -138,16 +138,30 @@ def similarity_search(
         )
         score = "cosine"
     elif method == "pq":
-        from .pq import pq_encode, pq_topk_adc, pq_train
+        from .pq import (
+            opq_rotation,
+            pq_encode,
+            pq_topk_adc,
+            pq_train,
+            rotate_vectors,
+        )
 
         if dim is None:
             raise ValueError("method 'pq' needs dim= (vector length)")
+        m = opts.pop("m", 16)
+        if opts.pop("opq", False):
+            # FAISS OPQ<m>,PQ<m>: rotate corpus AND queries into the
+            # eigen-allocated space; the exact rerank runs there too
+            # (cosine is rotation-invariant, so scores are unchanged)
+            R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
+            corpus = rotate_vectors(corpus, R, vec_col=vec_col)
+            queries = rotate_vectors(queries, R, vec_col=vec_col)
         model = pq_train(
             corpus,
             vec_col=vec_col,
             id_col=corpus_id,
             dim=dim,
-            m=opts.pop("m", 16),
+            m=m,
             k=opts.pop("k_codes", 32),
             max_iter=opts.pop("max_iter", 6),
         )

@@ -91,6 +91,24 @@ def test_every_method_same_schema(spark, corpus, queries, ivf_path, ivfpq_path):
         assert top1 == {q: q for q in by_q}, method
 
 
+def test_pq_opq_option_same_contract(spark, corpus, queries):
+    """method='pq' with opq=True (the FAISS OPQ,PQ composition) keeps
+    the façade contract: one schema, rank-dense, self at rank 1 —
+    rotation must be invisible to the caller."""
+    out = similarity_search(
+        queries, method="pq", corpus=corpus, dim=DIM, k=5, opq=True
+    )
+    assert out.columns == OUTPUT_COLUMNS
+    rows = out.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    top1 = {
+        q: min(rs, key=lambda r: r["rnk"])["cid"] for q, rs in by_q.items()
+    }
+    assert top1 == {q: q for q in by_q}
+
+
 def test_brute_matches_underlying_kernel(spark, corpus, queries):
     from finance_etl_system_spark.operators.similarity import (
         cosine_topk_bruteforce,
