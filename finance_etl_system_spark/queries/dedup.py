@@ -257,7 +257,10 @@ def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = (
         d.select("doc_id")
-        .join(F.broadcast(cc), "doc_id", "left")
+        # un-hinted: cc has a row per doc in ANY near-dup pair — a
+        # duplicate-heavy web crawl makes that corpus-scale (the
+        # round-8 vocab-broadcast lesson); AQE broadcasts when small
+        .join(cc, "doc_id", "left")
         .withColumn(
             "eff_key", F.coalesce("cluster_id", "doc_id").cast("string")
         )
