@@ -168,16 +168,21 @@ def opq_rotation(
     normalization, so it can be applied before or after unit-norm.
 
     Scale: ONE mapInPandas pass emits a single (pid, d*d partial
-    second moment, n) row per partition (d=64 → 32 KB); the driver
-    holds only the d×d matrix. The partial grows QUADRATICALLY in the
-    embedding dim — at d=4096 each partition row is ~128 MB — so for
-    high-dim models pass ``sample_fraction`` (the rotation is a model
-    artifact; a seeded row sample estimates the second moment as well
-    as the full pass, the standard FAISS practice of training the
-    OPQ transform on a subset). Partials are summed in sorted
-    partition-id order and eigenvector signs are canonicalized
-    (largest-|component| positive), so the rotation is replay-stable
-    for a fixed input layout."""
+    second moment, n) row per partition (d=64 → 32 KB), and a
+    16-lane tree reduce (groupBy pmod(pid, 16) → applyInPandas, each
+    lane summing its partials in sorted-pid order) folds those to
+    ≤16 rows before the collect — the driver never holds
+    O(partitions) state, only the d×d matrix (a 100-TB corpus is
+    ~10⁶ scan partitions; collecting raw partials would be tens of
+    GB). The partial itself grows QUADRATICALLY in the embedding dim
+    — at d=4096 each partition row is ~128 MB — so for high-dim
+    models pass ``sample_fraction`` (the rotation is a model
+    artifact; a seeded row sample estimates the second moment as
+    well as the full pass, the standard FAISS practice of training
+    the OPQ transform on a subset). Partials are summed in sorted
+    (lane, pid) order at both levels and eigenvector signs are
+    canonicalized (largest-|component| positive), so the rotation is
+    replay-stable for a fixed input layout."""
     assert dim % m == 0, "dim must divide into m equal subspaces"
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=7)
@@ -198,18 +203,33 @@ def opq_rotation(
                 {"pid": [pid], "s": [s.ravel()], "n": [n]}
             )
 
-    rows = (
-        df.select(
-            F.spark_partition_id().alias("_pid"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+    def lane_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        s = np.zeros(dim * dim)
+        for row in pdf["s"]:
+            s += np.asarray(row, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lane": [int(pdf["lane"].iloc[0])],
+                "s": [s],
+                "n": [int(pdf["n"].sum())],
+            }
         )
-        .mapInPandas(moments, schema="pid int, s array<double>, n long")
+
+    partials = df.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(moments, schema="pid int, s array<double>, n long")
+    rows = (
+        partials.withColumn("lane", F.pmod("pid", F.lit(16)))
+        .groupBy("lane")
+        .applyInPandas(lane_sum, schema="lane int, s array<double>, n long")
         .collect()
     )
     if not rows:
         raise ValueError("opq_rotation: empty input")
     S = np.zeros((dim, dim))
-    for r in sorted(rows, key=lambda r: r["pid"]):
+    for r in sorted(rows, key=lambda r: r["lane"]):
         S += np.asarray(r["s"], dtype=np.float64).reshape(dim, dim)
     evals, evecs = np.linalg.eigh(S)  # ascending
     order = np.argsort(-evals, kind="stable")

@@ -12,8 +12,9 @@ templated paragraphs pasted into otherwise-unique documents.
 
 Semantics
 ---------
-Tokenize on ASCII whitespace (the repo-wide rule, identical to the
-DuckDB oracle), slide a ``k``-word gram over each document, and call
+Tokenize on any-whitespace runs (operators/text.py::ws_tokens — THE
+repo-wide rule, identical to the DuckDB oracle since the round-9
+unification), slide a ``k``-word gram over each document, and call
 a gram *hot* when its corpus-wide occurrence count (including repeats
 inside one document) reaches ``min_count``. Every hot gram start
 position is flagged; flagged starts whose coverage windows touch or
