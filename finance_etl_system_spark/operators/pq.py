@@ -142,6 +142,42 @@ def _pq_stats_fn(
     return stats
 
 
+def _reduce_matrix_partials(partials: DataFrame, dim: int):
+    """Deterministic tree reduce of (pid, d*d partial, n) rows: a
+    16-lane groupBy/applyInPandas sums each lane in sorted-pid order,
+    then the driver sums the ≤16 lane rows in lane order — the driver
+    never holds O(scan partitions) state, and the summation order is
+    fixed for a fixed input layout (replay-stable floats)."""
+
+    def lane_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        s = np.zeros(dim * dim)
+        for row in pdf["s"]:
+            s += np.asarray(row, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lane": [int(pdf["lane"].iloc[0])],
+                "s": [s],
+                "n": [int(pdf["n"].sum())],
+            }
+        )
+
+    rows = (
+        partials.withColumn("lane", F.pmod("pid", F.lit(16)))
+        .groupBy("lane")
+        .applyInPandas(lane_sum, schema="lane int, s array<double>, n long")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("matrix reduce: empty input")
+    S = np.zeros((dim, dim))
+    n = 0
+    for r in sorted(rows, key=lambda r: r["lane"]):
+        S += np.asarray(r["s"], dtype=np.float64).reshape(dim, dim)
+        n += int(r["n"])
+    return S, n
+
+
 def opq_rotation(
     df: DataFrame,
     *,
@@ -203,34 +239,11 @@ def opq_rotation(
                 {"pid": [pid], "s": [s.ravel()], "n": [n]}
             )
 
-    def lane_sum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pid", kind="mergesort")
-        s = np.zeros(dim * dim)
-        for row in pdf["s"]:
-            s += np.asarray(row, dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "lane": [int(pdf["lane"].iloc[0])],
-                "s": [s],
-                "n": [int(pdf["n"].sum())],
-            }
-        )
-
     partials = df.select(
         F.spark_partition_id().alias("_pid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).mapInPandas(moments, schema="pid int, s array<double>, n long")
-    rows = (
-        partials.withColumn("lane", F.pmod("pid", F.lit(16)))
-        .groupBy("lane")
-        .applyInPandas(lane_sum, schema="lane int, s array<double>, n long")
-        .collect()
-    )
-    if not rows:
-        raise ValueError("opq_rotation: empty input")
-    S = np.zeros((dim, dim))
-    for r in sorted(rows, key=lambda r: r["lane"]):
-        S += np.asarray(r["s"], dtype=np.float64).reshape(dim, dim)
+    S, _n = _reduce_matrix_partials(partials, dim)
     evals, evecs = np.linalg.eigh(S)  # ascending
     order = np.argsort(-evals, kind="stable")
     evals, evecs = evals[order], evecs[:, order]
@@ -265,6 +278,109 @@ def rotate_vectors(
         return pd.Series(list(x))
 
     return df.withColumn(vec_col, rot(F.col(vec_col)))
+
+
+def opq_train_np(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    opq_iters: int = 3,
+    inner_pq_iters: int = 4,
+    final_pq_iters: int = 8,
+    sample_fraction: float | None = None,
+) -> tuple[np.ndarray, PQModel]:
+    """OPQ-NP (Ge et al. 2013, the non-parametric alternating
+    variant): initialize R with the parametric eigen-allocation
+    rotation, then alternate (a) refresh the PQ codebooks in the
+    rotated space, (b) fix the codes and solve the orthogonal
+    Procrustes problem min_R Σ‖R·x̂ − recon‖² whose closed form is
+    R = V·Uᵀ from the SVD of A = Σ x̂·reconᵀ. Handles data the
+    Gaussian-shaped parametric rotation can't (mixtures, sparse or
+    heavy-tailed embeddings); each half-step does not increase the
+    joint quantization objective, so MSE(NP) ≤ MSE(P) up to k-means
+    reseeding noise (pinned in tests/test_opq.py).
+
+    Scale: per iteration ONE extra corpus pass emitting a d×d
+    partial per partition (the ADC-assign kernel fused with the
+    Procrustes accumulation), tree-reduced like the covariance pass —
+    driver state is d×d + the codebook tensor, never O(rows) or
+    O(partitions). ``sample_fraction`` trains the transform on a
+    seeded subset (the FAISS practice); the FINAL codebooks always
+    train on the full ``df`` in the final rotated space.
+
+    Returns ``(R, model)`` — apply ``rotate_vectors(df, R)`` before
+    ``pq_encode``; or persist through ``build_ivf_pq_index(opq="np")``.
+    """
+    R = opq_rotation(
+        df, vec_col=vec_col, dim=dim, m=m, sample_fraction=sample_fraction
+    )
+    train = (
+        df.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction is not None
+        else df
+    )
+    train = train.localCheckpoint(eager=True)  # reused every iteration
+    for _ in range(opq_iters):
+        model = pq_train(
+            rotate_vectors(train, R, vec_col=vec_col),
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dim,
+            m=m,
+            k=k,
+            max_iter=inner_pq_iters,
+        )
+        c = model.codebooks
+        m_, k_, dsub = c.shape
+        c_norm2 = (c * c).sum(axis=2)
+        R_T = np.ascontiguousarray(R.T)
+
+        def procrustes(batches):
+            A = np.zeros((dim, dim))
+            n = 0
+            pid = -1
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                x = _normalize(_as_matrix(pdf["_v"]))
+                y = _subspaces(x @ R_T, m_)
+                recon = np.empty((len(x), dim))
+                for s in range(m_):
+                    idx = np.argmin(
+                        -2.0 * (y[:, s, :] @ c[s].T) + c_norm2[s], axis=1
+                    )
+                    recon[:, s * dsub : (s + 1) * dsub] = c[s][idx]
+                A += x.T @ recon
+                n += len(x)
+            if n:
+                yield pd.DataFrame(
+                    {"pid": [pid], "s": [A.ravel()], "n": [n]}
+                )
+
+        partials = train.select(
+            F.spark_partition_id().alias("_pid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).mapInPandas(procrustes, schema="pid int, s array<double>, n long")
+        A, _n = _reduce_matrix_partials(partials, dim)
+        # max_R tr(R·A): A = U·S·Vᵀ ⇒ R = V·Uᵀ (unique a.e.; sign
+        # flips pair between U and V columns so the product is stable)
+        U, _s, Vt = np.linalg.svd(A)
+        R = Vt.T @ U.T
+    model = pq_train(
+        rotate_vectors(df, R, vec_col=vec_col),
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        m=m,
+        k=k,
+        max_iter=final_pq_iters,
+    )
+    return R, model
 
 
 def pq_train(
@@ -487,7 +603,7 @@ def build_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 8,
-    opq: bool = False,
+    opq: bool | str = False,
 ) -> PQModel:
     """The full FAISS-IVF-PQ composition as a table LAYOUT: coarse
     k-means routing (operators/clustering.py) + residual PQ codes,
@@ -506,11 +622,16 @@ def build_ivf_pq_index(
       this table IS the OPQ flag; probes and appends rotate with it
       and a compaction never touches it (codes-only fold)
 
-    ``opq=True`` runs the FAISS ``OPQ<m>,IVF<k>,PQ<m>`` composition:
-    the whole index (coarse k-means, residuals, codebooks) trains and
-    lives in the rotated space; queries rotate at probe time; the
-    exact rerank stays in the ORIGINAL space (cosine is rotation-
-    invariant) so callers pass their unrotated corpus as always.
+    ``opq=True`` (or ``"p"``) runs the FAISS ``OPQ<m>,IVF<k>,PQ<m>``
+    composition with the parametric eigen-allocation rotation;
+    ``opq="np"`` refines that rotation with the alternating
+    Procrustes iterations (``opq_train_np`` — the flat codebooks it
+    trains are discarded; the index retrains RESIDUAL codebooks in
+    the final rotated space). Either way the whole index (coarse
+    k-means, residuals, codebooks) trains and lives in the rotated
+    space; queries rotate at probe time; the exact rerank stays in
+    the ORIGINAL space (cosine is rotation-invariant) so callers
+    pass their unrotated corpus as always.
 
     A probe reads an nprobe/k_clusters fraction of a corpus that is
     ALSO 16–32× smaller than the float table (codes, not vectors) —
@@ -522,7 +643,13 @@ def build_ivf_pq_index(
 
     spark = corpus.sparkSession
     if opq:
-        R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
+        if opq == "np":
+            R, _flat = opq_train_np(
+                corpus, vec_col=vec_col, id_col=id_col, dim=dim, m=m,
+                k=k_codes,
+            )
+        else:
+            R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
         corpus = rotate_vectors(corpus, R, vec_col=vec_col)
         spark.createDataFrame(
             [(int(i), [float(x) for x in row]) for i, row in enumerate(R)],

@@ -84,6 +84,69 @@ def test_opq_cuts_quantization_error_on_anisotropic(spark, aniso):
     assert e_opq < 0.8 * e_plain, (e_opq, e_plain)
 
 
+@pytest.fixture(scope="module")
+def mixture(spark):
+    """Non-Gaussian corpus: two clusters with DIFFERENT rotated
+    covariances — the blended second moment misleads the parametric
+    (PCA-shaped) rotation; the alternating NP refinement adapts to
+    the actual code assignments."""
+    rng = np.random.default_rng(11)
+    spectrum_a = 1.0 / np.arange(1, DIM + 1)
+    spectrum_b = spectrum_a[::-1].copy()
+    qa, _ = np.linalg.qr(rng.normal(size=(DIM, DIM)))
+    qb, _ = np.linalg.qr(rng.normal(size=(DIM, DIM)))
+    za = rng.normal(size=(200, DIM)) * np.sqrt(spectrum_a)
+    zb = rng.normal(size=(200, DIM)) * np.sqrt(spectrum_b)
+    x = np.vstack([za @ qa.T, zb @ qb.T + 0.5])
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4, "vec_id")
+
+
+def test_opq_np_refines_and_stays_orthonormal(spark, mixture):
+    from finance_etl_system_spark.operators.pq import opq_train_np
+
+    plain = pq_train(mixture, dim=DIM, m=M, k=K_CODES, max_iter=6)
+    Rp = opq_rotation(mixture, dim=DIM, m=M)
+    p_model = pq_train(
+        rotate_vectors(mixture, Rp), dim=DIM, m=M, k=K_CODES, max_iter=6
+    )
+    Rnp, np_model = opq_train_np(
+        mixture, dim=DIM, m=M, k=K_CODES, opq_iters=3
+    )
+    assert np.allclose(Rnp @ Rnp.T, np.eye(DIM), atol=1e-10)
+    e_plain = _mse(mixture, plain)
+    e_p = _mse(mixture, p_model, rotation=Rp)
+    e_np = _mse(mixture, np_model, rotation=Rnp)
+    # measured: plain 0.312, P 0.221, NP 0.196 — NP strictly under P
+    # (alternating minimization) with slack for k-means reseeding
+    assert e_np <= 0.95 * e_p, (e_np, e_p)
+    assert e_np < 0.75 * e_plain, (e_np, e_plain)
+    # replay-stable
+    Rnp2, _ = opq_train_np(mixture, dim=DIM, m=M, k=K_CODES, opq_iters=3)
+    assert np.array_equal(Rnp, Rnp2)
+
+
+@pytest.mark.timeout(600)
+def test_opq_np_index_self_query(spark, tmp_path):
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "opq_np_ivfpq")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id", opq="np",
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=2, rerank_with=corpus,
+        rerank=50,
+    ).collect()
+    top1 = {r["qid"]: r["cid"] for r in got if r["rnk"] == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
 def test_opq_parity_on_isotropic_fixture(spark):
     """The near-orthogonal fixture is rotation-invariant in
     distribution: OPQ must not HURT (parity band, not a win)."""
