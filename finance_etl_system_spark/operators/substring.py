@@ -198,6 +198,66 @@ def repeated_spans(
     return spans_from_flagged(flagged, id_col=id_col, k=k)
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    key: str = "string",
+) -> DataFrame:
+    """WHERE a corpus document overlaps the eval benchmark, not just
+    whether: maximal spans (id, span_start, span_end, span_tokens)
+    covering every corpus position whose k-gram appears anywhere in
+    ``eval_docs`` — the span-level view of benchmark decontamination
+    (queries/curation.py counts hits per doc; production pipelines
+    scrub the contaminated WINDOW and keep the rest of the document).
+
+    Scale: the eval gram set is benchmark-sized by construction
+    (benchmarks are MBs) → broadcast; the corpus gram stream meets it
+    in a broadcast hash join, so only HIT positions are ever
+    shuffled, then the same flagged-subset span merge as
+    repeated_spans (window over hits only, never the full stream).
+    ``key="hash128"`` applies here too for the 16-byte 100-TB path."""
+    grams_c, key_cols = gram_keys(
+        corpus, text_col=text_col, id_col=id_col, k=k, key=key
+    )
+    eval_grams = (
+        gram_keys(eval_docs, text_col=text_col, id_col=id_col, k=k, key=key)[0]
+        .select(*key_cols)
+        .distinct()
+    )
+    flagged = grams_c.join(F.broadcast(eval_grams), key_cols).select(
+        id_col, "i"
+    )
+    return spans_from_flagged(flagged, id_col=id_col, k=k)
+
+
+def scrub_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    key: str = "string",
+) -> DataFrame:
+    """Window-level decontamination: every token inside a
+    contamination span removed, the rest of the document kept —
+    (id, n_tokens, n_spans, dup_tokens, dup_ratio, clean_text), the
+    scrub_repeated_spans report shape (dup_* = contaminated-token
+    counts here). Every flagged k-gram occurrence loses ALL its
+    tokens; note the standard caveat that removing a window can
+    juxtapose previously-distant tokens into a NEW k-gram — rerun
+    detection to fixpoint if the guarantee must be closed under
+    concatenation (one pass is the Lee et al. practice)."""
+    spans = contamination_spans(
+        corpus, eval_docs, text_col=text_col, id_col=id_col, k=k, key=key
+    )
+    return _scrub_with_spans(corpus, spans, text_col=text_col, id_col=id_col)
+
+
 def scrub_repeated_spans(
     docs: DataFrame,
     *,
@@ -220,6 +280,19 @@ def scrub_repeated_spans(
         docs, text_col=text_col, id_col=id_col, k=k, min_count=min_count,
         key=key,
     )
+    return _scrub_with_spans(docs, spans, text_col=text_col, id_col=id_col)
+
+
+def _scrub_with_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared scrub kernel: drop every token covered by a merged span
+    (higher-order exists() inside the document row, no token-level
+    shuffle); emit the report frame."""
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -248,3 +248,54 @@ def test_spans_from_flagged_matches_interval_merge(spark):
             )
         got = {d: sorted(v) for d, v in got.items()}
         assert got == expect, f"trial {trial} k={k}"
+
+
+def test_contamination_spans_and_scrub_ground_truth(spark):
+    """Planted contamination: a corpus doc quoting an eval passage
+    mid-document. Spans must cover exactly the quoted window (every
+    position whose 5-gram is an eval 5-gram, merged), the scrub must
+    drop exactly those tokens, and hit-free docs pass through."""
+    from finance_etl_system_spark.operators.substring import (
+        contamination_spans,
+        scrub_contamination,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus_rows = [
+        # quotes eval words 1..9 at positions 4..12 -> flagged gram
+        # starts 4..8 (5-grams inside the quote), span 4..12
+        (10, "prefix words here " + "the quick brown fox jumps over the lazy dog" + " suffix trailer"),
+        (11, "no overlap with anything evaluative in this document at all"),
+        (12, "tiny doc"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    eva = spark.createDataFrame(
+        [(0, eval_text)], "doc_id long, text string"
+    )
+    spans = contamination_spans(corpus, eva, k=5).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    assert (r.doc_id, r.span_start, r.span_end, r.span_tokens) == (
+        10, 4, 12, 9,
+    )
+    scrub = {
+        r.doc_id: r
+        for r in scrub_contamination(corpus, eva, k=5).collect()
+    }
+    assert set(scrub) == {10, 11, 12}
+    assert scrub[10].dup_tokens == 9
+    assert scrub[10].clean_text == "prefix words here suffix trailer"
+    assert scrub[11].dup_tokens == 0
+    assert scrub[11].clean_text.startswith("no overlap")
+    assert scrub[12].n_spans == 0
+
+    # hash128 key path is output-equivalent (the 100-TB shape)
+    h = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(corpus, eva, k=5, key="hash128").collect()
+    )
+    s = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(corpus, eva, k=5, key="string").collect()
+    )
+    assert h == s
