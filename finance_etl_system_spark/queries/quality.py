@@ -391,12 +391,54 @@ ORDER BY source
 """
 
 
+def q_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier-based quality filter (the fastText/logistic tier —
+    GPT-3 appendix A, CCNet: train a linear classifier on cheap
+    features, gate the corpus on its probability). Here: hashed
+    bag-of-words features (no vocabulary object — the hashing trick,
+    zero driver state in the feature step), full-batch logistic
+    regression against the stored ``lang == 'en'`` flag as the
+    weak label, then the top-20 docs by keep-probability (rounded
+    6dp, doc_id tiebreak).
+
+    Rows-only: the training loop is iterative (one distributed
+    gradient pass per step, tree-reduced) — not SQL-expressible; the
+    distributed-equals-local-numpy exactness, separation accuracy,
+    and replay stability are pinned in
+    tests/test_quality_classifier.py. Scale: per iteration ONE
+    corpus pass emitting a (dim+1)-float partial per partition;
+    driver state is the weight vector; ``sample_fraction`` is the
+    documented 100-TB knob (classifiers train on subsets)."""
+    from ..functions.frames import ranked_topk
+    from ..operators.quality_classifier import (
+        hashed_text_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    feats = hashed_text_features(d, n_features=256)
+    w = logreg_train(feats, dim=257, iters=15, label_col="label")
+    scored = logreg_score(feats, w).withColumn(
+        "quality_prob", F.round("quality_prob", 6)
+    )
+    key = [F.col("quality_prob").desc(), F.col("doc_id").asc()]
+    return ranked_topk(scored, key, 20).select(
+        "rnk", "doc_id", "lang", "quality_prob"
+    )
+
+
 QUERIES = {
     "source_token_budget": q_source_token_budget,
     "data_mix_target": q_data_mix_target,
     "quality_repetition": q_quality_repetition,
     "data_mix_rebalance": q_data_mix_rebalance,
     "pii_scrub": q_pii_scrub,
+    "quality_classifier_scores": q_quality_classifier_scores,
 }
 
 ORACLE = {
