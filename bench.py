@@ -108,6 +108,9 @@ HEADLINE: list[str] = [
     "mixture_temperature",
     "curriculum_pack",
     "retrieval_eval_metrics",
+    "knn_opq",
+    "decontaminate_spans",
+    "decontaminate_scrub",
 ]
 
 
