@@ -49,6 +49,17 @@ _HASH_P = 1000003  # polynomial base (a prime > 2^8)
 _HASH_MOD = (1 << 61) - 1  # Mersenne prime modulus
 
 
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    """Overflow-safe sigmoid: exp is only ever taken of -|z| (a raw
+    1/(1+exp(-z)) overflows for strongly negative margins)."""
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
 def _token_hash(tok: str) -> int:
     """Deterministic polynomial hash over UTF-8 bytes — replay-stable
     across processes (unlike Python's salted hash())."""
@@ -132,7 +143,7 @@ def logreg_train(
                 x = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
                 y = pdf["_y"].to_numpy(dtype=np.float64)
                 z = x @ weights
-                p = 1.0 / (1.0 + np.exp(-z))
+                p = _sigmoid(z)
                 g += x.T @ (p - y)
                 # numerically-stable NLL: log(1+e^-|z|) + max(z,0) - z*y
                 loss += float(
@@ -200,6 +211,6 @@ def logreg_score(
     @F.pandas_udf("double")
     def score(feats: pd.Series) -> pd.Series:
         x = np.vstack(feats.to_numpy()).astype(np.float64)
-        return pd.Series(1.0 / (1.0 + np.exp(-(x @ w))))
+        return pd.Series(_sigmoid(x @ w))
 
     return df.withColumn(out_col, score(F.col(features_col)))
