@@ -149,22 +149,37 @@ def similarity_search(
         if dim is None:
             raise ValueError("method 'pq' needs dim= (vector length)")
         m = opts.pop("m", 16)
-        if opts.pop("opq", False):
+        k_codes = opts.pop("k_codes", 32)
+        max_iter = opts.pop("max_iter", 6)
+        opq = opts.pop("opq", False)
+        model = None
+        if opq:
             # FAISS OPQ<m>,PQ<m>: rotate corpus AND queries into the
-            # eigen-allocated space; the exact rerank runs there too
-            # (cosine is rotation-invariant, so scores are unchanged)
-            R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
+            # learned space; the exact rerank runs there too (cosine
+            # is rotation-invariant, so scores are unchanged).
+            # opq="np" refines with the alternating Procrustes solve
+            # and reuses its final codebooks directly.
+            if opq == "np":
+                from .pq import opq_train_np
+
+                R, model = opq_train_np(
+                    corpus, vec_col=vec_col, id_col=corpus_id, dim=dim,
+                    m=m, k=k_codes, final_pq_iters=max_iter,
+                )
+            else:
+                R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
             corpus = rotate_vectors(corpus, R, vec_col=vec_col)
             queries = rotate_vectors(queries, R, vec_col=vec_col)
-        model = pq_train(
-            corpus,
-            vec_col=vec_col,
-            id_col=corpus_id,
-            dim=dim,
-            m=m,
-            k=opts.pop("k_codes", 32),
-            max_iter=opts.pop("max_iter", 6),
-        )
+        if model is None:
+            model = pq_train(
+                corpus,
+                vec_col=vec_col,
+                id_col=corpus_id,
+                dim=dim,
+                m=m,
+                k=k_codes,
+                max_iter=max_iter,
+            )
         out = pq_topk_adc(
             pq_encode(corpus, model, vec_col=vec_col),
             queries,

@@ -107,6 +107,16 @@ def test_pq_opq_option_same_contract(spark, corpus, queries):
         q: min(rs, key=lambda r: r["rnk"])["cid"] for q, rs in by_q.items()
     }
     assert top1 == {q: q for q in by_q}
+    # the non-parametric refinement keeps the same contract
+    out_np = similarity_search(
+        queries, method="pq", corpus=corpus, dim=DIM, k=5, opq="np"
+    )
+    rows_np = out_np.collect()
+    top1_np = {}
+    for r in rows_np:
+        if r["rnk"] == 1:
+            top1_np[r["qid"]] = r["cid"]
+    assert top1_np == {q: q for q in top1_np} and top1_np
 
 
 def test_brute_matches_underlying_kernel(spark, corpus, queries):
