@@ -546,3 +546,30 @@ def test_seasonal_decompose_single_data_shuffle(spark):
     assert exchange_count(df) <= 2
     assert shuffle_join_count(df) == 0
     assert not has_cartesian_product(df)
+
+
+def test_no_forced_corpus_vocab_broadcast_hints(spark):
+    """Round-9 regression net: the corpus-vocabulary joins must stay
+    UN-hinted (Heaps' law makes the vocab table grow with the corpus;
+    a forced broadcast is driver-fatal at 100 TB — AQE may still
+    CHOOSE broadcast when the vocab is small, which is why this pins
+    logical-plan ResolvedHint counts, not physical join strategies).
+    The residual hints are all sanctioned constant-sized frames:
+    1-row scalar totals, benchmark-sized target vocab, and
+    prefix_pack's bucket-offset frames."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    expected = {
+        "text_tfidf": 0,          # dfreq join un-hinted, no scalars
+        "unigram_surprisal": 1,   # the 1-row corpus total
+        "bigram_surprisal": 1,    # the 1-row corpus total
+        "curriculum_pack": 3,     # 1-row total + prefix_pack offsets
+        "importance_rank": 3,     # target vocab + two 1-row scalars
+        "dedup_safe_split": 0,    # cc labels join un-hinted
+    }
+    for name, want in expected.items():
+        df = qs[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        got = plan.count("ResolvedHint")
+        assert got == want, (name, got, want)
