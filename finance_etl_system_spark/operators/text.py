@@ -45,10 +45,17 @@ def ws_tokens(text: Column) -> Column:
 
 
 def ws_tokens_sql(col: str = "text") -> str:
-    """DuckDB twin of :func:`ws_tokens` — keep in lockstep."""
+    """DuckDB twin of :func:`ws_tokens` — keep in lockstep.
+
+    The class is spelled out instead of ``\\s`` because the engines'
+    shorthands differ: Java's ``\\s`` is exactly [ \\t\\n\\x0B\\f\\r]
+    (vertical tab INCLUDED) while DuckDB's RE2 ``\\s`` excludes
+    \\x0B — a divergence tests/test_tokenizer_parity.py caught on
+    adversarial input and would otherwise sit invisible until a
+    vertical tab reached production text."""
     return (
-        f"list_filter(string_split_regex(lower({col}), '\\s+'),"
-        " x -> x <> '')"
+        f"list_filter(string_split_regex(lower({col}),"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
 
 
@@ -62,7 +69,7 @@ def token_count_bpe_ish(text: Column) -> Column:
     letters, digits, or single punctuation — a deterministic stand-in
     for a real BPE vocab (which would be a broadcast lookup)."""
     pieces = F.regexp_extract_all(
-        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"), 0
     )
     return F.array_size(pieces)
 
@@ -73,7 +80,7 @@ def word_count(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
-    stripped = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    stripped = F.regexp_replace(text, r"[^\p{L}\p{N} \t\n\x0B\f\r]", "")
     return (F.length(text) - F.length(stripped)) / F.greatest(
         F.length(text), F.lit(1)
     )

@@ -542,7 +542,7 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURRICULUM_PACK_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -34,7 +34,7 @@ _DEDUP_EXACT_SQL = """
 SELECT doc_id, lang, source, n_chars
 FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    PARTITION BY sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
     ORDER BY doc_id
   ) AS rn
   FROM documents
@@ -53,7 +53,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_NGRAM_JACCARD_SQL = """
 WITH tok AS (
   SELECT doc_id AS id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
 sh AS (
@@ -156,7 +156,7 @@ _DEDUP_EXACT_PRIORITY_SQL = f"""
 SELECT doc_id, lang, source, n_chars
 FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    PARTITION BY sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
     ORDER BY {_PRIORITY_CASE},
              source, doc_id
   ) AS rn
@@ -194,7 +194,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE tok AS (
   SELECT doc_id AS id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
 sh AS (
@@ -284,7 +284,7 @@ def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_SAFE_SPLIT_SQL = """
 WITH RECURSIVE tok AS (
   SELECT doc_id AS id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
 sh AS (

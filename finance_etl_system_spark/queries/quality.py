@@ -76,7 +76,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_REPETITION_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> x <> '')) AS tok
   FROM documents
 ),

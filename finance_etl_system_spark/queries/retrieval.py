@@ -291,7 +291,7 @@ def _bm25_ctes(terms: list[str], *, analyzed: bool = False) -> str:
   SELECT doc_id, t.term
   FROM documents,
        LATERAL unnest(list_transform(
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '' AND x NOT IN ({stops})),
          x -> {_STEM_SQL})) AS t(term)
 ),"""
@@ -299,7 +299,7 @@ def _bm25_ctes(terms: list[str], *, analyzed: bool = False) -> str:
         toks_cte = """toks AS (
   SELECT doc_id, t.term
   FROM documents,
-       LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t(term)
   WHERE t.term <> ''
 ),"""
     return f"""{toks_cte}
@@ -553,7 +553,7 @@ def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEARCH_PHRASE_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')
            AS toks
   FROM documents
 ),

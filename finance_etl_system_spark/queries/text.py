@@ -45,7 +45,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_STATS_SQL = f"""
 WITH norm AS (
   SELECT doc_id, lang, text,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS ntext
   FROM documents
 ),
 tok AS (
@@ -56,8 +56,8 @@ SELECT
   lang,
   length(text) AS char_count,
   len(toks) AS word_count,
-  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token_count,
-  ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS token_count,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}} \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
         / greatest(length(text), 1), 6) AS punct_ratio,
   ROUND(CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_EN!r}, x))) AS DOUBLE)
         / greatest(len(toks), 1), 6) AS stopword_ratio
@@ -99,7 +99,7 @@ _HITS_SQL, _LANG_FOLD = _lang_case_sql()
 _TEXT_QUALITY_LANG_SQL = f"""
 WITH tok AS (
   SELECT doc_id, lang, text,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
 hits AS (
@@ -110,7 +110,7 @@ hits AS (
 scored AS (
   SELECT *,
     CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
-    CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+    CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}} \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
       / greatest(length(text), 1) AS punct_r
   FROM hits
 )
@@ -142,7 +142,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_FINGERPRINT_SQL = """
 WITH fp AS (
   SELECT doc_id,
-         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT f.doc_id, f.fingerprint, c.n_docs
@@ -193,7 +193,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_TFIDF_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -277,7 +277,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_TOPK_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS token
   FROM documents
 )
 SELECT token,
@@ -426,7 +426,7 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIGRAM_SURPRISAL_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')
            AS toks
   FROM documents
 ),
@@ -527,7 +527,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIGRAM_SURPRISAL_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -585,7 +585,7 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGE_PAIRS_SQL = """
 WITH toks AS (
-  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ),
 wf AS (SELECT term, COUNT(*) AS freq FROM toks WHERE length(term) >= 2 GROUP BY term),
@@ -706,15 +706,15 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_SCORECARD_SQL = """
 WITH base AS (
   SELECT source,
-         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+         len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
            AS n_tok,
          ROUND(len(list_distinct(
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')))
                / CAST(greatest(len(
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 1)
+                 string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')), 1)
                  AS DOUBLE), 6) AS ttr,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
-         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
   FROM documents
 )
 SELECT source,
