@@ -360,7 +360,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.orderBy("id")
 
 
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 rolling-hash tier: content-defined chunking (gear hash,
+    FastCDC-style) + per-document shared-byte accounting — the
+    sub-document dedup metric that catches byte-identical REGIONS
+    across documents regardless of token alignment (the
+    rsync/LBFS/borg trick; operators/chunking.py). Chunking is one
+    row-local Arrow pass; dup detection is a map-combinable
+    chunk-hash groupBy — O(chunks), never docs².
+
+    Rows-only: the gear rolling-hash boundary loop is not
+    SQL-expressible; boundary stability (prefix-edit
+    resynchronization), exact local-vs-Spark chunk parity, and
+    shared-byte accounting are pinned in tests/test_chunking.py."""
+    from ..operators.chunking import chunk_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(d, min_size=16, avg_size=64, max_size=256)
+
+
 QUERIES = {
+    "chunk_dedup_stats": q_chunk_dedup_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_priority": q_dedup_exact_priority,
     "dedup_incremental": q_dedup_incremental,
