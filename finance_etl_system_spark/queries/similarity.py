@@ -402,6 +402,61 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+def q_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call method comparison through the ``similarity_search``
+    façade — the operating report a user reads to pick an ANN tier:
+    per method, recall@{_K} against brute force (macro-averaged over
+    the fixed query set, 6dp) plus min per-query recall and result
+    count. Exercises the façade end-to-end in the registry (its
+    schema/normalization contract otherwise lives only in tests).
+
+    Rows-only: LSH/PQ paths are approximate (their per-method
+    accuracy floors live in tests); the report itself is
+    deterministic — every method is seeded/rounded/tiebroken. The
+    per-method top-k frames are query-set-sized (nq×k rows), so the
+    driver-side recall arithmetic is bounded by construction —
+    the corpus never collects."""
+    from ..operators.ann import similarity_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    methods: dict[str, dict] = {
+        "brute": {},
+        "lsh": {"dim": _DIM, "nbits": 16, "bands": 4},
+        "sq8": {},
+        "pq": {"dim": _DIM},
+        "pq_opq": {"dim": _DIM, "opq": True},
+    }
+    truth: dict[int, set[int]] = {}
+    rows = []
+    for name, kw in methods.items():
+        method = "pq" if name == "pq_opq" else name
+        got: dict[int, set[int]] = {}
+        for r in similarity_search(
+            q, method=method, corpus=e, k=_K, **kw
+        ).collect():
+            got.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
+        if name == "brute":
+            truth = got
+        recalls = [
+            len(truth[qid] & got.get(qid, set())) / len(truth[qid])
+            for qid in sorted(truth)
+        ]
+        rows.append(
+            (
+                name,
+                int(sum(len(v) for v in got.values())),
+                round(sum(recalls) / len(recalls), 6),
+                round(min(recalls), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, n_results long, recall_avg double,"
+        " recall_min double",
+    ).orderBy("method")
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 compression path with the OPQ pretransform (Ge et al. 2013
     OPQ-P, operators/pq.py::opq_rotation): eigen-allocation rotation
@@ -522,6 +577,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_pq": q_knn_pq,
     "knn_opq": q_knn_opq,
+    "ann_method_report": q_ann_method_report,
     "knn_ivf_pq": q_knn_ivf_pq,
     "ivf_pq_index_health": q_ivf_pq_index_health,
     "triplet_mining": q_triplet_mining,

@@ -149,3 +149,25 @@ def test_facade_input_validation(queries, corpus):
             queries, method="ivf_index", index_path="/nonexistent",
             bogus_knob=1,
         )
+
+
+def test_ann_method_report_contract(spark):
+    """The registry report: brute is its own ground truth (recall
+    exactly 1.0), the rerank-exact sq8 path matches it, and the
+    approximate tiers land within their documented floors."""
+    import __spark_entry__ as m
+
+    rows = {
+        r["method"]: r
+        for r in m.queries()["ann_method_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"brute", "lsh", "sq8", "pq", "pq_opq"}
+    assert rows["brute"]["recall_avg"] == 1.0
+    assert rows["sq8"]["recall_avg"] == 1.0  # rerank-exact
+    assert rows["pq"]["recall_avg"] >= 0.9
+    assert rows["pq_opq"]["recall_avg"] >= 0.85  # parity band
+    assert rows["lsh"]["recall_avg"] >= 0.3  # 16-bit/4-band point
+    for r in rows.values():
+        assert r["recall_min"] <= r["recall_avg"] <= 1.0
