@@ -27,17 +27,22 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# fixed 256-entry gear table: deterministic across processes/hosts
+# fixed 256-entry gear table, derived from sha256 of the entry index:
+# stable across processes, hosts, AND library versions (numpy's
+# Generator streams are explicitly allowed to change between releases
+# — NEP 19 — which would silently re-chunk a persisted corpus; the
+# same reason quality_classifier rolls its own token hash instead of
+# Python's salted hash()).
 _GEAR = [
-    int(x)
-    for x in np.random.default_rng(0x5EED).integers(
-        0, 1 << 64, size=256, dtype=np.uint64
+    int.from_bytes(
+        hashlib.sha256(b"spark-graft-cdc-gear-%d" % i).digest()[:8],
+        "big",
     )
+    for i in range(256)
 ]
 _U64 = (1 << 64) - 1
 
@@ -157,9 +162,9 @@ def chunk_dedup_stats(
     owners = chunks.groupBy("chunk_hash").agg(
         F.count_distinct(id_col).alias("_n_docs")
     )
-    j = chunks.join(owners, "chunk_hash")
-    return (
-        j.groupBy(id_col)
+    per_doc = (
+        chunks.join(owners, "chunk_hash")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("chunk_len").alias("n_bytes"),
@@ -172,9 +177,28 @@ def chunk_dedup_stats(
                 )
             ).alias("shared_bytes"),
         )
-        .withColumn(
-            "shared_frac",
-            F.round(F.col("shared_bytes") / F.col("n_bytes"), 6),
+    )
+    # left-join back onto the input: empty/NULL-text docs have no
+    # chunks but must still appear (n_chunks=0, shared_frac NULL) —
+    # the _scrub_with_spans every-document convention; silently
+    # dropped rows would skew corpus-level dup coverage
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
+            F.coalesce("shared_chunks", F.lit(0))
+            .cast("long")
+            .alias("shared_chunks"),
+            F.coalesce("shared_bytes", F.lit(0))
+            .cast("long")
+            .alias("shared_bytes"),
+            F.when(
+                F.coalesce("n_bytes", F.lit(0)) > 0,
+                F.round(F.col("shared_bytes") / F.col("n_bytes"), 6),
+            ).alias("shared_frac"),
         )
         .orderBy(id_col)
     )

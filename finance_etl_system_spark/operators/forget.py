@@ -49,18 +49,25 @@ def _forget_parquet_table(
     state's batch_id partitions) so later partition-pruned reads and
     per-partition appends keep working. Returns (before, after).
 
-    Two crash/edge disciplines beyond the swap itself:
+    Crash/edge disciplines beyond the swap itself:
     - the staging write pins ``partitionOverwriteMode=static`` (and
       pre-deletes any stale ``.staging`` left by a crashed prior run):
       if a streaming sink left the session in dynamic mode, a
       partitioned overwrite would MERGE into the stale staging dir
       and the swap would promote supposedly-forgotten rows.
-    - a deletion list covering EVERY row would, partitioned, emit a
-      dir with no data files (unreadable: UNABLE_TO_INFER_SCHEMA);
-      the empty case therefore writes unpartitioned — one
-      schema-bearing empty part file, same reader-visible columns
-      (partition cols become regular cols), so audits and later
-      state reads keep working.
+    - a deletion list covering EVERY row of a PARTITIONED table:
+      writing zero rows partitioned yields a data-file-less dir
+      (unreadable), and writing them unpartitioned leaves a
+      root-level part file that the table's next per-partition
+      append turns into a mixed root+partition-dir layout Spark
+      refuses to read (review finding r9). The table directory is
+      therefore REMOVED (via .old, so a crash mid-removal still
+      leaves recoverable data): absent-dir is the documented
+      bootstrap state of every partitioned state table here
+      (streaming/dedup._load_state treats PATH_NOT_FOUND as "no
+      state yet"), so later reads and appends keep working.
+    - the same list against an UNPARTITIONED table writes one
+      schema-bearing empty part file — readable, same columns.
     """
     from ..functions.confs import partition_overwrite
 
@@ -72,11 +79,24 @@ def _forget_parquet_table(
         "left_anti",
     ).localCheckpoint(eager=True)  # count + write share one anti-join
     after = kept.count()
+    if after == 0 and partition_by:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        live = Path(path)
+        fs = live.getFileSystem(conf)
+        old = Path(f"{path}.old")
+        if fs.exists(old):
+            fs.delete(old, True)
+        if not fs.rename(live, old):
+            raise IOError(f"could not stage out {path} for removal")
+        fs.delete(old, True)
+        return before, 0
     staging = f"{path}.staging"
     _delete_dir(spark, staging)
     with partition_overwrite(spark, "static"):
         w = kept.write.mode("overwrite")
-        if partition_by and after > 0:
+        if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
     _swap_dir(spark, path)

@@ -142,16 +142,20 @@ def _pq_stats_fn(
     return stats
 
 
-def _reduce_matrix_partials(partials: DataFrame, dim: int):
-    """Deterministic tree reduce of (pid, d*d partial, n) rows: a
-    16-lane groupBy/applyInPandas sums each lane in sorted-pid order,
-    then the driver sums the ≤16 lane rows in lane order — the driver
-    never holds O(scan partitions) state, and the summation order is
-    fixed for a fixed input layout (replay-stable floats)."""
+def reduce_vector_partials(partials: DataFrame, length: int):
+    """Deterministic tree reduce of (pid, float-vector partial, n)
+    rows: a 16-lane groupBy/applyInPandas sums each lane in
+    sorted-pid order, then the driver sums the ≤16 lane rows in lane
+    order — the driver never holds O(scan partitions) state, and the
+    summation order is fixed for a fixed input layout (replay-stable
+    floats). THE single implementation of this contract — OPQ's
+    covariance/Procrustes passes and the quality classifier's
+    gradient pass all fold through it (a second hand-kept copy would
+    let a lane/order fix silently miss one path)."""
 
     def lane_sum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pid", kind="mergesort")
-        s = np.zeros(dim * dim)
+        s = np.zeros(length)
         for row in pdf["s"]:
             s += np.asarray(row, dtype=np.float64)
         return pd.DataFrame(
@@ -169,13 +173,19 @@ def _reduce_matrix_partials(partials: DataFrame, dim: int):
         .collect()
     )
     if not rows:
-        raise ValueError("matrix reduce: empty input")
-    S = np.zeros((dim, dim))
+        raise ValueError("partial reduce: empty input")
+    S = np.zeros(length)
     n = 0
     for r in sorted(rows, key=lambda r: r["lane"]):
-        S += np.asarray(r["s"], dtype=np.float64).reshape(dim, dim)
+        S += np.asarray(r["s"], dtype=np.float64)
         n += int(r["n"])
     return S, n
+
+
+def _reduce_matrix_partials(partials: DataFrame, dim: int):
+    """d×d specialization of :func:`reduce_vector_partials`."""
+    S, n = reduce_vector_partials(partials, dim * dim)
+    return S.reshape(dim, dim), n
 
 
 def opq_rotation(
@@ -640,8 +650,22 @@ def build_ivf_pq_index(
     rerank joins the caller's corpus table for shortlist survivors
     only."""
     from .clustering import kmeans_assign, kmeans_fit
+    from .similarity import _ivf_fs
 
     spark = corpus.sparkSession
+    # rotation-table presence IS the OPQ flag, so a stale rotation
+    # from a previous OPQ build must go FIRST: a non-OPQ rebuild that
+    # left it behind would make every probe/append rotate into a
+    # space the new index was never trained in (silently wrong
+    # results, review finding r9). Deleting up front also means a
+    # crashed opq=True build leaves NO rotation rather than a new
+    # rotation over old codes — mid-build crashes already require a
+    # rebuild (the four tables are separate overwrites), but they
+    # must never HALF-flag the index.
+    fs, HPath = _ivf_fs(spark, path)
+    rot_path = HPath(f"{path}/rotation")
+    if fs.exists(rot_path):
+        fs.delete(rot_path, True)
     if opq:
         if opq == "np":
             R, _flat = opq_train_np(
@@ -651,10 +675,8 @@ def build_ivf_pq_index(
         else:
             R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
         corpus = rotate_vectors(corpus, R, vec_col=vec_col)
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in row]) for i, row in enumerate(R)],
-            "row int, vec array<double>",
-        ).write.mode("overwrite").parquet(f"{path}/rotation")
+    else:
+        R = None
     coarse = kmeans_fit(
         corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
         max_iter=max_iter,
@@ -707,6 +729,15 @@ def build_ivf_pq_index(
         "id_col string, vec_col string, k_clusters int, m int,"
         " k_codes int, dim int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    if R is not None:
+        # written LAST: rotation presence flags the index as OPQ, so
+        # a crash anywhere above leaves an UN-flagged partial index
+        # (rebuild required either way), never a rotation over codes
+        # from a different space
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(R)],
+            "row int, vec array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
     return model
 
 

@@ -18,9 +18,10 @@ Spark-first shapes:
 - **Train** (``logreg_train``): full-batch gradient descent with L2;
   each iteration is ONE mapInPandas pass emitting a (pid, gradient
   partial, loss partial, n) row per partition, folded through the
-  same deterministic 16-lane tree reduce as the OPQ covariance pass
-  (operators/pq.py::_reduce_matrix_partials's contract) — the driver
-  holds only the (n_features+1) weight vector. ``sample_fraction``
+  SHARED deterministic 16-lane tree reduce
+  (operators/pq.py::reduce_vector_partials — one implementation, so
+  a lane/order fix can never miss a path) — the driver holds only
+  the (n_features+1) weight vector. ``sample_fraction``
   trains on a seeded subset (classifiers are model artifacts; the
   standard practice at 100 TB).
 - **Score** (``logreg_score``): sigmoid(w·x) as an Arrow pandas UDF —
@@ -158,39 +159,15 @@ def logreg_train(
 
         return stats
 
-    def lane_sum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pid", kind="mergesort")
-        s = np.zeros(dim + 1)
-        for row in pdf["s"]:
-            s += np.asarray(row, dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "lane": [int(pdf["lane"].iloc[0])],
-                "s": [s],
-                "n": [int(pdf["n"].sum())],
-            }
-        )
+    from .pq import reduce_vector_partials
 
     for _ in range(iters):
-        rows = (
-            src.select(F.spark_partition_id().alias("_pid"), "_x", "_y")
-            .mapInPandas(
-                grad_pass(w), schema="pid int, s array<double>, n long"
-            )
-            .withColumn("lane", F.pmod("pid", F.lit(16)))
-            .groupBy("lane")
-            .applyInPandas(
-                lane_sum, schema="lane int, s array<double>, n long"
-            )
-            .collect()
+        partials = src.select(
+            F.spark_partition_id().alias("_pid"), "_x", "_y"
+        ).mapInPandas(
+            grad_pass(w), schema="pid int, s array<double>, n long"
         )
-        if not rows:
-            raise ValueError("logreg_train: empty input")
-        acc = np.zeros(dim + 1)
-        n = 0
-        for r in sorted(rows, key=lambda r: r["lane"]):
-            acc += np.asarray(r["s"], dtype=np.float64)
-            n += int(r["n"])
+        acc, n = reduce_vector_partials(partials, dim + 1)
         g = acc[:dim] / n
         w = w - lr * (g + l2 * w)
     return w

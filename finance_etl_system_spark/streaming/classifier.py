@@ -47,19 +47,30 @@ def classifier_gate_batch(
     """Score one batch and write kept/rejected partitions — shared by
     the stream's foreachBatch and the batch-replay tests. The score
     is rounded to 6dp BEFORE thresholding so the keep decision is
-    engine- and replay-deterministic at the boundary."""
+    engine- and replay-deterministic at the boundary. Each document
+    is featurized+scored exactly ONCE per batch (the scored frame is
+    checkpointed before the two-way split — without the barrier the
+    emptiness guards plus the two writes would re-run the pandas-UDF
+    pipeline up to four times, review finding r9)."""
     spark = batch.sparkSession
-    scored = logreg_score(
-        hashed_text_features(batch, text_col=text_col, n_features=n_features),
-        weights,
-    ).withColumn("quality_prob", F.round("quality_prob", 6)).drop("features")
+    scored = (
+        logreg_score(
+            hashed_text_features(
+                batch, text_col=text_col, n_features=n_features
+            ),
+            weights,
+        )
+        .withColumn("quality_prob", F.round("quality_prob", 6))
+        .drop("features")
+        .localCheckpoint(eager=True)
+    )
     kept = scored.filter(F.col("quality_prob") >= threshold)
     rejected = scored.filter(F.col("quality_prob") < threshold)
     for frame, path in ((kept, kept_dir), (rejected, rejected_dir)):
         # empty-partition guard: a data-file-less partitioned dir is
         # unreadable (the forget/_forget_parquet_table lesson) — skip
         # the write; downstream reads treat absence as zero rows
-        if frame.limit(1).count() == 0:
+        if frame.isEmpty():
             continue
         with partition_overwrite(spark, "dynamic"):
             (
@@ -116,16 +127,22 @@ def classifier_gate_audit(
     n_rejected, keep_rate 6dp)."""
 
     def _side(path: str, name: str) -> DataFrame:
-        try:
-            return (
-                spark.read.parquet(path)
-                .groupBy("batch_id")
-                .agg(F.count(F.lit(1)).alias(name))
-            )
-        except Exception:  # noqa: BLE001 — sink never written
+        # ONLY absence means "sink never written"; a corrupt or
+        # unreadable sink must raise — an audit that swallows read
+        # errors would report zero kept rows and look clean exactly
+        # when routing is broken (review finding r9)
+        from ..operators.similarity import _ivf_fs
+
+        fs, HPath = _ivf_fs(spark, path)
+        if not fs.exists(HPath(path)):
             return spark.createDataFrame(
                 [], f"batch_id long, {name} long"
             )
+        return (
+            spark.read.parquet(path)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
 
     k = _side(kept_dir, "n_kept")
     r = _side(rejected_dir, "n_rejected")

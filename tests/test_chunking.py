@@ -94,6 +94,7 @@ def test_dedup_stats_counts_shared_bytes(spark):
         (1, "unique head one " + common + " unique tail one"),
         (2, "different head " + common + " other tail"),
         (3, _long_text("solo", 100)),
+        (4, ""),  # empty doc must still appear in the report
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     stats = {
@@ -104,6 +105,10 @@ def test_dedup_stats_counts_shared_bytes(spark):
     }
     assert stats[3].shared_chunks == 0
     assert stats[3].shared_frac == 0.0
+    # empty docs are reported, not silently dropped
+    assert stats[4].n_chunks == 0
+    assert stats[4].n_bytes == 0
+    assert stats[4].shared_frac is None
     for d in (1, 2):
         assert stats[d].shared_chunks > 0
         assert 0 < stats[d].shared_bytes < stats[d].n_bytes

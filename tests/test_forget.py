@@ -119,27 +119,48 @@ def F_col_in(col, vals):
 
 
 @pytest.mark.timeout(300)
-def test_forget_everything_partitioned_table_stays_readable(
+def test_forget_everything_partitioned_state_bootstraps_cleanly(
     spark, tmp_path
 ):
-    """A deletion list covering EVERY row of a partitioned table: the
-    rewritten table must stay readable (schema-bearing empty file, not
-    a data-file-less partitioned dir) with the full column set, so the
-    audit's after-count and later dedup-state reads don't die with
-    UNABLE_TO_INFER_SCHEMA."""
-    path = str(tmp_path / "state.parquet")
-    df = spark.createDataFrame(
-        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")],
-        "id long, batch_id long, sig string",
+    """A deletion list covering EVERY row of the partitioned dedup
+    state: the table dir is removed (the dedup reader's documented
+    bootstrap state), the audit reports exact counts, and — the r9
+    review gap — the NEXT streaming dedup batch must append fresh
+    partitioned state and read back cleanly (an unpartitioned empty
+    part file at the root would poison partition discovery)."""
+    from finance_etl_system_spark.streaming.dedup import (
+        dedup_increment_batch,
     )
-    df.write.partitionBy("batch_id").parquet(path)
-    ids = spark.createDataFrame([(1,), (2,), (3,)], "id long")
-    audit = forget_documents(spark, ids, dedup_state=path)
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    verd, state = str(tmp_path / "verd"), str(tmp_path / "state")
+    dedup_increment_batch(docs.filter("doc_id < 30"), 0, verd, state)
+    all_ids = spark.read.parquet(state).select(
+        F_col_alias("id", "doc_id")
+    )
+    n_before = all_ids.count()
+    assert n_before > 0
+    audit = forget_documents(spark, all_ids, dedup_state=state)
     row = audit.collect()[0]
-    assert (row.rows_before, row.rows_after, row.rows_deleted) == (3, 0, 3)
-    back = spark.read.parquet(path)
-    assert back.count() == 0
-    assert set(back.columns) == {"id", "batch_id", "sig"}
+    assert (row.rows_before, row.rows_after, row.rows_deleted) == (
+        n_before, 0, n_before,
+    )
+    import os
+
+    assert not os.path.exists(state)  # bootstrap state, not a stub file
+    # the next batch appends into a FRESH partitioned layout
+    dedup_increment_batch(
+        docs.filter("doc_id >= 30 and doc_id < 60"), 1, verd, state
+    )
+    back = spark.read.parquet(state)
+    assert back.count() > 0
+    assert {r["batch_id"] for r in back.select("batch_id").collect()} == {1}
+
+
+def F_col_alias(col, alias):
+    from pyspark.sql import functions as F
+
+    return F.col(col).alias(alias)
 
 
 @pytest.mark.timeout(300)

@@ -230,3 +230,34 @@ def test_opq_index_append_and_health(spark, tmp_path):
     assert sum(r["n_unmatched"] for r in stats) == 0
     # rotated-space reconstruction errors are finite and sane
     assert all(r["mean_recon_err"] is not None for r in stats)
+
+
+@pytest.mark.timeout(600)
+def test_non_opq_rebuild_clears_stale_rotation(spark, tmp_path):
+    """r9 review finding: rotation-table presence IS the OPQ flag, so
+    a plain rebuild over a previous OPQ index must delete the stale
+    rotation — otherwise probes rotate queries into a space the new
+    index was never trained in and recall silently collapses."""
+    import os
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "rebuild")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id", opq=True,
+    )
+    assert os.path.exists(f"{path}/rotation")
+    build_ivf_pq_index(  # plain rebuild, opq absent
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    assert not os.path.exists(f"{path}/rotation")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=10, nprobe=2, rerank_with=corpus,
+        rerank=50,
+    ).collect()
+    top1 = {r["qid"]: r["cid"] for r in got if r["rnk"] == 1}
+    assert top1 == {i: i for i in range(5)}
