@@ -302,7 +302,7 @@ def opq_train_np(
     inner_pq_iters: int = 4,
     final_pq_iters: int = 8,
     sample_fraction: float | None = None,
-) -> tuple[np.ndarray, PQModel]:
+) -> tuple[np.ndarray, PQModel | None]:
     """OPQ-NP (Ge et al. 2013, the non-parametric alternating
     variant): initialize R with the parametric eigen-allocation
     rotation, then alternate (a) refresh the PQ codebooks in the
@@ -324,6 +324,11 @@ def opq_train_np(
 
     Returns ``(R, model)`` — apply ``rotate_vectors(df, R)`` before
     ``pq_encode``; or persist through ``build_ivf_pq_index(opq="np")``.
+    ``final_pq_iters=0`` skips the final full-corpus codebook train
+    and returns ``(R, None)`` — for callers that only need the
+    rotation (build_ivf_pq_index retrains RESIDUAL codebooks in the
+    rotated space anyway, so the flat final train would be
+    ``final_pq_iters`` pure-waste corpus passes at scale).
     """
     R = opq_rotation(
         df, vec_col=vec_col, dim=dim, m=m, sample_fraction=sample_fraction
@@ -381,6 +386,8 @@ def opq_train_np(
         # flips pair between U and V columns so the product is stable)
         U, _s, Vt = np.linalg.svd(A)
         R = Vt.T @ U.T
+    if final_pq_iters <= 0:
+        return R, None
     model = pq_train(
         rotate_vectors(df, R, vec_col=vec_col),
         vec_col=vec_col,
@@ -628,9 +635,12 @@ def build_ivf_pq_index(
     - ``{path}/codebooks`` the m×k_codes residual codeword table
     - ``{path}/meta``      column/shape contract
     - ``{path}/rotation``  (only with ``opq=True``) the d×d OPQ
-      pretransform, one (row, vec) row per output axis — presence of
-      this table IS the OPQ flag; probes and appends rotate with it
-      and a compaction never touches it (codes-only fold)
+      pretransform, one (row, vec) row per output axis; probes and
+      appends rotate with it and a compaction never touches it
+      (codes-only fold). The AUTHORITATIVE space flag is the meta
+      table's ``space`` column ("opq"/"plain"), written LAST as the
+      commit marker — rotation-table presence alone is only the
+      legacy fallback for indexes built before the column existed
 
     ``opq=True`` (or ``"p"``) runs the FAISS ``OPQ<m>,IVF<k>,PQ<m>``
     composition with the parametric eigen-allocation rotation;
@@ -653,24 +663,25 @@ def build_ivf_pq_index(
     from .similarity import _ivf_fs
 
     spark = corpus.sparkSession
-    # rotation-table presence IS the OPQ flag, so a stale rotation
-    # from a previous OPQ build must go FIRST: a non-OPQ rebuild that
-    # left it behind would make every probe/append rotate into a
-    # space the new index was never trained in (silently wrong
-    # results, review finding r9). Deleting up front also means a
-    # crashed opq=True build leaves NO rotation rather than a new
-    # rotation over old codes — mid-build crashes already require a
-    # rebuild (the four tables are separate overwrites), but they
-    # must never HALF-flag the index.
-    fs, HPath = _ivf_fs(spark, path)
-    rot_path = HPath(f"{path}/rotation")
-    if fs.exists(rot_path):
-        fs.delete(rot_path, True)
+    # NOTHING under ``path`` is touched until every training phase
+    # has finished: a failure during the (long) OPQ / k-means / PQ
+    # train over an existing index leaves the OLD index fully intact
+    # and consistent (review finding r9 — the previous up-front
+    # rotation delete could un-flag old rotated codes, so a crashed
+    # rebuild would serve UNROTATED probes against rotated codes).
+    # The meta table — carrying the new ``space`` column probes trust
+    # — is written LAST as the commit marker; the inter-table crash
+    # window that remains (old meta over partly-new tables) requires
+    # a rebuild either way, and _load_rotation fails loudly on a
+    # space-flag/rotation-table mismatch instead of guessing.
     if opq:
         if opq == "np":
-            R, _flat = opq_train_np(
+            # final_pq_iters=0: only R is needed — the index retrains
+            # RESIDUAL codebooks below; flat final codebooks would be
+            # discarded corpus passes (advisor finding r9)
+            R, _none = opq_train_np(
                 corpus, vec_col=vec_col, id_col=id_col, dim=dim, m=m,
-                k=k_codes,
+                k=k_codes, final_pq_iters=0,
             )
         else:
             R = opq_rotation(corpus, vec_col=vec_col, dim=dim, m=m)
@@ -724,20 +735,31 @@ def build_ivf_pq_index(
         ],
         "sub int, code int, vec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(id_col, vec_col, int(k_clusters), int(m), int(k_codes), int(dim))],
-        "id_col string, vec_col string, k_clusters int, m int,"
-        " k_codes int, dim int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
     if R is not None:
-        # written LAST: rotation presence flags the index as OPQ, so
-        # a crash anywhere above leaves an UN-flagged partial index
-        # (rebuild required either way), never a rotation over codes
-        # from a different space
         spark.createDataFrame(
             [(int(i), [float(x) for x in row]) for i, row in enumerate(R)],
             "row int, vec array<double>",
         ).write.mode("overwrite").parquet(f"{path}/rotation")
+    # meta LAST — its ``space`` column is the commit marker probes
+    # trust; a crash before this line leaves the OLD meta, whose
+    # space flag still matches the OLD rotation state
+    spark.createDataFrame(
+        [(
+            id_col, vec_col, int(k_clusters), int(m), int(k_codes),
+            int(dim), "opq" if R is not None else "plain",
+        )],
+        "id_col string, vec_col string, k_clusters int, m int,"
+        " k_codes int, dim int, space string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    if R is None:
+        # a plain rebuild over a previous OPQ index: the stale
+        # rotation is now inert (meta says plain, _load_rotation
+        # ignores it) — removed here only as tidy-up, AFTER the
+        # commit marker so a crash in between changes nothing
+        fs, HPath = _ivf_fs(spark, path)
+        rot_path = HPath(f"{path}/rotation")
+        if fs.exists(rot_path):
+            fs.delete(rot_path, True)
     return model
 
 
@@ -899,12 +921,32 @@ def cosine_topk_ivf_pq(
 
 
 def _load_rotation(spark, path: str) -> np.ndarray | None:
-    """The OPQ pretransform, if this index has one (presence of the
-    ``{path}/rotation`` table is the flag — no meta version bump)."""
+    """The OPQ pretransform, if this index has one. The meta table's
+    ``space`` column is authoritative: "opq" REQUIRES the rotation
+    table (missing ⇒ half-built index, fail loudly rather than serve
+    unrotated queries against rotated codes — advisor finding r9);
+    "plain" ignores any stale rotation a crashed rebuild left behind.
+    Indexes written before the column existed fall back to
+    rotation-table presence."""
     from .similarity import _ivf_fs
 
     fs, HPath = _ivf_fs(spark, path)
-    if not fs.exists(HPath(f"{path}/rotation")):
+    meta_df = spark.read.parquet(f"{path}/meta")
+    space = (
+        meta_df.collect()[0]["space"]
+        if "space" in meta_df.columns
+        else None
+    )
+    if space == "plain":
+        return None
+    has_rot = fs.exists(HPath(f"{path}/rotation"))
+    if space == "opq" and not has_rot:
+        raise RuntimeError(
+            f"IVF-PQ index at {path} is half-built: meta declares"
+            " space='opq' but the rotation table is missing —"
+            " rebuild with build_ivf_pq_index(opq=...)"
+        )
+    if not has_rot:
         return None
     rows = spark.read.parquet(f"{path}/rotation").orderBy("row").collect()
     return np.vstack(

@@ -114,9 +114,15 @@ def logreg_train(
     iters: int = 30,
     lr: float = 1.0,
     l2: float = 1e-4,
+    penalize_bias: bool = False,
     sample_fraction: float | None = None,
 ) -> np.ndarray:
-    """Full-batch logistic regression: w ← w − lr·(∇NLL/n + l2·w).
+    """Full-batch logistic regression: w ← w − lr·(∇NLL/n + l2·w),
+    with the TRAILING weight slot excluded from the L2 penalty by
+    default — hashed_text_features appends a bias feature there, and
+    standard logistic regression does not shrink the intercept
+    (advisor finding r9; set ``penalize_bias=True`` for feature
+    layouts with no bias slot).
     Returns the weight vector (len = ``dim``, matching the feature
     arrays; hashed_text_features produces dim = n_features + 1).
 
@@ -169,7 +175,10 @@ def logreg_train(
         )
         acc, n = reduce_vector_partials(partials, dim + 1)
         g = acc[:dim] / n
-        w = w - lr * (g + l2 * w)
+        reg = l2 * w
+        if not penalize_bias:
+            reg[-1] = 0.0
+        w = w - lr * (g + reg)
     return w
 
 

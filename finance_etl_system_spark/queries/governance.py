@@ -273,7 +273,6 @@ def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     each artifact pays one scan+rewrite under staging+swap — the same
     cost its own compaction window already pays, which is where
     erasure batches ride in production."""
-    import atexit
     import shutil
     import tempfile
 
@@ -285,28 +284,34 @@ def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     embs = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="spark_graft_forget_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    try:
+        corpus = f"{root}/corpus.parquet"
+        docs.write.parquet(corpus)
+        ti = f"{root}/text_index"
+        build_text_index(docs, ti)
+        ivfpq = f"{root}/ivfpq"
+        build_ivf_pq_index(
+            embs, ivfpq, dim=64, k_clusters=4, m=8, k_codes=16
+        )
+        verd, state = f"{root}/verdicts", f"{root}/state"
+        dedup_increment_batch(docs.select("doc_id", "text"), 0, verd, state)
 
-    corpus = f"{root}/corpus.parquet"
-    docs.write.parquet(corpus)
-    ti = f"{root}/text_index"
-    build_text_index(docs, ti)
-    ivfpq = f"{root}/ivfpq"
-    build_ivf_pq_index(
-        embs, ivfpq, dim=64, k_clusters=4, m=8, k_codes=16
-    )
-    verd, state = f"{root}/verdicts", f"{root}/state"
-    dedup_increment_batch(docs.select("doc_id", "text"), 0, verd, state)
-
-    ids = docs.filter(F.col("doc_id") % ERASE_MOD == 3).select("doc_id")
-    return forget_documents(
-        spark,
-        ids,
-        corpus_tables={"documents": corpus},
-        text_index=ti,
-        ivf_pq_index=ivfpq,
-        dedup_state=state,
-    )
+        ids = docs.filter(F.col("doc_id") % ERASE_MOD == 3).select("doc_id")
+        return forget_documents(
+            spark,
+            ids,
+            corpus_tables={"documents": corpus},
+            text_index=ti,
+            ivf_pq_index=ivfpq,
+            dedup_state=state,
+        )
+    finally:
+        # the returned audit frame is createDataFrame over a driver
+        # list (operators/forget.py tail) — no lazy read of these
+        # artifacts survives, so the temp root can go NOW instead of
+        # accumulating one dir + atexit handler per registry /
+        # attestation invocation (advisor finding r9)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 QUERIES = {

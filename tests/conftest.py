@@ -11,6 +11,55 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): fail the test if it runs longer"
+        " (SIGALRM fallback below when pytest-timeout is absent)",
+    )
+
+
+try:  # real plugin wins when available
+    import pytest_timeout as _pytest_timeout  # noqa: F401
+
+    _HAVE_PYTEST_TIMEOUT = True
+except ImportError:
+    _HAVE_PYTEST_TIMEOUT = False
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    """Minimal hang protection: before this hook existed the
+    @pytest.mark.timeout marks were silent no-ops (pytest-timeout is
+    not installed in the sandbox — advisor finding r9). SIGALRM fires
+    in the main thread, which is where every test body (including
+    blocking py4j calls) runs."""
+    import signal
+
+    marker = item.get_closest_marker("timeout")
+    use_alarm = (
+        marker is not None
+        and not _HAVE_PYTEST_TIMEOUT
+        and hasattr(signal, "SIGALRM")
+    )
+    if use_alarm:
+        seconds = int(marker.args[0]) if marker.args else 300
+
+        def _timed_out(signum, frame):
+            raise TimeoutError(
+                f"{item.nodeid} exceeded timeout({seconds}s)"
+            )
+
+        prev = signal.signal(signal.SIGALRM, _timed_out)
+        signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        if use_alarm:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")

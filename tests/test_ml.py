@@ -506,7 +506,7 @@ def test_gbt_grid_cv_selects_and_beats_bad_params(spark, nonlinear_df):
     pdf = nonlinear_df.toPandas().sort_values(["g", "t"])
     cut = 160  # 80% of each 200-row group
     train = spark.createDataFrame(
-        pdf.groupby("g", group_keys=False).apply(lambda d: d.iloc[:cut])
+        pdf.groupby("g", group_keys=False).head(cut)
     )
     bad, good = (1, 2, 0.1), (3, 25, 0.1)
     models = {

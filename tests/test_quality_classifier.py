@@ -70,7 +70,9 @@ def test_train_matches_local_numpy_and_separates(spark):
     for _ in range(25):
         p = 1.0 / (1.0 + np.exp(-(X @ wl)))
         g = X.T @ (p - y) / len(y)
-        wl = wl - 1.0 * (g + 1e-4 * wl)
+        reg = 1e-4 * wl
+        reg[-1] = 0.0  # bias slot is not regularized
+        wl = wl - 1.0 * (g + reg)
     assert np.allclose(w, wl, atol=1e-8)
     scored = logreg_score(feats, w).collect()
     acc = np.mean(
