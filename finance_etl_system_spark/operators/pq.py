@@ -510,6 +510,7 @@ def pq_topk_adc(
     rerank_with: DataFrame | None = None,
     rerank: int = 50,
     corpus_vec_col: str = "embedding",
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries (driver-sized, same contract
     as the brute-force/LSH paths) become (m, k_codes) inner-product
@@ -524,7 +525,14 @@ def pq_topk_adc(
     per query, float vectors are fetched ONLY for the ≤ nq×rerank
     survivors (broadcast semi-join shape — the corpus never
     shuffles), and exact cosine re-ranks the top-``k``. Output gains
-    the ``adc`` coarse score next to the exact ``score``."""
+    the ``adc`` coarse score next to the exact ``score``.
+
+    ``rerank_queries`` (same (query_id, vec) contract as ``queries``)
+    feeds ONLY the exact-rerank side: pass the ORIGINAL-space query
+    frame when ``queries`` is OPQ-rotated but ``rerank_with`` is the
+    unrotated corpus — cosine is rotation-invariant, so the rerank
+    scores match the rotated-space ones while the corpus skips a
+    per-probe rotation pass. Defaults to ``queries``."""
     q_rows = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
@@ -575,7 +583,7 @@ def pq_topk_adc(
     survivors = ranked.filter(F.col("rnk") <= rerank).select(
         "qid", "cid", F.col("score").alias("adc")
     )
-    qv = queries.select(
+    qv = (rerank_queries if rerank_queries is not None else queries).select(
         F.col(query_id_col).alias("qid"),
         _as_double(F.col(query_vec_col)).alias("qv"),
     )
