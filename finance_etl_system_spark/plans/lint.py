@@ -1,0 +1,82 @@
+"""Plan lints — machine checks for scale-killing physical shapes.
+
+``unbounded_global_windows`` guards the repo's window policy: a
+``WindowExec`` with an EMPTY partition spec moves the whole input to
+one task ("WARN WindowExec: No Partition Defined" at runtime), which
+is fatal at 100 TB unless the input is already bounded. The repo's
+sanctioned global windows are all bounded by construction —
+rank-after-limit (functions/frames.py::ranked_topk runs the window
+over k rows) or a 1-row global aggregate — and this lint proves that
+from the plan itself: a global window is OK only if some descendant
+is a limit node or a zero-grouping aggregate. Anything else (e.g. a
+bucket-count-bounded grouped aggregate, whose boundedness is semantic
+rather than structural) must be explicitly allowlisted by the caller
+with a written justification (tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# nodes whose output is structurally bounded: the driver-k limit
+# family, or an aggregate with no grouping columns (exactly one row)
+_LIMIT_NODES = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+)
+
+
+def _is_bounded(node) -> bool:
+    name = node.nodeName()
+    if any(name.startswith(ln) for ln in _LIMIT_NODES):
+        return True
+    if "Aggregate" in name:
+        try:
+            if node.groupingExpressions().size() == 0:
+                return True
+        except Exception:  # noqa: BLE001 — not a grouped-agg node
+            pass
+    return False
+
+
+def _subtree_bounded(node) -> bool:
+    if _is_bounded(node):
+        return True
+    kids = node.children()
+    return any(
+        _subtree_bounded(kids.apply(i)) for i in range(kids.size())
+    )
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Node names + simple strings of every window in ``df``'s
+    physical plan that has an empty partition spec AND no limit /
+    1-row-aggregate descendant — i.e. a window that would genuinely
+    drag the full input through one task. Empty list = plan is clean.
+
+    Inspects the pre-AQE ``sparkPlan`` (AQE only re-plans exchanges;
+    window partition specs are fixed at planning time).
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith("Window"):
+            try:
+                unpartitioned = node.partitionSpec().size() == 0
+            except Exception:  # noqa: BLE001 — WindowGroupLimit etc.
+                unpartitioned = False
+            if unpartitioned and not any(
+                _subtree_bounded(node.children().apply(i))
+                for i in range(node.children().size())
+            ):
+                bad.append(f"{name}: {node.simpleString(120)}")
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    return bad

