@@ -6,9 +6,21 @@ here the chain is declarative and every stage is an operator this repo
 already tests in isolation:
 
   1. exact dedup           (operators/dedup.exact_dedup)
+  1b. chunk-level dedup    (OPTIONAL, ``chunk_dup_threshold``:
+                            content-defined chunking → drop docs whose
+                            byte share in chunks first seen in a
+                            smaller-id document exceeds the threshold —
+                            the sub-document boilerplate/mirror case
+                            exact and near dedup both miss)
   2. near-dup collapse     (minhash_lsh_pairs → connected_components,
                             keep the min-id representative per cluster)
   3. quality gate          (token count + type-token ratio)
+  3b. classifier gate      (OPTIONAL, ``classifier_weights``: frozen
+                            logistic-regression keep-probability over
+                            hashed bag-of-words features, round-6dp
+                            thresholded — the model-based quality tier,
+                            same frozen-weights discipline as
+                            streaming/classifier.py)
   4. decontamination       (word-5-gram overlap vs a held-out eval set,
                             broadcast gram probe, PLUS the fuzzy pass:
                             asymmetric MinHash-LSH match against the
@@ -23,7 +35,10 @@ Scale: stages 1-4 are the operators' documented scale shapes (hash
 groupBy / LSH band join / map-side quality exprs / broadcast gram
 set); the split is a pure map-side predicate; packing's only global
 structure is its bucket-offset table. Nothing here collects rows to
-the driver.
+the driver. The chunk stage's dup test is one map-combinable
+min-groupBy over the chunk table (O(chunks), never docs²); the
+classifier stage is one Arrow feature+score pass with the weight
+vector closed over (O(model) driver state).
 
 Deterministic end to end (fixed seeds, hash splits) but MinHash
 banding is probabilistic IN DESIGN, so the driver entry is rows-only;
@@ -32,9 +47,11 @@ the pipeline invariants are pinned in tests/test_corpus.py.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.chunking import content_defined_chunks
 from ..operators.dedup import (
     content_fingerprint,
     exact_dedup,
@@ -46,6 +63,7 @@ from ..operators.dedup import (
 )
 from ..operators.graph import connected_components
 from ..operators.packing import prefix_pack
+from ..operators.quality_classifier import hashed_text_features, logreg_score
 from ..operators.sampling import train_test_split_by_key
 from ..operators.text import tokens
 
@@ -55,6 +73,87 @@ MIN_TTR = 0.3  # type-token ratio floor (repetition gate)
 JACCARD_NEAR_DUP = 0.5
 JACCARD_FUZZY_DECON = 0.5
 PACK_BUDGET = 256  # tokens per packed bin
+CLASSIFIER_N_FEATURES = 256  # hashed-BoW width for the optional gate
+
+
+def _chunk_dup_doc_ids(
+    d: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    history_chunks: DataFrame | None = None,
+) -> DataFrame:
+    """ids of docs whose byte share in DUPLICATED chunks ≥ threshold.
+
+    A chunk counts as duplicated for doc x when its hash was first
+    seen in a SMALLER-id exact-dedup survivor (min-id ownership) or in
+    ``history_chunks`` (earlier increments — monotone ids make every
+    history doc smaller). Ownership is computed over ALL exact
+    survivors, independent of whether the owner itself gets dropped —
+    that keeps the rule order-independent, so increments reproduce the
+    rebuild exactly (no chain dependency through drop decisions).
+
+    One chunking pass + one min-groupBy + one chunk-keyed join:
+    O(chunks), never docs²."""
+    chunks = content_defined_chunks(d, text_col=text_col, id_col=id_col)
+    owners = chunks.groupBy("chunk_hash").agg(
+        F.min(id_col).alias("_owner")
+    )
+    if history_chunks is not None:
+        owners = owners.join(
+            history_chunks.select("chunk_hash").withColumn(
+                "_hist", F.lit(True)
+            ),
+            "chunk_hash",
+            "left",
+        )
+    else:
+        owners = owners.withColumn("_hist", F.lit(False))
+    per_doc = (
+        chunks.join(owners, "chunk_hash")
+        .withColumn(
+            "_dup",
+            F.coalesce(F.col("_hist"), F.lit(False))
+            | (F.col("_owner") < F.col(id_col)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("chunk_len").alias("_n_bytes"),
+            F.sum(
+                F.when(F.col("_dup"), F.col("chunk_len")).otherwise(0)
+            ).alias("_dup_bytes"),
+        )
+    )
+    return per_doc.filter(
+        (F.col("_n_bytes") > 0)
+        & (F.col("_dup_bytes") / F.col("_n_bytes") >= threshold)
+    ).select(id_col)
+
+
+def _classifier_gate(
+    d: DataFrame,
+    weights: np.ndarray,
+    *,
+    text_col: str,
+    threshold: float,
+    n_features: int,
+) -> DataFrame:
+    """Keep docs whose frozen-classifier keep-probability ≥ threshold.
+    The score is rounded to 6dp BEFORE thresholding (the streaming
+    gate's replay-determinism rule, streaming/classifier.py); the
+    feature array is dropped before any later shuffle."""
+    return (
+        logreg_score(
+            hashed_text_features(
+                d, text_col=text_col, n_features=n_features
+            ),
+            weights,
+        )
+        .withColumn("quality_prob", F.round("quality_prob", 6))
+        .filter(F.col("quality_prob") >= threshold)
+        .drop("features", "quality_prob")
+    )
 
 
 def build_training_corpus(
@@ -64,14 +163,33 @@ def build_training_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     test_fraction: float = 0.1,
+    chunk_dup_threshold: float | None = None,
+    classifier_weights: np.ndarray | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_n_features: int = CLASSIFIER_N_FEATURES,
 ) -> DataFrame:
     """docs + held-out eval_docs → curated, split, packed corpus.
 
     Returns one row per surviving document:
     (doc_id, n_tokens, ttr, split, bin_id) — bin_id is per-split,
-    so the packed-bin key is (split, bin_id)."""
+    so the packed-bin key is (split, bin_id).
+
+    ``chunk_dup_threshold`` enables stage 1b (CDC chunk dedup);
+    ``classifier_weights`` (a FROZEN vector from
+    operators/quality_classifier.logreg_train, len =
+    classifier_n_features+1) enables stage 3b."""
     # 1. exact dedup on normalized content
     d = exact_dedup(docs, text_col=text_col, id_col=id_col)
+
+    # 1b. optional chunk-level dedup (sub-document duplication)
+    if chunk_dup_threshold is not None:
+        chunk_dups = _chunk_dup_doc_ids(
+            d,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=chunk_dup_threshold,
+        )
+        d = d.join(chunk_dups, id_col, "left_anti")
 
     # 2. near-dup collapse: LSH pairs above the Jaccard estimate →
     #    components → drop everything but each cluster's min id
@@ -99,6 +217,16 @@ def build_training_corpus(
         .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
         .drop("_toks")  # token arrays must not ride the later shuffles
     )
+
+    # 3b. optional frozen-classifier quality gate
+    if classifier_weights is not None:
+        d = _classifier_gate(
+            d,
+            classifier_weights,
+            text_col=text_col,
+            threshold=classifier_threshold,
+            n_features=classifier_n_features,
+        )
 
     # 4. decontamination: drop docs sharing any word-5-gram with eval
     eval_grams = (
@@ -161,13 +289,18 @@ def build_training_corpus(
 #
 # State carried between increments (each table is id/fingerprint-sized,
 # never text-sized):
-#   fp   — every content fingerprint ever seen (exact-dedup memory)
-#   sig  — MinHash signature of EVERY exact-surviving doc, including
-#          near-dup losers: links must be testable against dropped
-#          docs too, or a chain A<B<C split across batches would keep
-#          C that a full rebuild drops
-#   pack — per-split carried token totals (two longs), so bin
-#          numbering continues exactly where the last increment ended
+#   fp     — every content fingerprint ever seen (exact-dedup memory)
+#   sig    — MinHash signature of EVERY exact-surviving doc, including
+#            near-dup losers: links must be testable against dropped
+#            docs too, or a chain A<B<C split across batches would keep
+#            C that a full rebuild drops
+#   chunks — chunk hashes of every exact-surviving doc (only when the
+#            chunk stage is enabled). This is the CDC chunk index —
+#            proportional to corpus CHUNK count (one 32-byte hash per
+#            ~avg_size bytes of text), the standing cost every
+#            CDC-dedup system pays; shard it by hash at scale
+#   pack   — per-split carried token totals (two longs), so bin
+#            numbering continues exactly where the last increment ended
 #
 # Equivalence contract (pinned in tests/test_corpus.py): increments
 # reproduce the full rebuild bit-for-bit when (a) doc ids are assigned
@@ -185,6 +318,7 @@ def new_corpus_state(spark: SparkSession) -> dict:
     return {
         "fp": spark.createDataFrame([], "_fp string"),
         "sig": spark.createDataFrame([], "id bigint, sig array<bigint>"),
+        "chunks": spark.createDataFrame([], "chunk_hash string"),
         "pack": {"train": 0, "test": 0},
     }
 
@@ -197,6 +331,10 @@ def corpus_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     test_fraction: float = 0.1,
+    chunk_dup_threshold: float | None = None,
+    classifier_weights: np.ndarray | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_n_features: int = CLASSIFIER_N_FEATURES,
 ) -> tuple[DataFrame, dict]:
     """One increment of the corpus build (see block comment above).
 
@@ -232,6 +370,32 @@ def corpus_increment(
         batch_fps.join(state["fp"], "_fp", "left_anti")
     )
 
+    # 1b. optional chunk-level dedup: dup = chunk seen in history
+    #     (all smaller ids under monotone arrival) or owned by a
+    #     smaller id within the batch — exactly the rebuild's min-id
+    #     rule. The chunk index accumulates ALL exact survivors'
+    #     chunks (this stage's own drops included), mirroring sig.
+    new_chunks = state.get("chunks")
+    if chunk_dup_threshold is not None:
+        chunk_dups = _chunk_dup_doc_ids(
+            d,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=chunk_dup_threshold,
+            history_chunks=state["chunks"],
+        )
+        batch_chunk_hashes = (
+            content_defined_chunks(d, text_col=text_col, id_col=id_col)
+            .select("chunk_hash")
+            .distinct()
+        )
+        new_chunks = state["chunks"].unionByName(
+            batch_chunk_hashes.join(
+                state["chunks"], "chunk_hash", "left_anti"
+            )
+        )
+        d = d.join(chunk_dups, id_col, "left_anti")
+
     # 2. near-dup vs state + self (same signature params as the
     #    rebuild's minhash_lsh_pairs). State grows by ALL of this
     #    batch's exact survivors — losers included — per the contract.
@@ -264,6 +428,19 @@ def corpus_increment(
         .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
         .drop("_toks")
     )
+
+    # 3b. optional frozen-classifier gate — stateless per doc with
+    #     FROZEN weights, so increment ≡ rebuild holds trivially
+    #     (training inside the increment would break it: later data
+    #     would move earlier decisions)
+    if classifier_weights is not None:
+        d = _classifier_gate(
+            d,
+            classifier_weights,
+            text_col=text_col,
+            threshold=classifier_threshold,
+            n_features=classifier_n_features,
+        )
 
     # 4. decontamination — eval set is fixed, broadcast gram probe
     eval_grams = eval_docs.select(
@@ -320,6 +497,11 @@ def corpus_increment(
     new_state = {
         "fp": new_fp.localCheckpoint(eager=True),
         "sig": new_sig.localCheckpoint(eager=True),
+        "chunks": (
+            new_chunks.localCheckpoint(eager=True)
+            if new_chunks is not None
+            else None
+        ),
         "pack": pack_state,
     }
     return out, new_state

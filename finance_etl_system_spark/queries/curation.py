@@ -239,25 +239,92 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+# frozen classifier weights for the corpus pipeline's stage 3b, one
+# train per (sf_dir, corpus fingerprint) per process: the PIPELINE
+# contract wants frozen weights (training inside an increment would
+# let later data move earlier decisions), and the cache keeps
+# attestation/registry reruns from paying the training loop twice
+_CORPUS_CLASSIFIER_CACHE: dict[tuple[str, str], object] = {}
+_CORPUS_CLS_FEATURES = 64
+
+
+def _corpus_classifier_weights(spark: SparkSession, sf_dir: str):
+    """(weights, threshold): frozen at TRAIN time, together. The
+    fixture's weak label (lang=='en') is barely separable from the
+    synthetic text, so scores cluster below any absolute cut — the
+    gate therefore freezes a KEEP-RATE threshold instead (the 40th
+    percentile of the rounded train-time scores ⇒ ~60% keep), the
+    budget pattern operators/quality_classifier.logreg_score
+    prescribes. Both numbers are deterministic (full-batch GD, exact
+    percentile, 6dp rounding), so every process re-derives the same
+    frozen pair."""
+    from ..operators.quality_classifier import (
+        hashed_text_features,
+        logreg_score,
+        logreg_train,
+    )
+    from .retrieval import _table_fingerprint
+
+    key = (sf_dir, _table_fingerprint(sf_dir, table="documents"))
+    hit = _CORPUS_CLASSIFIER_CACHE.get(key)
+    if hit is None:
+        d = load_table(spark, sf_dir, "documents").withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+        feats = hashed_text_features(d, n_features=_CORPUS_CLS_FEATURES)
+        w = logreg_train(
+            feats,
+            dim=_CORPUS_CLS_FEATURES + 1,
+            iters=10,
+            label_col="label",
+        )
+        thr = round(
+            logreg_score(feats, w)
+            .select(
+                F.expr("percentile(round(quality_prob, 6), 0.4)")
+            )
+            .collect()[0][0],
+            6,
+        )
+        hit = (w, thr)
+        _CORPUS_CLASSIFIER_CACHE[key] = hit
+    return hit
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curated-corpus build (pipeline/corpus.py): exact +
-    near-dup dedup, quality gate, 5-gram decontamination vs the
-    doc_id%23 eval slice, hash split, token packing. Rows-only driver
-    entry (MinHash banding is probabilistic by design); the pipeline
-    invariants are pinned in tests/test_corpus.py."""
+    """End-to-end curated-corpus build (pipeline/corpus.py) with ALL
+    tiers enabled: exact dedup, CDC chunk-level dedup (≥60%
+    duplicated bytes), near-dup collapse, heuristic quality gate,
+    frozen-classifier gate (lang=='en' weak label, weights +
+    keep-rate threshold frozen at train time and process-cached),
+    5-gram + fuzzy decontamination vs the doc_id%23 eval slice, hash
+    split, token packing. Rows-only driver entry (MinHash banding is
+    probabilistic by design); the pipeline invariants and the
+    increment≡rebuild equivalence with these stages on are pinned in
+    tests/test_corpus.py."""
     from ..pipeline.corpus import build_training_corpus
 
     d = load_table(spark, sf_dir, "documents")
     eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
-    return build_training_corpus(corpus, eval_slice).orderBy("doc_id")
+    w, thr = _corpus_classifier_weights(spark, sf_dir)
+    return build_training_corpus(
+        corpus,
+        eval_slice,
+        chunk_dup_threshold=0.6,
+        classifier_weights=w,
+        classifier_threshold=thr,
+        classifier_n_features=_CORPUS_CLS_FEATURES,
+    ).orderBy("doc_id")
 
 
 def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus build run as TWO increments with carried state
-    (pipeline/corpus.py corpus_increment): docs below the id midpoint
-    arrive as day 1, the rest as day 2 — fingerprints, signatures and
-    pack offsets carry between them. Rows-only driver entry;
+    (pipeline/corpus.py corpus_increment), same stages as
+    q_corpus_pipeline: docs below the id midpoint arrive as day 1,
+    the rest as day 2 — fingerprints, signatures, chunk hashes and
+    pack offsets carry between them; the classifier runs with the
+    SAME frozen weights in both increments. Rows-only driver entry;
     increment ≡ full-rebuild equivalence is pinned in
     tests/test_corpus.py::test_corpus_increments_equal_full_rebuild."""
     from ..pipeline.corpus import corpus_increment, new_corpus_state
@@ -265,13 +332,20 @@ def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     eval_slice = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    w, thr = _corpus_classifier_weights(spark, sf_dir)
+    stages = dict(
+        chunk_dup_threshold=0.6,
+        classifier_weights=w,
+        classifier_threshold=thr,
+        classifier_n_features=_CORPUS_CLS_FEATURES,
+    )
     mid = 250  # fixture ids start at 0; sf0.001 already has 500 docs
     state = new_corpus_state(spark)
     out1, state = corpus_increment(
-        corpus.filter(F.col("doc_id") < mid), eval_slice, state
+        corpus.filter(F.col("doc_id") < mid), eval_slice, state, **stages
     )
     out2, _state = corpus_increment(
-        corpus.filter(F.col("doc_id") >= mid), eval_slice, state
+        corpus.filter(F.col("doc_id") >= mid), eval_slice, state, **stages
     )
     return out1.unionByName(out2).orderBy("doc_id")
 

@@ -111,3 +111,97 @@ def test_corpus_increments_equal_full_rebuild(spark):
             got[r.doc_id] = (r.n_tokens, r.ttr, r.split, r.bin_id)
 
     assert got == full
+
+
+def test_corpus_increments_equal_full_rebuild_all_stages(spark):
+    """r10 composition: the increment ≡ rebuild contract must survive
+    the two optional tiers — CDC chunk dedup (stateful: the chunk
+    index carries between increments) and the frozen-classifier gate
+    (stateless by design: the SAME weights in every increment). Three
+    increments to exercise chunk-state carry across more than one
+    boundary."""
+    import numpy as np
+
+    from finance_etl_system_spark.pipeline.corpus import (
+        CLASSIFIER_N_FEATURES,
+        corpus_increment,
+        new_corpus_state,
+    )
+
+    corpus, eval_slice = _inputs(spark)
+    rng = np.random.default_rng(11)
+    weights = rng.normal(0.0, 0.5, CLASSIFIER_N_FEATURES + 1)
+    stages = dict(
+        chunk_dup_threshold=0.5,
+        classifier_weights=weights,
+        classifier_threshold=0.4,
+    )
+    full_rows = build_training_corpus(
+        corpus, eval_slice, **stages
+    ).collect()
+    full = {
+        r.doc_id: (r.n_tokens, r.ttr, r.split, r.bin_id)
+        for r in full_rows
+    }
+    assert full, "stages must not annihilate the fixture corpus"
+    # the added stages must actually drop something beyond the base
+    # pipeline, or this test proves nothing about them
+    base = {r.doc_id for r in build_training_corpus(corpus, eval_slice).collect()}
+    assert set(full) < base
+
+    cuts = corpus.agg(
+        F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+    ).collect()[0]
+    state = new_corpus_state(spark)
+    got = {}
+    for batch in (
+        corpus.filter(F.col("doc_id") < cuts[0]),
+        corpus.filter(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
+        corpus.filter(F.col("doc_id") >= cuts[1]),
+    ):
+        out, state = corpus_increment(batch, eval_slice, state, **stages)
+        for r in out.collect():
+            assert r.doc_id not in got
+            got[r.doc_id] = (r.n_tokens, r.ttr, r.split, r.bin_id)
+
+    assert got == full
+
+
+def test_corpus_chunk_stage_drops_subdocument_duplicates(spark):
+    """A doc that is mostly a byte-level copy of a smaller-id doc
+    (plus a unique tail) slips past exact dedup; the chunk stage must
+    flag exactly it — min-id ownership keeps the original, unrelated
+    content untouched."""
+    from finance_etl_system_spark.pipeline.corpus import _chunk_dup_doc_ids
+
+    # high-TTR prose (every word distinct) so only the chunk rule acts
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(60))
+    other = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(60))
+    rows = [
+        (0, base, "en"),
+        (1, base + " unique closing remarks appended here", "en"),
+        (2, other, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    flagged = {
+        r.doc_id
+        for r in _chunk_dup_doc_ids(
+            docs, text_col="text", id_col="doc_id", threshold=0.6
+        ).collect()
+    }
+    assert flagged == {1}
+
+    # and end-to-end: the composed pipeline keeps 0 and 2, drops 1
+    out = build_training_corpus(
+        docs,
+        spark.createDataFrame(
+            [(99, "held out benchmark text nothing shared", "en")],
+            "doc_id long, text string, lang string",
+        ),
+        chunk_dup_threshold=0.6,
+        test_fraction=0.0,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {0, 2}
