@@ -217,3 +217,69 @@ def similarity_search(
     return out.select(
         "qid", "rnk", "cid", F.col(score).cast("double").alias("score")
     )
+
+
+def recall_report(
+    queries: DataFrame,
+    corpus: DataFrame,
+    methods: dict[str, dict],
+    *,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-method recall@k against brute force over the SAME query
+    set: (method, n_results, recall_avg 6dp, recall_min 6dp) — the
+    operating table a user reads to pick an ANN tier for THEIR
+    corpus geometry (recall depends on it: near-orthogonal synthetic
+    vectors and anisotropic real embeddings rank the methods
+    differently — run this on both; tools/ann_recall_report.py does).
+
+    ``methods`` maps a display name to ``similarity_search`` kwargs;
+    the method itself defaults to the name with a ``method`` override
+    allowed (so "pq_opq" can dispatch to method="pq", opq=True).
+    Brute force is always computed (it is the truth set) and included
+    in the output. The per-method top-k frames are query-set-sized
+    (nq×k rows), so the driver-side recall arithmetic is bounded by
+    construction — the corpus never collects."""
+    spark = queries.sparkSession
+
+    def topk(method: str, kw: dict) -> dict[int, set[int]]:
+        got: dict[int, set[int]] = {}
+        for r in similarity_search(
+            queries,
+            method=method,
+            corpus=corpus,
+            k=k,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            **kw,
+        ).collect():
+            got.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
+        return got
+
+    truth = topk("brute", {})
+    rows = []
+    for name, kw in methods.items():
+        kw = dict(kw)
+        method = kw.pop("method", "pq" if name.startswith("pq") else name)
+        got = truth if method == "brute" and not kw else topk(method, kw)
+        recalls = [
+            len(truth[qid] & got.get(qid, set())) / len(truth[qid])
+            for qid in sorted(truth)
+        ]
+        rows.append(
+            (
+                name,
+                int(sum(len(v) for v in got.values())),
+                round(sum(recalls) / len(recalls), 6),
+                round(min(recalls), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, n_results long, recall_avg double,"
+        " recall_min double",
+    ).orderBy("method")

@@ -413,48 +413,26 @@ def q_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: LSH/PQ paths are approximate (their per-method
     accuracy floors live in tests); the report itself is
     deterministic — every method is seeded/rounded/tiebroken. The
-    per-method top-k frames are query-set-sized (nq×k rows), so the
-    driver-side recall arithmetic is bounded by construction —
-    the corpus never collects."""
-    from ..operators.ann import similarity_search
+    recall arithmetic lives in operators/ann.py::recall_report
+    (driver state bounded at nq×k rows per method);
+    tools/ann_recall_report.py runs the same table on the
+    ANISOTROPIC fixture too — corpus geometry changes the ranking."""
+    from ..operators.ann import recall_report
 
     e = load_table(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    methods: dict[str, dict] = {
-        "brute": {},
-        "lsh": {"dim": _DIM, "nbits": 16, "bands": 4},
-        "sq8": {},
-        "pq": {"dim": _DIM},
-        "pq_opq": {"dim": _DIM, "opq": True},
-    }
-    truth: dict[int, set[int]] = {}
-    rows = []
-    for name, kw in methods.items():
-        method = "pq" if name == "pq_opq" else name
-        got: dict[int, set[int]] = {}
-        for r in similarity_search(
-            q, method=method, corpus=e, k=_K, **kw
-        ).collect():
-            got.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
-        if name == "brute":
-            truth = got
-        recalls = [
-            len(truth[qid] & got.get(qid, set())) / len(truth[qid])
-            for qid in sorted(truth)
-        ]
-        rows.append(
-            (
-                name,
-                int(sum(len(v) for v in got.values())),
-                round(sum(recalls) / len(recalls), 6),
-                round(min(recalls), 6),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "method string, n_results long, recall_avg double,"
-        " recall_min double",
-    ).orderBy("method")
+    return recall_report(
+        q,
+        e,
+        {
+            "brute": {},
+            "lsh": {"dim": _DIM, "nbits": 16, "bands": 4},
+            "sq8": {},
+            "pq": {"dim": _DIM},
+            "pq_opq": {"dim": _DIM, "opq": True},
+        },
+        k=_K,
+    )
 
 
 def q_knn_opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
