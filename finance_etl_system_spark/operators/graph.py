@@ -140,14 +140,37 @@ def _connected_components_with_rounds(
         new_e = _small_star(_large_star(undirected)).localCheckpoint(
             eager=True
         )
-        # fixpoint test: the rewired edge set equals the previous one
-        # (two anti-join counts over the sparse edge frame; never a
-        # collect of the graph)
-        delta = (
-            new_e.exceptAll(e).count() + e.exceptAll(new_e).count()
-        )
         e = new_e
-        if delta == 0:
+        # fixpoint test — EXACT and one grouped aggregate (the
+        # edge-set-equality exceptAll pair cost two anti-joins per
+        # round): with the child>parent orientation, the edge set is
+        # a union of DISJOINT STARS iff (a) no node is both a parent
+        # and a child and (b) every child has exactly one parent.
+        # Stars are fixed points of both operations and the
+        # operations preserve connectivity, so star-shaped ⇔ each
+        # star is one whole component rooted at its min — exactly the
+        # state the label read-off below requires.
+        roles = new_e.select(
+            F.col("child").alias("n"),
+            F.lit(1).alias("c"),
+            F.lit(0).alias("p"),
+        ).union(
+            new_e.select(
+                F.col("parent").alias("n"),
+                F.lit(0).alias("c"),
+                F.lit(1).alias("p"),
+            )
+        )
+        non_star = (
+            roles.groupBy("n")
+            .agg(F.sum("c").alias("nc"), F.sum("p").alias("np"))
+            .filter(
+                ((F.col("nc") > 0) & (F.col("np") > 0))
+                | (F.col("nc") > 1)
+            )
+            .count()
+        )
+        if non_star == 0:
             break
     else:
         raise RuntimeError(
