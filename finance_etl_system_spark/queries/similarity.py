@@ -500,7 +500,11 @@ def _cached_opq_model(spark: SparkSession, sf_dir: str) -> tuple:
         model = pq_train(rot, dim=_DIM, m=16, k=32, max_iter=6)
         codes_dir = tempfile.mkdtemp(prefix="spark_graft_opqcodes_")
         atexit.register(shutil.rmtree, codes_dir, ignore_errors=True)
-        pq_encode(rot, model).write.mode("overwrite").parquet(codes_dir)
+        # codes ONLY — persisting the rotated floats alongside would
+        # store the full vector table and defeat the 16-byte-code scan
+        pq_encode(rot, model).select("vec_id", "codes").write.mode(
+            "overwrite"
+        ).parquet(codes_dir)
         hit = (R, model, codes_dir)
         _OPQ_CACHE[key] = hit
     return hit
