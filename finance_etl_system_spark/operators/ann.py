@@ -260,7 +260,13 @@ def recall_report(
             got.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
         return got
 
+    schema = (
+        "method string, n_results long, recall_avg double,"
+        " recall_min double"
+    )
     truth = topk("brute", {})
+    if not truth:  # empty query set: empty report, not a ZeroDivision
+        return spark.createDataFrame([], schema)
     rows = []
     for name, kw in methods.items():
         kw = dict(kw)
@@ -278,8 +284,4 @@ def recall_report(
                 round(min(recalls), 6),
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "method string, n_results long, recall_avg double,"
-        " recall_min double",
-    ).orderBy("method")
+    return spark.createDataFrame(rows, schema).orderBy("method")

@@ -677,11 +677,13 @@ def build_ivf_pq_index(
     # and consistent (review finding r9 — the previous up-front
     # rotation delete could un-flag old rotated codes, so a crashed
     # rebuild would serve UNROTATED probes against rotated codes).
-    # The meta table — carrying the new ``space`` column probes trust
-    # — is written LAST as the commit marker; the inter-table crash
-    # window that remains (old meta over partly-new tables) requires
-    # a rebuild either way, and _load_rotation fails loudly on a
-    # space-flag/rotation-table mismatch instead of guessing.
+    # Once writes start, a ``_BUILDING`` sentinel guards the
+    # inter-table crash windows (r10 review finding: old meta over
+    # partly-new tables can MIX SPACES — e.g. plain-meta over freshly
+    # rotated codes — and no flag consistency check can see it): the
+    # sentinel is created before the first overwrite and removed only
+    # after the meta commit, and every reader (probe / append /
+    # compact / health / verify) fails loudly while it exists.
     if opq:
         if opq == "np":
             # final_pq_iters=0: only R is needed — the index retrains
@@ -720,6 +722,19 @@ def build_ivf_pq_index(
         cluster_col="cluster",
         residual_centroids=cents_hat,
     )
+    from .similarity import _build_marker
+
+    fs, HPath = _ivf_fs(spark, path)
+    fs.mkdirs(HPath(path))
+    marker = HPath(_build_marker(path))
+    if not fs.createNewFile(marker):
+        raise RuntimeError(
+            f"IVF-PQ index at {path} already has a _BUILDING marker:"
+            " another rebuild is running, or a previous one crashed"
+            " mid-write (the tables may mix spaces). After confirming"
+            " no rebuild is running, delete the marker and rerun — "
+            "the same manual-heal protocol as _COMPACTING"
+        )
     with partition_overwrite(spark, "static"):
         (
             codes.select(
@@ -764,11 +779,30 @@ def build_ivf_pq_index(
         # rotation is now inert (meta says plain, _load_rotation
         # ignores it) — removed here only as tidy-up, AFTER the
         # commit marker so a crash in between changes nothing
-        fs, HPath = _ivf_fs(spark, path)
         rot_path = HPath(f"{path}/rotation")
         if fs.exists(rot_path):
             fs.delete(rot_path, True)
+    fs.delete(marker, False)  # commit complete — readers may proceed
     return model
+
+
+def _check_not_building(spark, path: str) -> None:
+    """Fail loudly if a rebuild sentinel exists: between
+    build_ivf_pq_index's first overwrite and its meta commit the
+    tables can MIX SPACES (rotated codes under a plain meta, or old-R
+    codes under new-R rotation) — states no flag-consistency check
+    can detect. Every index reader calls this first."""
+    from .similarity import _build_marker, _ivf_fs
+
+    fs, HPath = _ivf_fs(spark, path)
+    if fs.exists(HPath(_build_marker(path))):
+        raise RuntimeError(
+            f"IVF-PQ index at {path} has a _BUILDING marker: a"
+            " rebuild is in progress or crashed between table"
+            " overwrites — the codes/centroids/rotation/meta tables"
+            " may disagree on the vector space. Rerun"
+            " build_ivf_pq_index to completion before reading"
+        )
 
 
 def cosine_topk_ivf_pq(
@@ -798,9 +832,10 @@ def cosine_topk_ivf_pq(
     invariant, so the two spaces agree on the final scores."""
     from .similarity import _as_double, _dot, _norm, _route_queries
 
+    _check_not_building(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, m = meta["id_col"], int(meta["m"])
-    R = _load_rotation(spark, path)
+    R = _load_rotation(spark, path, meta_row=meta)
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     )
@@ -928,23 +963,29 @@ def cosine_topk_ivf_pq(
     )
 
 
-def _load_rotation(spark, path: str) -> np.ndarray | None:
+def _load_rotation(spark, path: str, meta_row=None) -> np.ndarray | None:
     """The OPQ pretransform, if this index has one. The meta table's
     ``space`` column is authoritative: "opq" REQUIRES the rotation
     table (missing ⇒ half-built index, fail loudly rather than serve
     unrotated queries against rotated codes — advisor finding r9);
     "plain" ignores any stale rotation a crashed rebuild left behind.
     Indexes written before the column existed fall back to
-    rotation-table presence."""
+    rotation-table presence. Callers that already collected the meta
+    row pass it as ``meta_row`` to skip a redundant read+collect
+    (r10 review finding)."""
     from .similarity import _ivf_fs
 
     fs, HPath = _ivf_fs(spark, path)
-    meta_df = spark.read.parquet(f"{path}/meta")
-    space = (
-        meta_df.collect()[0]["space"]
-        if "space" in meta_df.columns
-        else None
-    )
+    if meta_row is None:
+        meta_df = spark.read.parquet(f"{path}/meta")
+        space = (
+            meta_df.collect()[0]["space"]
+            if "space" in meta_df.columns
+            else None
+        )
+    else:
+        # Row.__contains__ tests VALUES, not field names — go via dict
+        space = meta_row.asDict().get("space")
     if space == "plain":
         return None
     has_rot = fs.exists(HPath(f"{path}/rotation"))
@@ -1029,9 +1070,10 @@ def _append_to_ivf_pq_index_locked(
     from .clustering import kmeans_assign
 
     spark = new_vectors.sparkSession
+    _check_not_building(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, vec_col, m = meta["id_col"], meta["vec_col"], int(meta["m"])
-    R = _load_rotation(spark, path)
+    R = _load_rotation(spark, path, meta_row=meta)
     if R is not None:  # OPQ index: append in the index's space
         new_vectors = rotate_vectors(new_vectors, R, vec_col=vec_col)
     cent_rows = (
@@ -1111,6 +1153,7 @@ def compact_ivf_pq_index(
     )
     from .textindex import _swap_dir
 
+    _check_not_building(spark, path)
     fs, HPath = _ivf_fs(spark, path)
     marker = HPath(_compact_marker(path))
     if not fs.createNewFile(marker):
@@ -1209,6 +1252,7 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         F.sum(bad_code.cast("long")).alias("bad_code"),
     ).collect()[0]
     from .similarity import (
+        _build_marker,
         _compact_marker,
         _ivf_fs,
         _live_append_leases,
@@ -1232,6 +1276,11 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
             fs.exists(HPath(f"{path}/codes.staging"))
         ),
         "stale_append_leases": _live_append_leases(fs, HPath, path),
+        # a rebuild crashed between table overwrites: the tables may
+        # MIX SPACES; probes/appends/health refuse while this exists
+        "stale_build_marker": bool(
+            fs.exists(HPath(_build_marker(path)))
+        ),
     }
     out["consistent"] = (
         out["bad_cluster_rows"] == 0
@@ -1242,6 +1291,7 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
         and not out["stale_compact_marker"]
         and not out["stale_staging_dir"]
         and not out["stale_append_leases"]
+        and not out["stale_build_marker"]
     )
     return out
 
@@ -1268,9 +1318,10 @@ def ivf_pq_index_stats(
     OPQ indexes: the caller's float corpus rotates into the index's
     space before the error kernel (the stored centroids/codebooks
     live there)."""
+    _check_not_building(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col, m = meta["id_col"], int(meta["m"])
-    R = _load_rotation(spark, path)
+    R = _load_rotation(spark, path, meta_row=meta)
     if R is not None:
         corpus = rotate_vectors(
             corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>")),

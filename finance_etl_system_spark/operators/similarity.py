@@ -313,6 +313,10 @@ def _compact_marker(path: str) -> str:
     return f"{path}/_COMPACTING"
 
 
+def _build_marker(path: str) -> str:
+    return f"{path}/_BUILDING"
+
+
 def _append_lease(path: str, token: str) -> str:
     return f"{path}/_APPENDING.{token}"
 

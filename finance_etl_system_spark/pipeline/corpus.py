@@ -83,6 +83,7 @@ def _chunk_dup_doc_ids(
     id_col: str,
     threshold: float,
     history_chunks: DataFrame | None = None,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """ids of docs whose byte share in DUPLICATED chunks ≥ threshold.
 
@@ -95,16 +96,26 @@ def _chunk_dup_doc_ids(
     rebuild exactly (no chain dependency through drop decisions).
 
     One chunking pass + one min-groupBy + one chunk-keyed join:
-    O(chunks), never docs²."""
-    chunks = content_defined_chunks(d, text_col=text_col, id_col=id_col)
+    O(chunks), never docs². Pass a pre-materialized ``chunks`` frame
+    (content_defined_chunks output, ideally checkpointed) when the
+    caller also needs the chunk table — the frame feeds both the
+    owners groupBy and the per-doc join, so an unmaterialized lineage
+    re-runs the per-byte rolling-hash UDF per consumer (r10 review
+    finding)."""
+    if chunks is None:
+        chunks = content_defined_chunks(
+            d, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
     owners = chunks.groupBy("chunk_hash").agg(
         F.min(id_col).alias("_owner")
     )
     if history_chunks is not None:
         owners = owners.join(
-            history_chunks.select("chunk_hash").withColumn(
-                "_hist", F.lit(True)
-            ),
+            # distinct: a duplicate hash row in the history frame
+            # would fan out the owner join and double-count bytes
+            history_chunks.select("chunk_hash")
+            .distinct()
+            .withColumn("_hist", F.lit(True)),
             "chunk_hash",
             "left",
         )
@@ -377,18 +388,21 @@ def corpus_increment(
     #     chunks (this stage's own drops included), mirroring sig.
     new_chunks = state.get("chunks")
     if chunk_dup_threshold is not None:
+        # chunk ONCE (checkpointed): the frame feeds the dup test, the
+        # state update, and both sides inside the helper — without the
+        # barrier the per-byte rolling-hash UDF re-runs per consumer
+        batch_chunks = content_defined_chunks(
+            d, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
         chunk_dups = _chunk_dup_doc_ids(
             d,
             text_col=text_col,
             id_col=id_col,
             threshold=chunk_dup_threshold,
             history_chunks=state["chunks"],
+            chunks=batch_chunks,
         )
-        batch_chunk_hashes = (
-            content_defined_chunks(d, text_col=text_col, id_col=id_col)
-            .select("chunk_hash")
-            .distinct()
-        )
+        batch_chunk_hashes = batch_chunks.select("chunk_hash").distinct()
         new_chunks = state["chunks"].unionByName(
             batch_chunk_hashes.join(
                 state["chunks"], "chunk_hash", "left_anti"

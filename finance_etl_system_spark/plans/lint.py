@@ -42,10 +42,18 @@ def _is_bounded(node) -> bool:
 
 
 def _subtree_bounded(node) -> bool:
+    """Bounded = a limit / zero-grouping aggregate, or a node ALL of
+    whose children are bounded. The all-children rule is what makes a
+    JOIN honest: a join with one bounded side is NOT bounded (the
+    other side still streams through), whereas project/filter/sort
+    over a limit, or a join of two limits, is. A leaf (scan) has no
+    children and is unbounded."""
     if _is_bounded(node):
         return True
     kids = node.children()
-    return any(
+    if kids.size() == 0:
+        return False
+    return all(
         _subtree_bounded(kids.apply(i)) for i in range(kids.size())
     )
 

@@ -319,3 +319,83 @@ def test_recall_report_on_anisotropic_fixture(spark):
     assert rep["pq_opq_np"][0] >= rep["pq"][0]
     assert rep["pq_opq_np"][1] >= rep["pq"][1]
     assert rep["pq_opq_np"] != rep["pq"], rep
+
+
+@pytest.mark.timeout(600)
+def test_building_marker_fences_all_readers(spark, tmp_path):
+    """r10 review finding: between build_ivf_pq_index's first table
+    overwrite and its meta commit the tables can MIX SPACES (e.g.
+    plain meta over freshly rotated codes) — undetectable by any
+    flag-consistency check. The build therefore holds a _BUILDING
+    sentinel across the write sequence; every reader must refuse
+    while it exists, verify must report it, and a completed build
+    must remove it."""
+    import os
+
+    from finance_etl_system_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        compact_ivf_pq_index,
+        cosine_topk_ivf_pq,
+        ivf_pq_index_stats,
+        verify_ivf_pq_index,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "fence")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    # completed build leaves no marker and verifies consistent
+    assert not os.path.exists(f"{path}/_BUILDING")
+    assert verify_ivf_pq_index(spark, path)["consistent"]
+
+    # simulate a crash mid-rebuild: plant the marker
+    open(f"{path}/_BUILDING", "w").close()
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(RuntimeError, match="_BUILDING"):
+        cosine_topk_ivf_pq(spark, path, queries, k=5).collect()
+    with pytest.raises(RuntimeError, match="_BUILDING"):
+        append_to_ivf_pq_index(corpus.limit(3), path, batch_id=7)
+    with pytest.raises(RuntimeError, match="_BUILDING"):
+        ivf_pq_index_stats(spark, path, corpus).collect()
+    with pytest.raises(RuntimeError, match="_BUILDING"):
+        compact_ivf_pq_index(spark, path)
+    rep = verify_ivf_pq_index(spark, path)
+    assert rep["stale_build_marker"] and not rep["consistent"]
+    # compact's refusal must not leave its own marker behind
+    assert not os.path.exists(f"{path}/_COMPACTING")
+
+    # a blind rebuild must refuse too (writer-writer fence) ...
+    with pytest.raises(RuntimeError, match="_BUILDING"):
+        build_ivf_pq_index(
+            corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+            id_col="vec_id",
+        )
+    # ... and the manual-heal protocol (delete marker, rerun) works
+    os.remove(f"{path}/_BUILDING")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=16, k_codes=32,
+        id_col="vec_id",
+    )
+    assert not os.path.exists(f"{path}/_BUILDING")
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=5, rerank_with=corpus, rerank=20
+    ).collect()
+    assert {r["qid"] for r in got} == {0, 1}
+
+
+def test_recall_report_empty_queries_returns_empty(spark):
+    from finance_etl_system_spark.operators.ann import recall_report
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    empty = corpus.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = recall_report(empty, corpus, {"pq": {"dim": DIM, "rerank": 5}})
+    assert out.columns == [
+        "method", "n_results", "recall_avg", "recall_min"
+    ]
+    assert out.count() == 0
