@@ -202,3 +202,69 @@ def chunk_dedup_stats(
         )
         .orderBy(id_col)
     )
+
+
+def chunk_dup_doc_ids(
+    d: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    history_chunks: DataFrame | None = None,
+    chunks: DataFrame | None = None,
+) -> DataFrame:
+    """ids of docs whose byte share in DUPLICATED chunks ≥ threshold.
+
+    A chunk counts as duplicated for doc x when its hash was first
+    seen in a SMALLER-id exact-dedup survivor (min-id ownership) or in
+    ``history_chunks`` (earlier increments — monotone ids make every
+    history doc smaller). Ownership is computed over ALL exact
+    survivors, independent of whether the owner itself gets dropped —
+    that keeps the rule order-independent, so increments reproduce the
+    rebuild exactly (no chain dependency through drop decisions).
+
+    One chunking pass + one min-groupBy + one chunk-keyed join:
+    O(chunks), never docs². Pass a pre-materialized ``chunks`` frame
+    (content_defined_chunks output, ideally checkpointed) when the
+    caller also needs the chunk table — the frame feeds both the
+    owners groupBy and the per-doc join, so an unmaterialized lineage
+    re-runs the per-byte rolling-hash UDF per consumer (r10 review
+    finding)."""
+    if chunks is None:
+        chunks = content_defined_chunks(
+            d, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+    owners = chunks.groupBy("chunk_hash").agg(
+        F.min(id_col).alias("_owner")
+    )
+    if history_chunks is not None:
+        owners = owners.join(
+            # distinct: a duplicate hash row in the history frame
+            # would fan out the owner join and double-count bytes
+            history_chunks.select("chunk_hash")
+            .distinct()
+            .withColumn("_hist", F.lit(True)),
+            "chunk_hash",
+            "left",
+        )
+    else:
+        owners = owners.withColumn("_hist", F.lit(False))
+    per_doc = (
+        chunks.join(owners, "chunk_hash")
+        .withColumn(
+            "_dup",
+            F.coalesce(F.col("_hist"), F.lit(False))
+            | (F.col("_owner") < F.col(id_col)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("chunk_len").alias("_n_bytes"),
+            F.sum(
+                F.when(F.col("_dup"), F.col("chunk_len")).otherwise(0)
+            ).alias("_dup_bytes"),
+        )
+    )
+    return per_doc.filter(
+        (F.col("_n_bytes") > 0)
+        & (F.col("_dup_bytes") / F.col("_n_bytes") >= threshold)
+    ).select(id_col)

@@ -54,7 +54,11 @@ def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
         # (messages vary across Spark versions/locales); fall back to
         # an existence probe through the Hadoop FS API so a changed
         # class name can never crash every first run
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = (
+            e.getCondition()
+            if hasattr(e, "getCondition")  # Spark 4 name;
+            else getattr(e, "getErrorClass", lambda: None)()
+        )
         if cls == "PATH_NOT_FOUND" or not _path_exists(spark, state_dir):
             return spark.createDataFrame([], _SIG_SCHEMA)
         raise

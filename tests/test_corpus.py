@@ -174,7 +174,7 @@ def test_corpus_chunk_stage_drops_subdocument_duplicates(spark):
     (plus a unique tail) slips past exact dedup; the chunk stage must
     flag exactly it — min-id ownership keeps the original, unrelated
     content untouched."""
-    from finance_etl_system_spark.pipeline.corpus import _chunk_dup_doc_ids
+    from finance_etl_system_spark.operators.chunking import chunk_dup_doc_ids
 
     # high-TTR prose (every word distinct) so only the chunk rule acts
     base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(60))
@@ -187,7 +187,7 @@ def test_corpus_chunk_stage_drops_subdocument_duplicates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     flagged = {
         r.doc_id
-        for r in _chunk_dup_doc_ids(
+        for r in chunk_dup_doc_ids(
             docs, text_col="text", id_col="doc_id", threshold=0.6
         ).collect()
     }

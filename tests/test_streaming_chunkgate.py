@@ -1,0 +1,149 @@
+"""Streaming CDC chunk-dedup gate (streaming/chunkgate.py): routing
+matches the batch rule over the concatenated corpus (monotone-id
+contract), a retried batch converges byte-equal (state is read minus
+the batch's own partition), the chunk-hash state accumulates exactly
+once per hash, and the generic sink audit recomputes from rows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from finance_etl_system_spark.operators.chunking import chunk_dup_doc_ids
+from finance_etl_system_spark.streaming.chunkgate import (
+    chunk_gate_batch,
+    stream_chunk_gate,
+)
+
+# every word distinct → high TTR; long enough to span several chunks
+BASE = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(60))
+OTHER = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(60))
+THIRD = " ".join(f"etaa{i} theta{i} iota{i}" for i in range(60))
+
+
+def _batches():
+    # batch 0: two originals; batch 1: a near-copy of doc 0 (embedded
+    # bytes) + fresh content; batch 2: a copy of batch-1 content
+    b0 = [{"doc_id": 0, "text": BASE}, {"doc_id": 1, "text": OTHER}]
+    b1 = [
+        {"doc_id": 10, "text": BASE + " unique closing remarks here"},
+        {"doc_id": 11, "text": THIRD},
+    ]
+    b2 = [{"doc_id": 20, "text": THIRD + " with a tiny new tail"}]
+    return [b0, b1, b2]
+
+
+def _all_docs_df(spark):
+    rows = [
+        (d["doc_id"], d["text"]) for b in _batches() for d in b
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gate_batch_replay_converges_and_state_grows_once(spark, tmp_path):
+    kept = str(tmp_path / "kept")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "state")
+    dfs = [
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in b], "doc_id long, text string"
+        )
+        for b in _batches()
+    ]
+    for i, df in enumerate(dfs):
+        chunk_gate_batch(df, i, kept, rej, state, threshold=0.6)
+    kept_ids = {r.doc_id for r in spark.read.parquet(kept).collect()}
+    rej_ids = {r.doc_id for r in spark.read.parquet(rej).collect()}
+    assert kept_ids == {0, 1, 11}
+    assert rej_ids == {10, 20}
+
+    snapshot = sorted(
+        (r.chunk_hash, r.batch_id)
+        for r in spark.read.parquet(state).collect()
+    )
+    # each hash lives in exactly ONE batch partition (cross-batch
+    # anti-join): no hash appears twice
+    hashes = [h for h, _ in snapshot]
+    assert len(hashes) == len(set(hashes))
+
+    # REPLAY batch 1 (same batch_id): sinks and state byte-converge —
+    # the state read excludes the batch's own partition, so the
+    # decision can't flip against its own first attempt
+    chunk_gate_batch(dfs[1], 1, kept, rej, state, threshold=0.6)
+    assert {r.doc_id for r in spark.read.parquet(kept).collect()} == kept_ids
+    assert {r.doc_id for r in spark.read.parquet(rej).collect()} == rej_ids
+    assert snapshot == sorted(
+        (r.chunk_hash, r.batch_id)
+        for r in spark.read.parquet(state).collect()
+    )
+
+
+def test_streamed_decisions_equal_batch_rule(spark, tmp_path):
+    """Monotone-id contract: the stream's cumulative keep/drop set
+    equals chunk_dup_doc_ids over the concatenated corpus."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, docs in enumerate(_batches()):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(d) for d in docs)
+        )
+    kept = str(tmp_path / "kept")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "state")
+    q = stream_chunk_gate(
+        spark, str(src), kept, rej, state,
+        str(tmp_path / "ckpt"), threshold=0.6,
+    )
+    q.awaitTermination(120)
+
+    streamed_rejected = {
+        r.doc_id for r in spark.read.parquet(rej).collect()
+    }
+    batch_rejected = {
+        r.doc_id
+        for r in chunk_dup_doc_ids(
+            _all_docs_df(spark),
+            text_col="text",
+            id_col="doc_id",
+            threshold=0.6,
+        ).collect()
+    }
+    assert streamed_rejected == batch_rejected
+    kept_ids = {r.doc_id for r in spark.read.parquet(kept).collect()}
+    all_ids = {d["doc_id"] for b in _batches() for d in b}
+    assert kept_ids == all_ids - batch_rejected
+
+    # the generic sink audit (streaming/classifier.py) recomputes
+    # per-batch numbers from the sinks' own rows
+    from finance_etl_system_spark.streaming.classifier import (
+        classifier_gate_audit,
+    )
+
+    audit = {
+        r.batch_id: (r.n_docs, r.n_kept, r.n_rejected)
+        for r in classifier_gate_audit(spark, kept, rej).collect()
+    }
+    assert audit[0] == (2, 2, 0)
+    assert audit[1] == (2, 1, 1)
+    assert audit[2] == (1, 0, 1)
+
+
+def test_empty_and_all_dup_batches(spark, tmp_path):
+    kept = str(tmp_path / "kept")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "state")
+    d0 = spark.createDataFrame(
+        [(0, BASE)], "doc_id long, text string"
+    )
+    chunk_gate_batch(d0, 0, kept, rej, state, threshold=0.6)
+    # an all-duplicate batch: rejected written, kept partition absent
+    d1 = spark.createDataFrame(
+        [(5, BASE + " x")], "doc_id long, text string"
+    )
+    chunk_gate_batch(d1, 1, kept, rej, state, threshold=0.6)
+    assert {r.doc_id for r in spark.read.parquet(rej).collect()} == {5}
+    # empty batch: no-op, nothing breaks
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    chunk_gate_batch(empty, 2, kept, rej, state, threshold=0.6)
+    assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {0}
