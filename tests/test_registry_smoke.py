@@ -27,12 +27,21 @@ _GLOBAL_WINDOW_ALLOWED = {
     # (operators/packing.py two-phase grouped prefix sum)
     "pack_sequences",
     "pack_bpe",
+    # curriculum_pack embeds the same prefix_pack bucket windows plus
+    # a bucket-boundary lag over the n_buckets-row offset frame
+    "curriculum_pack",
     # the same packing stage composed inside the corpus pipeline
     "corpus_pipeline",
     "corpus_incremental",
     # rolling stats over a per-trading-DATE aggregate: input rows =
     # distinct dates (calendar-bounded, ~10^4 even at decades)
     "rolling_correlation",
+    # KS bracket's cumulative/lag windows over the ≤100-row histogram
+    # bucket table (queries/drift.py docstrings carry the bound); the
+    # groupBy(bucket) child is bounded by bisect edges, not by a
+    # limit the lint can see
+    "drift_ks_histogram",
+    "drift_ks_refined",
     # NTILE over the per-customer aggregate (|customers| rows, not
     # fact rows) — the portable-SQL showcase; the two-pass
     # percentile-cut swap is documented in queries/sqlapi.py
