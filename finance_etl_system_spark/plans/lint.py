@@ -19,12 +19,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 # nodes whose output is structurally bounded: the driver-k limit
-# family, or an aggregate with no grouping columns (exactly one row)
+# family, a driver-local literal relation (spark.createDataFrame of a
+# Python list — driver-sized by construction), or an aggregate with
+# no grouping columns (exactly one row)
 _LIMIT_NODES = (
     "TakeOrderedAndProject",
     "GlobalLimit",
     "LocalLimit",
     "CollectLimit",
+    "LocalTableScan",
+    "OneRowRelation",
+    # driver createDataFrame(list) plans as Scan ExistingRDD; treating
+    # it as bounded leans on the repo-wide invariant that RDDs never
+    # carry data-scale rows (CLAUDE.md/README "DataFrame, not RDD" —
+    # every ExistingRDD in this engine is a driver-built literal
+    # frame: band tables, centroid frames, bucket offsets)
+    "Scan ExistingRDD",
 )
 
 
@@ -80,6 +90,40 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             if unpartitioned and not any(
                 _subtree_bounded(node.children().apply(i))
                 for i in range(node.children().size())
+            ):
+                bad.append(f"{name}: {node.simpleString(120)}")
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    return bad
+
+
+def unbounded_cross_joins(df: DataFrame) -> list[str]:
+    """Node strings of every cartesian-shaped join in ``df``'s
+    physical plan with NO structurally bounded side — the other
+    hidden scale-killer next to global windows: a cross join of two
+    data-sized inputs is |A|×|B| work. The repo's sanctioned cross
+    joins all broadcast a 1-row aggregate or a driver-k frame onto
+    the data side (scalar totals, bucket-offset frames); those prove
+    bounded on one side by the same limit/zero-grouping-aggregate
+    rule the window lint uses. Anything this returns either needs a
+    justification in the caller's allowlist or is a real defect.
+
+    Covers ``CartesianProduct`` and ``BroadcastNestedLoopJoin``
+    (the two shapes Spark plans when no equi-key exists).
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith(("CartesianProduct", "BroadcastNestedLoopJoin")):
+            kids = node.children()
+            if not any(
+                _subtree_bounded(kids.apply(i))
+                for i in range(kids.size())
             ):
                 bad.append(f"{name}: {node.simpleString(120)}")
         kids = node.children()

@@ -109,3 +109,58 @@ def test_giant_clique_converges_in_two_rounds(spark):
     labels, rounds = _connected_components_with_rounds(edges)
     assert rounds <= 2, rounds
     assert set(_labels(labels).values()) == {0}
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: on ANY random edge list the star-CC labels equal a
+    driver-side union-find's min-root labels (r10 rewrite safety
+    net — the alternation's correctness argument is subtle enough
+    to deserve adversarial inputs; hypothesis shrinks failures to a
+    minimal graph)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from finance_etl_system_spark.operators.graph import (
+        _connected_components_with_rounds,
+    )
+
+    def union_find_labels(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        labels, rounds = _connected_components_with_rounds(df)
+        got = _labels(labels)
+        assert got == union_find_labels(edges)
+        # O(log n) bound: 41 nodes can never need more than 7 rounds
+        assert rounds <= 7, rounds
+
+    check()

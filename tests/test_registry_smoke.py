@@ -48,10 +48,32 @@ _GLOBAL_WINDOW_ALLOWED = {
     "sql_customer_segments",
 }
 
+# Cartesian-shaped joins (CartesianProduct / BroadcastNestedLoopJoin)
+# with no structurally bounded side. Each entry documents why the
+# actual row counts are bounded even though the lint can't prove it.
+_CROSS_JOIN_ALLOWED = {
+    # corpus × query-set: the query frame is embeddings filtered to
+    # ≤5 ids — driver-sized by the kNN contract (queries are always
+    # collected for LUTs/brute scoring), but structurally a filtered
+    # scan the lint can't bound
+    "knn_bruteforce",
+    "knn_ivf",
+    "hybrid_search_rrf",
+    # documented exact all-pairs ground-truth path; the LSH variant
+    # (dedup_embedding_cosine_lsh) is the scale path
+    "dedup_embedding_cosine",
+    # supplier-name self-join banded by |len(a)-len(b)| ≤ 2 — a
+    # dim-sized entity-resolution primitive (queries/text.py)
+    "fuzzy_match",
+}
+
 
 def test_every_registered_query_runs(spark):
     import __spark_entry__ as entry
-    from finance_etl_system_spark.plans.lint import unbounded_global_windows
+    from finance_etl_system_spark.plans.lint import (
+        unbounded_cross_joins,
+        unbounded_global_windows,
+    )
 
     qs = entry.queries()
     oracle = entry.oracle_sql()
@@ -60,7 +82,9 @@ def test_every_registered_query_runs(spark):
 
     failures = {}
     window_violations = {}
-    allowed_hits = set()
+    cross_violations = {}
+    window_hits = set()
+    cross_hits = set()
     for name, fn in qs.items():
         try:
             df = fn(spark, SF_SMOKE)
@@ -68,18 +92,28 @@ def test_every_registered_query_runs(spark):
             bad = unbounded_global_windows(df)
             if bad:
                 if name in _GLOBAL_WINDOW_ALLOWED:
-                    allowed_hits.add(name)
+                    window_hits.add(name)
                 else:
                     window_violations[name] = bad[0][:160]
+            bad = unbounded_cross_joins(df)
+            if bad:
+                if name in _CROSS_JOIN_ALLOWED:
+                    cross_hits.add(name)
+                else:
+                    cross_violations[name] = bad[0][:160]
             df.count()
         except Exception as exc:  # noqa: BLE001 — collect all failures
             failures[name] = repr(exc)[:200]
     assert not failures, failures
     assert not window_violations, window_violations
-    # the allowlist must not rot: an entry whose query no longer plans
-    # a global window should be removed with its justification
-    assert allowed_hits == _GLOBAL_WINDOW_ALLOWED, (
-        _GLOBAL_WINDOW_ALLOWED - allowed_hits
+    assert not cross_violations, cross_violations
+    # the allowlists must not rot: an entry whose query no longer
+    # plans the flagged shape should be removed with its justification
+    assert window_hits == _GLOBAL_WINDOW_ALLOWED, (
+        _GLOBAL_WINDOW_ALLOWED - window_hits
+    )
+    assert cross_hits == _CROSS_JOIN_ALLOWED, (
+        _CROSS_JOIN_ALLOWED - cross_hits
     )
 
 
