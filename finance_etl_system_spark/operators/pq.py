@@ -722,7 +722,11 @@ def build_ivf_pq_index(
         cluster_col="cluster",
         residual_centroids=cents_hat,
     )
-    from .similarity import _build_marker
+    from .similarity import (
+        _build_marker,
+        _compact_marker,
+        _live_append_leases,
+    )
 
     fs, HPath = _ivf_fs(spark, path)
     fs.mkdirs(HPath(path))
@@ -735,6 +739,30 @@ def build_ivf_pq_index(
             " no rebuild is running, delete the marker and rerun — "
             "the same manual-heal protocol as _COMPACTING"
         )
+    # the two-flag protocol in the BUILD direction (r10 review): the
+    # marker is taken FIRST (fences new appends/compactions), THEN
+    # in-flight writers are checked — whichever way a rebuild and an
+    # append/compaction interleave, at least one observes the other.
+    # Without this, an append racing the rebuild could encode against
+    # the OLD model and land its batch in the NEW codes table.
+    try:
+        if fs.exists(HPath(_compact_marker(path))):
+            raise RuntimeError(
+                f"IVF-PQ index at {path} is being compacted"
+                " (_COMPACTING marker present); rebuild after the"
+                " compaction finishes — its directory swap would"
+                " promote old-model codes over this build"
+            )
+        leases = _live_append_leases(fs, HPath, path)
+        if leases:
+            raise RuntimeError(
+                f"IVF-PQ index at {path} has in-flight appends"
+                f" ({leases}); rebuild after they finish — a racing"
+                " append would land old-model codes in the new table"
+            )
+    except Exception:
+        fs.delete(marker, False)  # back off: leave no stale fence
+        raise
     with partition_overwrite(spark, "static"):
         (
             codes.select(
@@ -800,7 +828,8 @@ def _check_not_building(spark, path: str) -> None:
             f"IVF-PQ index at {path} has a _BUILDING marker: a"
             " rebuild is in progress or crashed between table"
             " overwrites — the codes/centroids/rotation/meta tables"
-            " may disagree on the vector space. Rerun"
+            " may disagree on the vector space. After confirming no"
+            " rebuild is running, delete the marker and rerun"
             " build_ivf_pq_index to completion before reading"
         )
 
@@ -1217,40 +1246,15 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
       or a hard-killed append (round 8, with the compaction path —
       same fields as verify_ivf_index).
 
-    One scan of the codes table; all aggregates id- or shape-sized."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    id_col = meta["id_col"]
-    k_clusters, m, k_codes = (
-        int(meta["k_clusters"]), int(meta["m"]), int(meta["k_codes"])
-    )
-    cent_ids = {
-        r["cluster"]
-        for r in spark.read.parquet(f"{path}/centroids")
-        .select("cluster").collect()
-    }
-    missing_centroids = sorted(set(range(k_clusters)) - cent_ids)
-    cb = spark.read.parquet(f"{path}/codebooks")
-    have_codewords = {
-        (r["sub"], r["code"])
-        for r in cb.select("sub", "code").collect()
-    }
-    missing_codewords = sorted(
-        {(s, j) for s in range(m) for j in range(k_codes)} - have_codewords
-    )
-    codes = spark.read.parquet(f"{path}/codes")
-    bad_code = (F.size("codes") != m) | F.exists(
-        "codes", lambda x: (x < 0) | (x >= k_codes)
-    )
-    agg = codes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("n_ids"),
-        F.sum(
-            (
-                (F.col("cluster") < 0) | (F.col("cluster") >= k_clusters)
-            ).cast("long")
-        ).alias("bad_cluster"),
-        F.sum(bad_code.cast("long")).alias("bad_code"),
-    ).collect()[0]
+    One scan of the codes table; all aggregates id- or shape-sized.
+
+    Fence flags are checked BEFORE any table read (r10 review): the
+    crashed-mid-rebuild state the ``_BUILDING`` marker exists for can
+    leave the meta/codes dirs half-written, and the verifier is
+    exactly the tool the heal protocol says to run then — a table
+    read that fails while any fence flag is set is reported as
+    ``read_error`` in a minimal (inconsistent) report instead of
+    raising."""
     from .similarity import (
         _build_marker,
         _compact_marker,
@@ -1259,16 +1263,7 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
     )
 
     fs, HPath = _ivf_fs(spark, path)
-    out = {
-        "k_clusters": k_clusters,
-        "m": m,
-        "k_codes": k_codes,
-        "n_vectors": int(agg["n"]),
-        "bad_cluster_rows": int(agg["bad_cluster"] or 0),
-        "bad_code_rows": int(agg["bad_code"] or 0),
-        "missing_centroids": missing_centroids,
-        "missing_codewords": missing_codewords,
-        "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
+    fences = {
         "stale_compact_marker": bool(
             fs.exists(HPath(_compact_marker(path)))
         ),
@@ -1282,16 +1277,73 @@ def verify_ivf_pq_index(spark, path: str) -> dict:
             fs.exists(HPath(_build_marker(path)))
         ),
     }
+    fenced = any(bool(v) for v in fences.values())
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    except Exception as e:  # noqa: BLE001 — report under a fence
+        if fenced:
+            return {**fences, "consistent": False,
+                    "read_error": repr(e)[:200]}
+        raise
+    id_col = meta["id_col"]
+    k_clusters, m, k_codes = (
+        int(meta["k_clusters"]), int(meta["m"]), int(meta["k_codes"])
+    )
+    try:
+        cent_ids = {
+            r["cluster"]
+            for r in spark.read.parquet(f"{path}/centroids")
+            .select("cluster").collect()
+        }
+        missing_centroids = sorted(set(range(k_clusters)) - cent_ids)
+        cb = spark.read.parquet(f"{path}/codebooks")
+        have_codewords = {
+            (r["sub"], r["code"])
+            for r in cb.select("sub", "code").collect()
+        }
+        missing_codewords = sorted(
+            {(s, j) for s in range(m) for j in range(k_codes)}
+            - have_codewords
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        bad_code = (F.size("codes") != m) | F.exists(
+            "codes", lambda x: (x < 0) | (x >= k_codes)
+        )
+        agg = codes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("n_ids"),
+            F.sum(
+                (
+                    (F.col("cluster") < 0)
+                    | (F.col("cluster") >= k_clusters)
+                ).cast("long")
+            ).alias("bad_cluster"),
+            F.sum(bad_code.cast("long")).alias("bad_code"),
+        ).collect()[0]
+    except Exception as e:  # noqa: BLE001 — report under a fence
+        if fenced:
+            return {**fences, "consistent": False,
+                    "read_error": repr(e)[:200]}
+        raise
+    out = {
+        "k_clusters": k_clusters,
+        "m": m,
+        "k_codes": k_codes,
+        "n_vectors": int(agg["n"]),
+        "bad_cluster_rows": int(agg["bad_cluster"] or 0),
+        "bad_code_rows": int(agg["bad_code"] or 0),
+        "missing_centroids": missing_centroids,
+        "missing_codewords": missing_codewords,
+        "n_duplicate_ids": int(agg["n"]) - int(agg["n_ids"]),
+        **fences,
+    }
     out["consistent"] = (
         out["bad_cluster_rows"] == 0
         and out["bad_code_rows"] == 0
         and not missing_centroids
         and not missing_codewords
         and out["n_duplicate_ids"] == 0
-        and not out["stale_compact_marker"]
-        and not out["stale_staging_dir"]
-        and not out["stale_append_leases"]
-        and not out["stale_build_marker"]
+        and not fenced
     )
     return out
 
