@@ -14,8 +14,36 @@ tiebreak).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def literal_frame(
+    spark: SparkSession, rows: list, schema: str
+) -> DataFrame:
+    """A driver-built literal DataFrame that plans as
+    ``LocalTableScan`` — the node the plan lints (plans/lint.py) can
+    PROVE bounded — instead of ``Scan ExistingRDD``, which is
+    indistinguishable from checkpointed data-scale output and is
+    therefore no longer blessed by the lints (advisor finding r10).
+    Use this for every sanctioned driver-sized frame (band tables,
+    centroid frames, bucket offsets, kNN query sets) that feeds a
+    global window or a broadcast-nested-loop join.
+
+    Implementation: ``createDataFrame(python_list)`` takes the RDD
+    path, but round-tripping through a ``pandas.DataFrame`` takes the
+    Arrow/local-relation path and plans as LocalTableScan. The column
+    order comes from ``schema`` (a DDL string), so callers pass rows
+    as tuples in schema order exactly as with createDataFrame.
+    """
+    import pandas as pd
+
+    st = spark.createDataFrame([], schema).schema
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=names, dtype=object
+    )
+    return spark.createDataFrame(pdf, schema=st)
 
 
 def ranked_topk(df: DataFrame, key: list[Column], k: int) -> DataFrame:

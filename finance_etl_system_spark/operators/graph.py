@@ -16,7 +16,11 @@ round rewires edges toward per-neighborhood minima:
 - **small-star**: on edges oriented large→small, every node u rewires
   its ≤ neighbors (and itself) to their collective min.
 
-The alternation converges in **O(log n) rounds on any graph** —
+The plain alternation implemented here is proven **O(log² n) rounds
+on any graph** (Kiveris et al. prove O(log n) only for their
+Two-Phase/optimized variant; logarithmic-in-practice — the 256-node
+path fixture converges in ≤12 rounds, pinned in tests/test_graph.py,
+and the convergence guard fails loudly if max_iters is ever hit) —
 unlike min-label propagation, whose round count is the component
 DIAMETER (a 10 000-doc boilerplate chain = 10 000 rounds; the r9
 clone-replica pathology that motivated this rewrite is exactly the
@@ -28,7 +32,7 @@ Scale posture (100 TB):
 - Each half-round is one groupBy-min + one join over the EDGE table —
   near-dup graphs are sparse (|edges| ≈ |duplicated docs|), so the
   per-round cost is proportional to the duplicate population, not the
-  corpus; the round COUNT is now logarithmic, not diameter-bounded.
+  corpus; the round COUNT is now polylogarithmic, not diameter-bounded.
 - Lineage is cut every round with an eager localCheckpoint; without it
   the iterative join stacks plans exponentially and the driver OOMs on
   plan compilation long before data is a problem.
@@ -92,9 +96,11 @@ def connected_components(
     (singletons are trivially their own component and would dominate
     the output at corpus scale).
 
-    Raises if the loop hits ``max_iters`` without converging; with the
-    O(log n) star alternation that needs a graph of ~2^max_iters nodes
-    in one component, so the default covers any realistic corpus.
+    Raises if the loop hits ``max_iters`` without converging; the
+    star alternation halves label distances in practice (≤12 rounds
+    on a 256-node path, pinned), so the default covers any realistic
+    corpus — and the guard fails loudly rather than looping if a
+    pathological graph ever exceeds it.
     """
     labels, _rounds = _connected_components_with_rounds(
         edges, src, dst, max_iters=max_iters

@@ -684,6 +684,14 @@ def build_ivf_pq_index(
     # sentinel is created before the first overwrite and removed only
     # after the meta commit, and every reader (probe / append /
     # compact / health / verify) fails loudly while it exists.
+    # Residual race (advisor r10): readers are fenced only at ENTRY —
+    # _check_not_building is check-then-read with no reader lease, so
+    # a rebuild that takes the sentinel after a reader's check can
+    # overwrite tables under that reader's in-flight scan. Live
+    # rebuild-vs-reader isolation needs external coordination (run
+    # rebuilds in a maintenance window, or long readers re-check the
+    # marker before trusting collected results — see
+    # _check_not_building's docstring).
     if opq:
         if opq == "np":
             # final_pq_iters=0: only R is needed — the index retrains

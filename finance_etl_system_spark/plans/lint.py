@@ -19,22 +19,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 # nodes whose output is structurally bounded: the driver-k limit
-# family, a driver-local literal relation (spark.createDataFrame of a
-# Python list — driver-sized by construction), or an aggregate with
-# no grouping columns (exactly one row)
+# family, a driver-local literal relation (LocalTableScan — what a
+# createDataFrame over a pandas frame plans; the engine's sanctioned
+# literal-frame builders go through functions/frames.py::
+# literal_frame precisely so they plan as this provably-bounded
+# node), or an aggregate with no grouping columns (exactly one row).
+#
+# Deliberately NOT here (advisor findings r10):
+# - ``Scan ExistingRDD``: createDataFrame(python_list) plans as this,
+#   but so does ``localCheckpoint(eager=True)`` output — and the repo
+#   checkpoints corpus-scale frames (CC edges/labels, corpus_increment
+#   state). Blessing the node would silently wave a global window or
+#   cartesian join over checkpointed DATA-SCALE input through both
+#   lints. Driver-sized literal frames must use literal_frame()
+#   (→ LocalTableScan) or be allowlisted by the caller.
+# - ``LocalLimit``: caps rows PER PARTITION, so its output scales
+#   with partition count (k x nPartitions at 100 TB); only the global
+#   limit family above it is truly bounded.
 _LIMIT_NODES = (
     "TakeOrderedAndProject",
     "GlobalLimit",
-    "LocalLimit",
     "CollectLimit",
     "LocalTableScan",
     "OneRowRelation",
-    # driver createDataFrame(list) plans as Scan ExistingRDD; treating
-    # it as bounded leans on the repo-wide invariant that RDDs never
-    # carry data-scale rows (CLAUDE.md/README "DataFrame, not RDD" —
-    # every ExistingRDD in this engine is a driver-built literal
-    # frame: band tables, centroid frames, bucket offsets)
-    "Scan ExistingRDD",
 )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.columns import discounted_revenue, money_sum, tick_avg
+from ..functions.frames import literal_frame
 from ..operators.joins import asof_join, range_join
 
 
@@ -204,7 +205,12 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not a cartesian blow-up.
     """
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    # literal_frame (not createDataFrame(list)) so the 5-row band dim
+    # plans as LocalTableScan — the node the cross-join lint can PROVE
+    # bounded; the raw list would plan Scan ExistingRDD, which the
+    # lint no longer blesses (advisor finding r10)
+    bands = literal_frame(
+        spark,
         [
             ("tiny", 0.0, 50000.0),
             ("small", 50000.0, 125000.0),

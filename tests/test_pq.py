@@ -25,6 +25,7 @@ from finance_etl_system_spark.operators.similarity import (
     cosine_topk_bruteforce,
 )
 from tests.conftest import SF_SMOKE
+from tests.streamutil import finish
 
 DIM, M, K_CODES = 64, 8, 16
 
@@ -288,7 +289,7 @@ def test_ivf_pq_streaming_append_idempotent(spark, corpus, tmp_path):
         index_path=path, checkpoint_dir=str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    finish(q)
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.count() == base_n + len(rows)
     batches = {

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from tests.streamutil import finish
 from finance_etl_system_spark.pipeline.rollup import (
     incremental_time_rollup,
     rollup_aggregate,
@@ -96,11 +97,11 @@ def test_stream_rollup_maintains_continuous_aggregate(spark, tmp_path):
         (1, ("2024-01-01T10:00:00", "view", 1.0)),
         (2, ("2024-01-02T09:00:00", "click", 2.0)),
     ])
-    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt).awaitTermination(120)
+    finish(stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt))
 
     # late day-1 row arrives in batch 2
     emit("b2.json", [(3, ("2024-01-01T15:00:00", "view", 10.0))])
-    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt).awaitTermination(120)
+    finish(stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt))
 
     full = rollup_aggregate(spark.read.parquet(events_dir))
     assert _snap(spark.read.parquet(rollup_dir)) == _snap(full)
@@ -110,7 +111,7 @@ def test_stream_rollup_maintains_continuous_aggregate(spark, tmp_path):
     # redelivery): the event-id dedup must keep the log exact and the
     # rollup converged
     ckpt2 = str(tmp_path / "ckpt2")
-    stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt2).awaitTermination(120)
+    finish(stream_rollup(spark, str(src), events_dir, rollup_dir, ckpt2))
     assert spark.read.parquet(events_dir).count() == 3
     assert _snap(spark.read.parquet(rollup_dir)) == _snap(full)
 

@@ -15,6 +15,7 @@ from finance_etl_system_spark.operators.similarity import (
 from tests.conftest import SF_SMOKE
 
 import pyspark.sql.functions as F
+from tests.streamutil import finish
 
 
 @pytest.fixture(scope="module")
@@ -387,7 +388,7 @@ def test_ivf_streaming_append_idempotent(spark, tmp_path):
         index_path=path, checkpoint_dir=str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    finish(q)
 
     vecs = spark.read.parquet(f"{path}/vectors")
     assert vecs.count() == base_n + len(rows)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+from tests.streamutil import finish
 from finance_etl_system_spark.sources.readers import (
     DEFAULT_SYMBOLS,
     discover_symbols,
@@ -185,7 +186,7 @@ def test_python_datasource_streaming_offsets_resume(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     run_once()
     first = sorted(

@@ -9,6 +9,7 @@ import pandas as pd
 import pytest
 
 from finance_etl_system_spark.streaming.stateful import run_streaming_ema
+from tests.streamutil import finish
 
 
 @pytest.fixture(autouse=True)
@@ -42,7 +43,7 @@ def _write_batch(src, rows):
             fh.write(json.dumps({"key": ticker, "value": json.dumps(value)}) + "\n")
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(600)
 def test_streaming_ema_matches_pandas_across_batches(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")
@@ -56,7 +57,7 @@ def test_streaming_ema_matches_pandas_across_batches(spark, tmp_path):
         [("AAPL", f"2024-01-02T10:0{i}:00", c) for i, c in enumerate(closes_b1)],
     )
     q = run_streaming_ema(spark, str(src), out, ckpt, span=12)
-    q.awaitTermination(120)
+    finish(q)
 
     # second micro-batch: state must carry the EMA forward
     _write_batch(
@@ -64,7 +65,7 @@ def test_streaming_ema_matches_pandas_across_batches(spark, tmp_path):
         [("AAPL", f"2024-01-02T11:0{i}:00", c) for i, c in enumerate(closes_b2)],
     )
     q2 = run_streaming_ema(spark, str(src), out, ckpt, span=12)
-    q2.awaitTermination(120)
+    finish(q2)
 
     got = (
         spark.read.parquet(out)
@@ -78,7 +79,7 @@ def test_streaming_ema_matches_pandas_across_batches(spark, tmp_path):
         assert g == pytest.approx(e, abs=1e-9)
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(600)
 def test_streaming_ema_keys_are_independent(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")
@@ -92,7 +93,7 @@ def test_streaming_ema_keys_are_independent(spark, tmp_path):
         ],
     )
     q = run_streaming_ema(spark, str(src), out, ckpt, span=3)
-    q.awaitTermination(120)
+    finish(q)
     got = {
         (r["symbol"], str(r["event_time"])): r["ema"]
         for r in spark.read.parquet(out).collect()

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from finance_etl_system_spark.streaming.bars import run_stream_ohlc
+from tests.streamutil import finish
 
 TICKS_B1 = [  # minute bars 10:00 and 10:01
     ("AAPL", "2024-01-02T10:00:05", 10.0, 5),
@@ -63,14 +64,14 @@ def _check_bars(pdf: pd.DataFrame) -> None:
         assert got[key] == want, (key, got.get(key), want)
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(600)
 def test_declarative_bars_close_on_watermark(spark, tmp_path):
     src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
     _write_file(src, 0, TICKS_B1)
     _write_file(src, 1, TICKS_B2)
     _write_file(src, 2, SENTINEL)  # pushes the watermark past all bars
     q = run_stream_ohlc(spark, str(src), out, ckpt)
-    q.awaitTermination(180)
+    finish(q)
     bars = pd.read_parquet(out)
     closed = bars[bars.symbol != "FLUSH"]
     assert len(closed) == len(TRUTH)
@@ -157,7 +158,7 @@ def test_imperative_processor_logic_cross_batch():
     assert aapl_1001.open == 14.0 and aapl_1001.close == 13.0
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(600)
 def test_imperative_bars_cross_batch_state(spark, tmp_path):
     pytest.importorskip(
         "google.protobuf",
@@ -167,7 +168,7 @@ def test_imperative_bars_cross_batch_state(spark, tmp_path):
     _write_file(src, 0, TICKS_B1)
     _write_file(src, 1, TICKS_B2)
     q = run_stream_ohlc(spark, str(src), out, ckpt, imperative=True)
-    q.awaitTermination(180)
+    finish(q)
     snaps = pd.read_parquet(out)
     # update semantics: keep the last snapshot (max n_trades) per bar
     last = (

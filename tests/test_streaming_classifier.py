@@ -16,6 +16,7 @@ from finance_etl_system_spark.operators.quality_classifier import (
     logreg_score,
     logreg_train,
 )
+from tests.streamutil import finish
 from finance_etl_system_spark.streaming.classifier import (
     classifier_gate_audit,
     classifier_gate_batch,
@@ -87,7 +88,7 @@ def test_stream_end_to_end_matches_batch_scorer(spark, tmp_path):
         spark, str(src), kept, rej, str(tmp_path / "ckpt"), w,
         n_features=NF,
     )
-    q.awaitTermination(120)
+    finish(q)
     got_kept = {r.doc_id for r in spark.read.parquet(kept).collect()}
     # batch reference: same weights, same threshold
     ref = logreg_score(

@@ -11,6 +11,7 @@ import json
 
 from pyspark.sql import functions as F
 
+from tests.streamutil import finish
 from finance_etl_system_spark.streaming.mixture import (
     mixture_increment_batch,
     stream_mixture_budget,
@@ -128,7 +129,7 @@ def test_stream_end_to_end(spark, tmp_path):
     q = stream_mixture_budget(
         spark, str(src), kept_dir, ckpt, budgets=BUDGETS
     )
-    q.awaitTermination(120)
+    finish(q)
     kept = spark.read.parquet(kept_dir).collect()
     for src_name, budget in BUDGETS.items():
         total = sum(r["w"] for r in kept if r["source"] == src_name)

@@ -4,6 +4,7 @@ repeats, the hash128/string key equivalence, and short-doc edges."""
 
 from __future__ import annotations
 
+from tests.streamutil import finish
 from finance_etl_system_spark.operators.substring import (
     repeated_spans,
     scrub_repeated_spans,
@@ -182,7 +183,7 @@ def test_boilerplate_batch_retry_is_idempotent(spark, tmp_path):
     assert direct.exceptAll(merged).isEmpty()
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(600)
 def test_stream_boilerplate_end_to_end(spark, tmp_path):
     from finance_etl_system_spark.streaming.boilerplate import (
         stream_boilerplate,
@@ -198,7 +199,7 @@ def test_stream_boilerplate_end_to_end(spark, tmp_path):
     q = stream_boilerplate(
         spark, str(src), verd, counts, ckpt, k=4, min_count=2
     )
-    q.awaitTermination(120)
+    finish(q)
     got = sorted(
         (r.doc_id, r.span_start, r.span_end)
         for r in spark.read.parquet(verd).collect()
