@@ -114,6 +114,37 @@ HEADLINE: list[str] = [
 ]
 
 
+def _canary_sec(spark) -> float:
+    """Host-speed canary (r10 verdict item 3): one FIXED-SIZE,
+    IO-free shuffle+agg job timed alongside the headline set, so a
+    round-over-round total diff can be normalized mechanically
+    instead of re-adjudicating host noise every round (same code
+    measured 48.6-63.4 s across r10 hosts). 20M rows x ~10k groups
+    through whole-stage codegen and one shuffle exercises the same
+    machinery the headline queries do; best-of-2 (first run warms),
+    independent of SF and of any repo data."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 104729).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"),
+                 F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        best = min(best, _t.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -166,6 +197,7 @@ def main() -> None:
     # count + slowest query only. The full per-query map is persisted
     # to bench_history.jsonl (appended below) and per-query IO
     # counters to bench_io.json — both committed in-repo.
+    canary = _canary_sec(spark)
     slowest = max(timings, key=timings.get) if timings else ""
     line = {
         "metric": "headline_queries_total",
@@ -173,6 +205,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # fixed-size host-speed reference: divide round-over-round
+        # totals by the canary ratio before reading a regression
+        # (tools/bench_diff.py does this automatically)
+        "canary_sec": canary,
         # dict-typed for parsers that expect one, but only the
         # slowest entry — the full 75-query map lives in
         # bench_history.jsonl (this line must stay < ~500 B)
@@ -198,6 +234,7 @@ def main() -> None:
             "sf": sf,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
             "value": line["value"],
+            "canary_sec": canary,
             "queries": timings,
         }
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

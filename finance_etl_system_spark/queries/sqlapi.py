@@ -18,11 +18,19 @@ Portability rules for the shared strings (both engines):
   literal ``100.0`` as DECIMAL and would return DECIMAL columns
   (stringifying as '64377.50' vs the oracle's float '64377.5').
 
-Scale note: the segmentation query's unpartitioned NTILE ranks the
-per-customer AGGREGATE (|customers| rows, not fact rows) on one
-partition — fine into the tens of millions; beyond that swap in the
-two-pass percentile-cut pattern (approx quantiles of spend → range
-bucketing), which operators/sampling.py::stratified_sample shows.
+Scale note: the NTILE segmentation query's unpartitioned window
+ranks the per-customer AGGREGATE (|customers| rows, not fact rows)
+on one partition — fine into the tens of millions, and kept as the
+portable-SQL showcase — but |customers| grows with the corpus, so
+the scale path is ``sql_customer_segments_scalable`` below: the same
+output contract computed as a TWO-PASS percentile cut (1-row
+PERCENTILE_DISC aggregate of the spend distribution, cross-joined
+back and range-bucketed), whose plan has NO global window — the
+1-row cut frame broadcasts and every heavy node stays partitioned.
+Boundary tie rule (both engines, documented because it is where the
+two queries may differ): a customer whose spend equals a cut value
+goes to the LOWER-spend (higher-numbered) segment — NTILE instead
+splits ties by o_custkey to equalize counts.
 """
 
 from __future__ import annotations
@@ -79,6 +87,48 @@ GROUP BY segment
 ORDER BY segment
 """
 
+# Scale-safe segmentation twin (module docstring "Scale note"): same
+# per-segment output columns as _CUSTOMER_SEGMENTS_SQL, but the
+# quartile boundaries come from a 1-row PERCENTILE_DISC aggregate
+# that Spark broadcasts (BroadcastNestedLoopJoin over a
+# zero-grouping aggregate — the exact shape the cross-join lint
+# proves bounded), so no node ever single-tasks the |customers|-row
+# spend table. Cuts are CAST to BIGINT on both engines (Spark's
+# percentile_disc returns DOUBLE, DuckDB's BIGINT; ticks < 2^53 so
+# the round-trip is exact). Segment k = number of cuts strictly
+# below the customer's spend, counted from the top — ties at a cut
+# land in the lower-spend segment (see module docstring).
+_CUSTOMER_SEGMENTS_SCALABLE_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS ticks,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY ticks) AS BIGINT) AS q1,
+         CAST(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY ticks) AS BIGINT) AS q2,
+         CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY ticks) AS BIGINT) AS q3
+  FROM spend
+),
+seg AS (
+  SELECT s.o_custkey, s.ticks, s.n_orders,
+         CAST(4 - (CASE WHEN s.ticks > c.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN s.ticks > c.q2 THEN 1 ELSE 0 END
+                 + CASE WHEN s.ticks > c.q3 THEN 1 ELSE 0 END) AS INT) AS segment
+  FROM spend s CROSS JOIN cuts c
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(ticks) AS DOUBLE) / 100.0, 2) AS segment_revenue,
+       CAST(SUM(n_orders) AS BIGINT) AS segment_orders,
+       ROUND(CAST(MIN(ticks) AS DOUBLE) / 100.0, 2) AS min_spend,
+       ROUND(CAST(MAX(ticks) AS DOUBLE) / 100.0, 2) AS max_spend
+FROM seg
+GROUP BY segment
+ORDER BY segment
+"""
+
 _TABLES = ["region", "nation", "customer", "orders"]
 
 
@@ -100,12 +150,23 @@ def q_sql_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _CUSTOMER_SEGMENTS_SQL)
 
 
+def q_sql_customer_segments_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-pass percentile-cut segmentation — the 100x-safe twin of
+    ``sql_customer_segments`` (no global window in the plan; the
+    quartile cuts broadcast as a 1-row aggregate)."""
+    return _run_sql(spark, sf_dir, _CUSTOMER_SEGMENTS_SCALABLE_SQL)
+
+
 QUERIES = {
     "sql_region_share": q_sql_region_share,
     "sql_customer_segments": q_sql_customer_segments,
+    "sql_customer_segments_scalable": q_sql_customer_segments_scalable,
 }
 
 ORACLE = {
     "sql_region_share": _REGION_SHARE_SQL,
     "sql_customer_segments": _CUSTOMER_SEGMENTS_SQL,
+    "sql_customer_segments_scalable": _CUSTOMER_SEGMENTS_SCALABLE_SQL,
 }

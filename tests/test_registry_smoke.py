@@ -43,8 +43,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "drift_ks_histogram",
     "drift_ks_refined",
     # NTILE over the per-customer aggregate (|customers| rows, not
-    # fact rows) — the portable-SQL showcase; the two-pass
-    # percentile-cut swap is documented in queries/sqlapi.py
+    # fact rows) — kept as the portable-SQL showcase; the 100x-safe
+    # twin is its own oracle-checked, lint-clean query
+    # (sql_customer_segments_scalable, queries/sqlapi.py — r11)
     "sql_customer_segments",
 }
 

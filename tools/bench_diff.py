@@ -9,6 +9,8 @@ within each group (a query added mid-window takes its min over the
 runs that contain it). The min across several runs is the
 reproducible steady-state number; comparing mins cancels the
 environmental swing that a single-run diff mistakes for regression.
+Residual host-speed drift between windows is divided out via the
+fixed-size canary bench.py times each run (``canary_sec``).
 
 Prints a human table plus ONE machine-readable JSON line (last line
 of stdout, `"event": "bench_diff"`) for PROGRESS.jsonl. Exit 1 when a
@@ -61,6 +63,20 @@ def main() -> int:
     added = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
 
+    # host-speed normalization (r10 verdict item 3): bench.py times a
+    # fixed-size IO-free canary each run; the min-canary ratio between
+    # windows is pure host speed, so per-query ratios are divided by
+    # it before the threshold test. Runs predating the canary (no
+    # canary_sec key) leave norm at 1.0 — the old behavior.
+    def _canary_min(rs):
+        vals = [r["canary_sec"] for r in rs if "canary_sec" in r]
+        return min(vals) if vals else None
+
+    c_old, c_new = _canary_min(old_runs), _canary_min(new_runs)
+    norm = (c_new / c_old) if (c_old and c_new) else 1.0
+    print(f"canary: old {c_old} s, new {c_new} s -> host norm {norm:.3f}"
+          if c_old and c_new else "canary: absent in one window, norm 1.0")
+
     print(f"old window: {len(old_runs)} runs ending ts={old_runs[-1]['ts']}, "
           f"min-total {sum(old[q] for q in shared):.2f}s on shared queries")
     print(f"new window: {len(new_runs)} runs ending ts={new_runs[-1]['ts']}, "
@@ -69,8 +85,9 @@ def main() -> int:
     regressions = []
     for name in shared:
         a, b = old[name], new[name]
-        if a > 0 and b / a > args.threshold and b - a > 0.2:
-            regressions.append((name, a, b, round(b / a, 2)))
+        ratio = (b / a) / norm if a > 0 else 0.0
+        if a > 0 and ratio > args.threshold and b - a > 0.2:
+            regressions.append((name, a, b, round(ratio, 2)))
     if added:
         print(f"added: {', '.join(added)}")
     if dropped:
@@ -78,7 +95,8 @@ def main() -> int:
         # goes to zero and the total silently improves — hard failure
         print(f"DROPPED (investigate): {', '.join(dropped)}")
     if regressions:
-        print(f"regressions beyond {args.threshold}x (min-vs-min):")
+        print(f"regressions beyond {args.threshold}x "
+              "(min-vs-min, canary-normalized):")
         for name, a, b, r in sorted(regressions, key=lambda t: -t[3]):
             print(f"  {name}: {a:.2f}s -> {b:.2f}s ({r:.1f}x)")
     else:
@@ -87,6 +105,9 @@ def main() -> int:
     verdict = {
         "event": "bench_diff",
         "window": k,
+        "canary_old": c_old,
+        "canary_new": c_new,
+        "host_norm": round(norm, 3),
         "old_min_total": round(sum(old[q] for q in shared), 3),
         "new_min_total": round(sum(new[q] for q in shared), 3),
         "shared": len(shared),
