@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-from tests.conftest import SF_SMOKE
-
 
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
@@ -21,10 +19,11 @@ def test_queries_and_oracle_keys_align(spark):
     assert set(oracle) <= set(qs)
 
 
-def test_every_query_runs_at_smoke_sf(spark):
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, SF_SMOKE)
-        assert df.count() >= 0, name
+# NOTE: the every-query-runs sweep lives ONLY in
+# tests/test_registry_smoke.py::test_every_registered_query_runs —
+# it counts every frame AND lints every plan. A second full sweep
+# here cost ~6 min of suite wall for zero extra coverage (r10 verdict
+# item 2: the '~6 min' suite had drifted to ~38 min).
 
 
 def test_bench_headline_names_all_registered():

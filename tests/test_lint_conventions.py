@@ -55,6 +55,40 @@ def _engine_files():
     return sorted(ENGINE.rglob("*.py"))
 
 
+def test_literal_frame_plans_as_local_table_scan(spark):
+    """literal_frame exists so driver literals are PROVABLY bounded:
+    it must plan LocalTableScan (lint-bounded), where the raw-list
+    createDataFrame plans Scan ExistingRDD (no longer blessed)."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_system_spark.functions.frames import literal_frame
+    from finance_etl_system_spark.plans.lint import unbounded_cross_joins
+
+    lf = literal_frame(
+        spark, [("a", 1.0, 2.0), ("b", 2.0, 3.0)], "band string, lo double, hi double"
+    )
+    assert lf._jdf.queryExecution().sparkPlan().nodeName().startswith(
+        "LocalTableScan"
+    )
+    assert [tuple(r) for r in lf.orderBy("band").collect()] == [
+        ("a", 1.0, 2.0), ("b", 2.0, 3.0),
+    ]
+    # and the cross-join lint accepts a BNLJ whose build side is one
+    big = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    joined = big.join(
+        lf, (big.v >= lf.lo) & (big.v < lf.hi), "inner"
+    )
+    assert unbounded_cross_joins(joined) == []
+    # while the raw-list frame is (correctly) NOT provable
+    raw = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "band string, lo double, hi double"
+    )
+    joined_raw = big.join(
+        raw, (big.v >= raw.lo) & (big.v < raw.hi), "inner"
+    )
+    assert unbounded_cross_joins(joined_raw)
+
+
 def test_no_rdd_parallelize_in_engine():
     hits = [
         str(p.relative_to(ENGINE))

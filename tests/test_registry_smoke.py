@@ -17,56 +17,24 @@ hiding among the benign "No Partition Defined" log warnings
 
 from __future__ import annotations
 
+from finance_etl_system_spark.plans.allowlists import (
+    CROSS_JOIN_ALLOWED,
+    GLOBAL_WINDOW_ALLOWED,
+)
 from tests.conftest import SF_SMOKE
 
-# Global windows whose boundedness is SEMANTIC (the lint can't see it
-# in the plan). Each entry documents why the window input is small.
-_GLOBAL_WINDOW_ALLOWED = {
-    # prefix sum over per-bucket totals: input is groupBy(_bucket)
-    # where _bucket = pmod(hash, n_buckets) — ≤ n_buckets rows
-    # (operators/packing.py two-phase grouped prefix sum)
-    "pack_sequences",
-    "pack_bpe",
-    # curriculum_pack embeds the same prefix_pack bucket windows plus
-    # a bucket-boundary lag over the n_buckets-row offset frame
-    "curriculum_pack",
-    # the same packing stage composed inside the corpus pipeline
-    "corpus_pipeline",
-    "corpus_incremental",
-    # rolling stats over a per-trading-DATE aggregate: input rows =
-    # distinct dates (calendar-bounded, ~10^4 even at decades)
-    "rolling_correlation",
-    # KS bracket's cumulative/lag windows over the ≤100-row histogram
-    # bucket table (queries/drift.py docstrings carry the bound); the
-    # groupBy(bucket) child is bounded by bisect edges, not by a
-    # limit the lint can see
-    "drift_ks_histogram",
-    "drift_ks_refined",
-    # NTILE over the per-customer aggregate (|customers| rows, not
-    # fact rows) — kept as the portable-SQL showcase; the 100x-safe
-    # twin is its own oracle-checked, lint-clean query
-    # (sql_customer_segments_scalable, queries/sqlapi.py — r11)
-    "sql_customer_segments",
-}
+# The allowlists (entries + one-line justifications) live in
+# plans/allowlists.py — one source of truth shared with
+# tools/plan_report.py so PLANS.md shows every exemption with its
+# reason (r10 verdict item 7). This test pins them anti-rot below.
+_GLOBAL_WINDOW_ALLOWED = set(GLOBAL_WINDOW_ALLOWED)
+_CROSS_JOIN_ALLOWED = set(CROSS_JOIN_ALLOWED)
 
-# Cartesian-shaped joins (CartesianProduct / BroadcastNestedLoopJoin)
-# with no structurally bounded side. Each entry documents why the
-# actual row counts are bounded even though the lint can't prove it.
-_CROSS_JOIN_ALLOWED = {
-    # corpus × query-set: the query frame is embeddings filtered to
-    # ≤5 ids — driver-sized by the kNN contract (queries are always
-    # collected for LUTs/brute scoring), but structurally a filtered
-    # scan the lint can't bound
-    "knn_bruteforce",
-    "knn_ivf",
-    "hybrid_search_rrf",
-    # documented exact all-pairs ground-truth path; the LSH variant
-    # (dedup_embedding_cosine_lsh) is the scale path
-    "dedup_embedding_cosine",
-    # supplier-name self-join banded by |len(a)-len(b)| ≤ 2 — a
-    # dim-sized entity-resolution primitive (queries/text.py)
-    "fuzzy_match",
-}
+# Spark schema columns per query, filled by the smoke loop below and
+# reused by the column-parity test: CONSTRUCTING a pipeline-family
+# query executes its heavy driver-side work, so a second full
+# construction pass cost ~100 s of suite wall (r10 verdict item 2).
+_SPARK_COLS: dict[str, list[str]] = {}
 
 
 def test_every_registered_query_runs(spark):
@@ -90,6 +58,7 @@ def test_every_registered_query_runs(spark):
         try:
             df = fn(spark, SF_SMOKE)
             assert df.columns, name
+            _SPARK_COLS[name] = df.columns
             bad = unbounded_global_windows(df)
             if bad:
                 if name in _GLOBAL_WINDOW_ALLOWED:
@@ -138,7 +107,11 @@ def test_oracle_column_names_match_spark(spark):
     qs, oracle = entry.queries(), entry.oracle_sql()
     mismatches = {}
     for name, sql in oracle.items():
-        spark_cols = sorted(qs[name](spark, SF_SMOKE).columns)
+        # reuse the smoke loop's construction (building a pipeline
+        # query EXECUTES it); construct only when this test runs alone
+        spark_cols = sorted(
+            _SPARK_COLS.get(name) or qs[name](spark, SF_SMOKE).columns
+        )
         duck_cols = sorted(r[0] for r in con.sql(f"DESCRIBE {sql}").fetchall())
         if spark_cols != duck_cols:
             mismatches[name] = (spark_cols, duck_cols)
