@@ -138,6 +138,57 @@ def test_streamed_decisions_equal_batch_rule(spark, tmp_path):
     assert audit[2] == (1, 0, 1)
 
 
+def test_compact_chunk_state_preserves_decisions(spark, tmp_path):
+    """Folding old batch partitions (compact_chunk_state) must change
+    NOTHING about the gate's behavior: same distinct hash set, a
+    retry of the newest (still retry-eligible) batch still converges
+    byte-equal, and the next batch's decisions still equal the batch
+    rule. Re-compaction is a no-op."""
+    from finance_etl_system_spark.streaming.chunkgate import (
+        COMPACTED_BATCH_ID,
+        compact_chunk_state,
+    )
+
+    kept = str(tmp_path / "kept")
+    rej = str(tmp_path / "rej")
+    state = str(tmp_path / "state")
+    dfs = [
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in b], "doc_id long, text string"
+        )
+        for b in _batches()
+    ]
+    for i, df in enumerate(dfs):
+        chunk_gate_batch(df, i, kept, rej, state, threshold=0.6)
+    hashes_before = {
+        r.chunk_hash for r in spark.read.parquet(state).collect()
+    }
+
+    assert compact_chunk_state(spark, state, keep_last=1) == 2
+    st = spark.read.parquet(state)
+    assert {r.chunk_hash for r in st.collect()} == hashes_before
+    assert {
+        r.batch_id for r in st.select("batch_id").distinct().collect()
+    } == {COMPACTED_BATCH_ID, 2}
+    # idempotent: nothing left to fold
+    assert compact_chunk_state(spark, state, keep_last=1) == 0
+
+    # retry of the newest batch (the only retry-eligible one) still
+    # converges: its own partition is excluded, the folded history is
+    # not
+    chunk_gate_batch(dfs[2], 2, kept, rej, state, threshold=0.6)
+    assert {r.doc_id for r in spark.read.parquet(rej).collect()} == {10, 20}
+    assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {0, 1, 11}
+
+    # a NEW batch over compacted state: a copy of batch-0 content must
+    # still be caught by the folded hashes
+    d3 = spark.createDataFrame(
+        [(30, BASE + " trailing novelty")], "doc_id long, text string"
+    )
+    chunk_gate_batch(d3, 3, kept, rej, state, threshold=0.6)
+    assert 30 in {r.doc_id for r in spark.read.parquet(rej).collect()}
+
+
 def test_empty_and_all_dup_batches(spark, tmp_path):
     kept = str(tmp_path / "kept")
     rej = str(tmp_path / "rej")
