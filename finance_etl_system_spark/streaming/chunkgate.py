@@ -45,6 +45,12 @@ from pyspark.sql import functions as F
 
 from ..functions.confs import partition_overwrite
 from ..operators.chunking import chunk_dup_doc_ids, content_defined_chunks
+# re-exported: the chunk index compacts through the shared crash-safe
+# staged-swap protocol all batch_id-partitioned states use
+from .compaction import (  # noqa: F401 — public API of this module
+    COMPACTED_BATCH_ID,
+    compact_chunk_state,
+)
 
 _STATE_SCHEMA = "chunk_hash string"
 
@@ -150,76 +156,6 @@ def chunk_gate_batch(
                 .partitionBy("batch_id")
                 .parquet(state_dir)
             )
-
-
-COMPACTED_BATCH_ID = -1
-
-
-def compact_chunk_state(
-    spark: SparkSession, state_dir: str, *, keep_last: int = 1
-) -> int:
-    """Fold old batch_id partitions of the chunk-hash state into one
-    consolidated ``batch_id=-1`` partition, returning how many were
-    folded. The state probe reads every partition each micro-batch,
-    so file fan-out grows with stream lifetime; folding is a pure
-    file-count optimization — the keep/drop rule never cares WHICH
-    partition a hash lives in (SCALE.md "Streaming chunk gate").
-
-    Retry safety (why ``keep_last`` exists): a retried micro-batch
-    reads the state MINUS its own batch_id partition; folding a batch
-    that could still retry into the consolidated partition would make
-    that retry dedup against its own first attempt. Structured
-    streaming commits batch k before starting k+1, so only the
-    NEWEST batch can ever replay — ``keep_last=1`` (the default)
-    keeps exactly the partitions that are still retry-eligible.
-
-    Crash windows: the consolidated partition is written FIRST
-    (dynamic overwrite of ``batch_id=-1`` only), folded partitions
-    deleted after. A crash in between leaves the same hash in two
-    partitions — harmless: the probe is an anti join (duplicates
-    change nothing) and the per-batch state append anti-joins history
-    before writing, so duplicates never regrow. Re-running compaction
-    converges.
-    """
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(state_dir)
-    except AnalysisException:
-        return 0
-    live = sorted(
-        r.batch_id
-        for r in df.select("batch_id").distinct().collect()
-        if r.batch_id != COMPACTED_BATCH_ID
-    )
-    if len(live) <= keep_last:
-        return 0
-    fold = live[: len(live) - keep_last]
-    folded = (
-        df.filter(
-            F.col("batch_id").isin([COMPACTED_BATCH_ID] + fold)
-        )
-        .select("chunk_hash")
-        .distinct()
-        # cut lineage to the source files before overwriting the same
-        # root (a lazy self-read-overwrite is undefined)
-        .localCheckpoint(eager=True)
-    )
-    with partition_overwrite(spark, "dynamic"):
-        (
-            folded.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(state_dir)
-        )
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for b in fold:
-        p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={b}")
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            fs.delete(p, True)
-    return len(fold)
 
 
 def stream_chunk_gate(
