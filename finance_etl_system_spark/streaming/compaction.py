@@ -183,6 +183,25 @@ def compact_sig_state(
     )
 
 
+def compact_drift_counts(
+    spark: SparkSession, counts_dir: str, *, keep_last: int = 1
+) -> int:
+    """Compact the drift monitor's bucket-counts log
+    (streaming/drift.py): additive per bucket, so the fold sums n.
+    keep_last matters here for a subtler reason than the read-minus-
+    self operators: a retried newest batch REWRITES its own batch_id
+    partition before the cumulative read — if its first-attempt
+    counts had been folded into the consolidated partition, the
+    retry would double them. Cumulative PSI before/after compaction
+    is pinned equal in tests/test_compaction.py."""
+    return compact_batch_partitions(
+        spark,
+        counts_dir,
+        lambda df: df.groupBy("bucket").agg(F.sum("n").alias("n")),
+        keep_last=keep_last,
+    )
+
+
 def compact_count_log(
     spark: SparkSession, counts_dir: str, *, keep_last: int = 1
 ) -> int:

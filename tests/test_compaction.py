@@ -147,6 +147,44 @@ def test_recovery_from_crash_after_marker_completes_swap(spark, tmp_path):
     assert not os.path.exists(os.path.join(counts, "_COMPACTING"))
 
 
+def test_compact_drift_counts_keeps_cumulative_psi(spark, tmp_path):
+    """Twin runs over the same 4 batches — one compacted after batch
+    2, one never — must produce IDENTICAL batch-3 verdict rows
+    (cumulative PSI reads the counts log; the fold must not change
+    its sums)."""
+    from finance_etl_system_spark.streaming.compaction import (
+        compact_drift_counts,
+    )
+    from finance_etl_system_spark.streaming.drift import drift_monitor_batch
+
+    edges = [10.0, 20.0, 30.0]
+    ref = {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
+    batches = [
+        [(float(5 + 10 * (j % 4)),) for j in range(40 + 8 * i)]
+        for i in range(4)
+    ]
+    dirs = {
+        name: (str(tmp_path / f"c_{name}"), str(tmp_path / f"v_{name}"))
+        for name in ("plain", "compacted")
+    }
+    for name, (counts, verd) in dirs.items():
+        for i, rows in enumerate(batches):
+            if name == "compacted" and i == 3:
+                assert compact_drift_counts(spark, counts, keep_last=1) == 2
+            drift_monitor_batch(
+                spark.createDataFrame(rows, "v double"),
+                i, value_col="v", edges=edges, ref_fracs=ref,
+                counts_dir=counts, verdict_dir=verd,
+            )
+    rows = {}
+    for name, (_counts, verd) in dirs.items():
+        (r,) = (
+            spark.read.parquet(verd).filter(F.col("batch_id") == 3).collect()
+        )
+        rows[name] = tuple(r)
+    assert rows["plain"] == rows["compacted"]
+
+
 def test_compact_missing_and_small_states_are_noops(spark, tmp_path):
     assert compact_count_log(spark, str(tmp_path / "absent")) == 0
     verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
