@@ -104,6 +104,8 @@ def compact_batch_partitions(
     fold: Callable[[DataFrame], DataFrame],
     *,
     keep_last: int = 1,
+    sub_partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
 ) -> int:
     """Fold all but the newest ``keep_last`` batch_id partitions of
     ``state_dir`` (plus any prior consolidated partition) into one
@@ -113,6 +115,13 @@ def compact_batch_partitions(
     (including a missing state dir). Crash-safe per the module
     docstring; call between batches, not concurrently with the
     stream.
+
+    ``sub_partition_by`` preserves secondary partition columns under
+    the consolidated partition (e.g. the text index's ``bucket``, so
+    probe-time partition pruning survives compaction — the staged
+    dir is written partitioned and renamed whole). ``sort_within``
+    re-applies a file-clustering contract (e.g. term-sorted postings
+    for row-group skipping) to the folded output.
     """
     from pyspark.errors import AnalysisException
 
@@ -141,11 +150,15 @@ def compact_batch_partitions(
     if len(live) <= keep_last:
         return 0
     to_fold = live[: len(live) - keep_last]
-    (
-        fold(df.filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + to_fold)))
-        .write.mode("overwrite")
-        .parquet(tmp)
+    folded = fold(
+        df.filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + to_fold))
     )
+    if sort_within:
+        folded = folded.sortWithinPartitions(*sort_within)
+    writer = folded.write.mode("overwrite")
+    if sub_partition_by:
+        writer = writer.partitionBy(*sub_partition_by)
+    writer.parquet(tmp)
     _write_marker(spark, marker, to_fold)
     _finish_swap(spark, state_dir, to_fold)
     return len(to_fold)
@@ -200,6 +213,40 @@ def compact_drift_counts(
         lambda df: df.groupBy("bucket").agg(F.sum("n").alias("n")),
         keep_last=keep_last,
     )
+
+
+def compact_stream_index(
+    spark: SparkSession, index_path: str, *, keep_last: int = 1
+) -> int:
+    """Compact a STREAMING-built text index (streaming/indexing.py):
+    its postings partition by (batch_id, bucket), so file fan-out is
+    batches x buckets — the fastest-growing layout in the package.
+    Postings rows are append-only facts (never merged; BM25 stats
+    re-derive from the union at query time), so the fold is identity;
+    the consolidated partition keeps the ``bucket`` sub-partitioning
+    (probe-time pruning intact) and the term-sorted file clustering.
+    doclen folds the same way (one row per doc, ids unique across
+    batches). keep_last guards the retry contract: a retried newest
+    batch rewrites its own partitions — folded first-attempt rows
+    would duplicate its postings and double its term frequencies.
+    Search-result equivalence before/after is pinned in
+    tests/test_compaction.py. Returns folded-partition count for the
+    postings table."""
+    n = compact_batch_partitions(
+        spark,
+        f"{index_path}/postings",
+        lambda df: df.drop("batch_id"),
+        keep_last=keep_last,
+        sub_partition_by=["bucket"],
+        sort_within=["bucket", "term"],
+    )
+    compact_batch_partitions(
+        spark,
+        f"{index_path}/doclen",
+        lambda df: df.drop("batch_id"),
+        keep_last=keep_last,
+    )
+    return n
 
 
 def compact_count_log(

@@ -185,6 +185,66 @@ def test_compact_drift_counts_keeps_cumulative_psi(spark, tmp_path):
     assert rows["plain"] == rows["compacted"]
 
 
+def test_compact_stream_index_preserves_search_and_pruning(
+    spark, tmp_path
+):
+    """The streaming text index is the fastest-growing layout
+    (batches x buckets partitions): folding retired batch partitions
+    must keep BM25 results identical, keep the bucket sub-partition
+    layout under batch_id=-1 (probe pruning intact), and a retry of
+    the kept newest batch must still change nothing."""
+    from finance_etl_system_spark.operators.textindex import (
+        bm25_search_index,
+    )
+    from finance_etl_system_spark.streaming.compaction import (
+        compact_stream_index,
+    )
+    from finance_etl_system_spark.streaming.indexing import index_batch
+
+    docs = [
+        (1, "spark streams merge data quickly across partitions"),
+        (2, "the stream merges and shuffles rows by key"),
+        (3, "unrelated prose about cooking pasta tonight"),
+        (4, "another stream document about merge strategies"),
+        (5, "merge windows stream through spark executors"),
+        (6, "completely different text on gardening and soil"),
+    ]
+    idx = str(tmp_path / "idx")
+    for i in range(3):
+        index_batch(
+            spark.createDataFrame(
+                docs[2 * i : 2 * i + 2], "doc_id LONG, text STRING"
+            ),
+            i, idx,
+        )
+    terms = ["stream", "merge"]
+
+    def search():
+        return [
+            (r.rnk, r.doc_id, round(r.bm25, 9), r.n_terms_hit)
+            for r in bm25_search_index(spark, idx, terms).collect()
+        ]
+
+    want = search()
+    assert compact_stream_index(spark, idx, keep_last=1) == 2
+    assert search() == want
+    # layout: consolidated partition keeps bucket subdirs
+    root = os.path.join(idx, "postings", "batch_id=-1")
+    assert any(d.startswith("bucket=") for d in os.listdir(root))
+    parts = {
+        r.batch_id
+        for r in spark.read.parquet(f"{idx}/postings")
+        .select("batch_id").distinct().collect()
+    }
+    assert parts == {COMPACTED_BATCH_ID, 2}
+    # retry of the kept newest batch still converges
+    index_batch(
+        spark.createDataFrame(docs[4:6], "doc_id LONG, text STRING"), 2, idx
+    )
+    assert search() == want
+    assert compact_stream_index(spark, idx, keep_last=1) == 0
+
+
 def test_compact_missing_and_small_states_are_noops(spark, tmp_path):
     assert compact_count_log(spark, str(tmp_path / "absent")) == 0
     verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")

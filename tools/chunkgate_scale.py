@@ -21,6 +21,11 @@ CDC-dedup system keeps; hash-partitioned, append-only, probed by one
 equi-join per batch.
 
 Usage: python tools/chunkgate_scale.py [n_batches] [docs_per_batch]
+                                       [compact_every]
+
+``compact_every`` > 0 runs compact_chunk_state every that many
+batches (keep_last=1), measuring the file-fanout benefit of the r11
+state compactor under the same worst-case load.
 """
 
 from __future__ import annotations
@@ -52,9 +57,13 @@ def _batch_df(spark, batch_idx: int, n_docs: int):
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from finance_etl_system_spark.session import get_spark
-    from finance_etl_system_spark.streaming.chunkgate import chunk_gate_batch
+    from finance_etl_system_spark.streaming.chunkgate import (
+        chunk_gate_batch,
+        compact_chunk_state,
+    )
 
     spark = get_spark("chunkgate-scale")
     root = os.path.join(
@@ -65,7 +74,12 @@ def main() -> None:
     kept, rej, state = (os.path.join(root, d) for d in ("kept", "rej", "state"))
 
     times: list[float] = []
+    compact_secs = 0.0
     for b in range(n_batches):
+        if compact_every and b and b % compact_every == 0:
+            t0 = time.time()
+            compact_chunk_state(spark, state, keep_last=1)
+            compact_secs += time.time() - t0
         df = _batch_df(spark, b, per_batch)
         t0 = time.time()
         chunk_gate_batch(df, b, kept, rej, state)
@@ -77,7 +91,8 @@ def main() -> None:
     late = times[-5:]
     e, l = sum(early) / len(early), sum(late) / len(late)
     print(f"batches={n_batches} docs/batch={per_batch} "
-          f"state_rows={state_rows}")
+          f"state_rows={state_rows} compact_every={compact_every} "
+          f"compact_total={compact_secs:.2f}s")
     print("per-batch sec:",
           " ".join(f"{t:.2f}" for t in times))
     print(f"early mean (b1-5) {e:.2f}s | late mean (last 5) {l:.2f}s "
