@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.confs import partition_overwrite
+from ..functions.errors import error_condition
 
 
 def _as_double(col):
@@ -757,7 +758,7 @@ def cosine_topk_ivf_index(
         rows = spark.read.parquet(f"{path}/meta").collect()
         meta = rows[0] if rows else None
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
     if meta is not None:

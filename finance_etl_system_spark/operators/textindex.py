@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.retrieval import B, K1, token_array
+from ..functions.errors import error_condition
 from ..functions.frames import ranked_topk
 from ..functions.confs import partition_overwrite
 
@@ -66,7 +67,7 @@ def _read_meta(spark: SparkSession, path: str) -> dict | None:
     try:
         row = spark.read.parquet(f"{path}/meta").head()
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return None
         raise
@@ -85,7 +86,7 @@ def _read_index_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls == "UNABLE_TO_INFER_SCHEMA":
             return spark.createDataFrame([], schema)
         raise

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.errors import error_condition
+
 
 def write_jsonl_shards(
     df: DataFrame,
@@ -104,7 +106,7 @@ def read_jsonl_shards(spark: SparkSession, path: str) -> DataFrame:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         id_type = T._parse_datatype_json_string(meta["id_type"])
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         id_type = T.LongType()

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.confs import partition_overwrite
+from ..functions.errors import error_condition
 from ..operators.substring import gram_keys, spans_from_flagged
 
 _COUNT_SCHEMA = "_h1 bigint, _h2 bigint, n bigint, batch_id bigint"
@@ -56,7 +57,7 @@ def _load_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
             "_h1", "_h2", "n", "batch_id"
         )
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls == "PATH_NOT_FOUND" or not _path_exists(spark, counts_dir):
             return spark.createDataFrame([], _COUNT_SCHEMA)
         raise

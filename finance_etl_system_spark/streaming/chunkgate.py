@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.confs import partition_overwrite
+from ..functions.errors import error_condition
 from ..operators.chunking import chunk_dup_doc_ids, content_defined_chunks
 # re-exported: the chunk index compacts through the shared crash-safe
 # staged-swap protocol all batch_id-partitioned states use
@@ -73,11 +74,7 @@ def _load_chunk_state(
             .select("chunk_hash")
         )
     except AnalysisException as e:
-        cls = (
-            e.getCondition()
-            if hasattr(e, "getCondition")  # Spark 4 name;
-            else getattr(e, "getErrorClass", lambda: None)()
-        )
+        cls = error_condition(e)
         if cls == "PATH_NOT_FOUND" or not _path_exists(spark, state_dir):
             return spark.createDataFrame([], _STATE_SCHEMA)
         raise

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_dedup_incremental
+from ..functions.errors import error_condition
 from ..functions.confs import partition_overwrite
 
 _SIG_SCHEMA = "id bigint, sig array<bigint>"
@@ -54,11 +55,7 @@ def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
         # (messages vary across Spark versions/locales); fall back to
         # an existence probe through the Hadoop FS API so a changed
         # class name can never crash every first run
-        cls = (
-            e.getCondition()
-            if hasattr(e, "getCondition")  # Spark 4 name;
-            else getattr(e, "getErrorClass", lambda: None)()
-        )
+        cls = error_condition(e)
         if cls == "PATH_NOT_FOUND" or not _path_exists(spark, state_dir):
             return spark.createDataFrame([], _SIG_SCHEMA)
         raise

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.confs import partition_overwrite
+from ..functions.errors import error_condition
 
 PSI_ALARM = 0.2
 
@@ -127,7 +128,7 @@ def drift_monitor_batch(
             for r in log.groupBy("bucket").agg(F.sum("n")).collect()
         }
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         cum_counts = {}

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import budget_take
+from ..functions.errors import error_condition
 from ..functions.confs import partition_overwrite
 from ..operators.text import ws_tokens
 
@@ -44,7 +45,7 @@ def _load_kept(
     try:
         return spark.read.parquet(kept_dir)
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        cls = error_condition(e)
         if cls == "PATH_NOT_FOUND" or not _path_exists(spark, kept_dir):
             return spark.createDataFrame(
                 [],
