@@ -145,6 +145,31 @@ def _canary_sec(spark) -> float:
     return round(best, 3)
 
 
+def _scan_canary_sec(spark, sf_dir: str) -> float:
+    """IO-side twin of the CPU canary: the first r11 canary stayed
+    flat (0.477->0.466 s) across two same-code runs whose scan-heavy
+    headline queries inflated a uniform ~1.28x — the sandbox's noise
+    source is the IO/page-cache path, invisible to an in-memory job.
+    This times a full-width scan of the benchmark's own lineitem
+    table (xxhash64 over every column defeats pruning), best-of-2;
+    tools/bench_diff.py normalizes by the geometric mean of both
+    canary ratios."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.time()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(F.sum(F.xxhash64("*")).alias("h"))
+            .count()
+        )
+        best = min(best, _t.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -198,6 +223,7 @@ def main() -> None:
     # to bench_history.jsonl (appended below) and per-query IO
     # counters to bench_io.json — both committed in-repo.
     canary = _canary_sec(spark)
+    scan_canary = _scan_canary_sec(spark, sf_dir)
     slowest = max(timings, key=timings.get) if timings else ""
     line = {
         "metric": "headline_queries_total",
@@ -209,6 +235,7 @@ def main() -> None:
         # totals by the canary ratio before reading a regression
         # (tools/bench_diff.py does this automatically)
         "canary_sec": canary,
+        "scan_canary_sec": scan_canary,
         # dict-typed for parsers that expect one, but only the
         # slowest entry — the full 75-query map lives in
         # bench_history.jsonl (this line must stay < ~500 B)
@@ -235,6 +262,7 @@ def main() -> None:
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
             "value": line["value"],
             "canary_sec": canary,
+        "scan_canary_sec": scan_canary,
             "queries": timings,
         }
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

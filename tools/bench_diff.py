@@ -63,19 +63,36 @@ def main() -> int:
     added = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
 
-    # host-speed normalization (r10 verdict item 3): bench.py times a
-    # fixed-size IO-free canary each run; the min-canary ratio between
-    # windows is pure host speed, so per-query ratios are divided by
-    # it before the threshold test. Runs predating the canary (no
-    # canary_sec key) leave norm at 1.0 — the old behavior.
-    def _canary_min(rs):
-        vals = [r["canary_sec"] for r in rs if "canary_sec" in r]
+    # host-speed normalization (r10 verdict item 3): bench.py times
+    # two fixed-size canaries each run — CPU (shuffle+agg in memory)
+    # and SCAN (full-width parquet read; added r11 after the CPU
+    # canary stayed flat across two same-code runs whose scan-heavy
+    # queries inflated a uniform ~1.28x — sandbox noise lives in the
+    # IO path). The geometric mean of the available window ratios is
+    # the host norm; per-query ratios are divided by it before the
+    # threshold test. Runs predating a canary key contribute nothing
+    # for it; with no canaries at all, norm stays 1.0.
+    def _canary_min(rs, key):
+        vals = [r[key] for r in rs if key in r]
         return min(vals) if vals else None
 
-    c_old, c_new = _canary_min(old_runs), _canary_min(new_runs)
-    norm = (c_new / c_old) if (c_old and c_new) else 1.0
-    print(f"canary: old {c_old} s, new {c_new} s -> host norm {norm:.3f}"
-          if c_old and c_new else "canary: absent in one window, norm 1.0")
+    ratios = {}
+    for key in ("canary_sec", "scan_canary_sec"):
+        c_old, c_new = _canary_min(old_runs, key), _canary_min(new_runs, key)
+        if c_old and c_new:
+            ratios[key] = c_new / c_old
+    if ratios:
+        norm = 1.0
+        for r in ratios.values():
+            norm *= r
+        norm **= 1.0 / len(ratios)
+        detail = ", ".join(f"{k}={v:.3f}" for k, v in ratios.items())
+        print(f"canary ratios: {detail} -> host norm {norm:.3f}")
+    else:
+        norm = 1.0
+        print("canary: absent in one window, norm 1.0")
+    c_old = _canary_min(old_runs, "canary_sec")
+    c_new = _canary_min(new_runs, "canary_sec")
 
     print(f"old window: {len(old_runs)} runs ending ts={old_runs[-1]['ts']}, "
           f"min-total {sum(old[q] for q in shared):.2f}s on shared queries")
