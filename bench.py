@@ -236,6 +236,11 @@ def main() -> None:
         # (tools/bench_diff.py does this automatically)
         "canary_sec": canary,
         "scan_canary_sec": scan_canary,
+        # timing policy (verdict r11 #5): every per-query number —
+        # here and in bench_history.jsonl — is the MIN of 3 runs
+        # inside this one invocation, so each committed BENCH_r*.json
+        # is already self-normalized against single-run IO swings
+        "timing": "per-query min-of-3",
         # dict-typed for parsers that expect one, but only the
         # slowest entry — the full 75-query map lives in
         # bench_history.jsonl (this line must stay < ~500 B)
@@ -262,7 +267,7 @@ def main() -> None:
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
             "value": line["value"],
             "canary_sec": canary,
-        "scan_canary_sec": scan_canary,
+            "scan_canary_sec": scan_canary,
             "queries": timings,
         }
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

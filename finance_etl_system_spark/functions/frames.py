@@ -31,19 +31,35 @@ def literal_frame(
     global window or a broadcast-nested-loop join.
 
     Implementation: ``createDataFrame(python_list)`` takes the RDD
-    path, but round-tripping through a ``pandas.DataFrame`` takes the
-    Arrow/local-relation path and plans as LocalTableScan. The column
-    order comes from ``schema`` (a DDL string), so callers pass rows
-    as tuples in schema order exactly as with createDataFrame.
+    path, and the ``pandas.DataFrame`` round-trip takes the Arrow
+    local-relation path ONLY when
+    ``spark.sql.execution.arrow.pyspark.enabled`` is true (PySpark
+    default: false) — on a stock driver-provided session it silently
+    degrades to ``Scan ExistingRDD`` (advisor finding r11). Building
+    a ``pyarrow.Table`` instead hits the createDataFrame overload
+    that bypasses that conf entirely and always plans
+    LocalTableScan, empty frames included — verified here by
+    asserting the analyzed node is ``LocalRelation`` so any future
+    degradation fails loudly rather than tripping downstream lints.
+    The column order comes from ``schema`` (a DDL string), so
+    callers pass rows as tuples in schema order exactly as with
+    createDataFrame.
     """
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     st = spark.createDataFrame([], schema).schema
     names = [f.name for f in st.fields]
-    pdf = pd.DataFrame(
-        [tuple(r) for r in rows], columns=names, dtype=object
+    tbl = pa.Table.from_pylist(
+        [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(st)
     )
-    return spark.createDataFrame(pdf, schema=st)
+    df = spark.createDataFrame(tbl, schema=st)
+    node = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    assert node == "LocalRelation", (
+        f"literal_frame degraded to {node}; the plan lints require "
+        "LocalTableScan — see plans/lint.py"
+    )
+    return df
 
 
 def ranked_topk(df: DataFrame, key: list[Column], k: int) -> DataFrame:

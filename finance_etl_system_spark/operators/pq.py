@@ -684,14 +684,12 @@ def build_ivf_pq_index(
     # sentinel is created before the first overwrite and removed only
     # after the meta commit, and every reader (probe / append /
     # compact / health / verify) fails loudly while it exists.
-    # Residual race (advisor r10): readers are fenced only at ENTRY —
-    # _check_not_building is check-then-read with no reader lease, so
-    # a rebuild that takes the sentinel after a reader's check can
-    # overwrite tables under that reader's in-flight scan. Live
-    # rebuild-vs-reader isolation needs external coordination (run
-    # rebuilds in a maintenance window, or long readers re-check the
-    # marker before trusting collected results — see
-    # _check_not_building's docstring).
+    # The entry check alone is check-then-read; probes therefore
+    # RE-VALIDATE after materializing their scan
+    # (_verify_probe_consistency): marker re-check + meta build_id
+    # compare detects a rebuild that started — or even fully
+    # committed — inside the probe window, closing the advisor-r10
+    # residual race without a maintenance-window convention.
     if opq:
         if opq == "np":
             # final_pq_iters=0: only R is needed — the index retrains
@@ -801,14 +799,22 @@ def build_ivf_pq_index(
         ).write.mode("overwrite").parquet(f"{path}/rotation")
     # meta LAST — its ``space`` column is the commit marker probes
     # trust; a crash before this line leaves the OLD meta, whose
-    # space flag still matches the OLD rotation state
+    # space flag still matches the OLD rotation state. ``build_id``
+    # (wall-clock ns — uniqueness is all that matters) lets a probe
+    # detect a WHOLE rebuild that started and committed inside its
+    # own read window: same-params rebuilds leave every other meta
+    # byte identical, and the _BUILDING marker is already gone by the
+    # probe's post-scan re-check (_verify_probe_consistency).
+    import time as _time
+
     spark.createDataFrame(
         [(
             id_col, vec_col, int(k_clusters), int(m), int(k_codes),
             int(dim), "opq" if R is not None else "plain",
+            int(_time.time_ns()),
         )],
         "id_col string, vec_col string, k_clusters int, m int,"
-        " k_codes int, dim int, space string",
+        " k_codes int, dim int, space string, build_id long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     if R is None:
         # a plain rebuild over a previous OPQ index: the stale
@@ -827,7 +833,10 @@ def _check_not_building(spark, path: str) -> None:
     build_ivf_pq_index's first overwrite and its meta commit the
     tables can MIX SPACES (rotated codes under a plain meta, or old-R
     codes under new-R rotation) — states no flag-consistency check
-    can detect. Every index reader calls this first."""
+    can detect. Every index reader calls this first; probes
+    additionally re-validate AFTER their scan
+    (_verify_probe_consistency), which closes the check-then-read
+    race this entry check alone leaves open."""
     from .similarity import _build_marker, _ivf_fs
 
     fs, HPath = _ivf_fs(spark, path)
@@ -839,6 +848,52 @@ def _check_not_building(spark, path: str) -> None:
             " may disagree on the vector space. After confirming no"
             " rebuild is running, delete the marker and rerun"
             " build_ivf_pq_index to completion before reading"
+        )
+
+
+def _verify_probe_consistency(spark, path: str, meta_entry: dict) -> None:
+    """Close the check-then-read race (advisor r10, verdict r11 #3):
+    the entry-time ``_check_not_building`` cannot protect a probe
+    whose scan a LATER rebuild overlaps. Called after the probe has
+    MATERIALIZED its codes scan (eager localCheckpoint) and before
+    its result is returned; raises loudly — the caller retries — if
+    any of three interleavings happened mid-probe:
+
+    - a rebuild is in flight NOW (``_BUILDING`` present): the scan
+      may have read half-old, half-new tables;
+    - a codes compaction is in flight NOW (``_COMPACTING``): the
+      directory swap may have doubled or dropped scanned partitions;
+    - a whole rebuild started AND committed inside the probe window
+      (both markers already gone): detected by comparing the meta
+      row — ``build_id`` changes every build even when all
+      parameters are identical.
+
+    After this check passes, the returned frame touches no index
+    table (the shortlist is checkpointed; the exact rerank joins the
+    caller's own corpus frame), so the result is consistent with the
+    single generation of the index that was live at entry."""
+    from .similarity import _build_marker, _compact_marker, _ivf_fs
+
+    fs, HPath = _ivf_fs(spark, path)
+    if fs.exists(HPath(_build_marker(path))):
+        raise RuntimeError(
+            f"IVF-PQ probe at {path} overlapped a rebuild"
+            " (_BUILDING appeared during the scan) — the shortlist"
+            " may mix old and new tables; retry the probe after the"
+            " rebuild finishes"
+        )
+    if fs.exists(HPath(_compact_marker(path))):
+        raise RuntimeError(
+            f"IVF-PQ probe at {path} overlapped a codes compaction"
+            " (_COMPACTING appeared during the scan); retry the"
+            " probe after the compaction finishes"
+        )
+    now = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    if now != meta_entry:
+        raise RuntimeError(
+            f"IVF-PQ probe at {path} overlapped a completed rebuild"
+            f" (meta changed during the scan: {meta_entry!r} →"
+            f" {now!r}); retry the probe against the new index"
         )
 
 
@@ -854,6 +909,8 @@ def cosine_topk_ivf_pq(
     query_id: str = "query_id",
     query_vec_col: str = "embedding",
     corpus_vec_col: str = "embedding",
+    verify_consistency: bool = True,
+    _race_hook=None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: route each query to its nprobe
     nearest coarse centroids (broadcast k-row table), push the routed
@@ -871,6 +928,7 @@ def cosine_topk_ivf_pq(
 
     _check_not_building(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta_entry = meta.asDict()
     id_col, m = meta["id_col"], int(meta["m"])
     R = _load_rotation(spark, path, meta_row=meta)
     cent_rows = (
@@ -952,9 +1010,28 @@ def cosine_topk_ivf_pq(
 
     from pyspark.sql import Window
 
+    if _race_hook is not None:
+        _race_hook()  # test seam: the check-then-read window
     local = codes_df.select(
         F.col(id_col).alias("_cid"), "cluster", "codes"
     ).mapInPandas(score, schema="qid long, cid long, score double")
+    if verify_consistency:
+        # eager: materialize the ONLY scan that touches index tables,
+        # then re-check the fences/meta — this closes the
+        # check-then-read race (the returned frame only joins caller
+        # frames). ``verify_consistency=False`` keeps the frame lazy
+        # for plan inspection (the partition-pruning tests); the scan
+        # itself is identical either way.
+        try:
+            local = local.localCheckpoint(eager=True)
+        except Exception:
+            # the scan failure may itself BE the race (a rebuild
+            # replaced the codes files under this probe's listing):
+            # attribute it if so — _verify raises the explicit race
+            # error — else re-raise the original failure
+            _verify_probe_consistency(spark, path, meta_entry)
+            raise
+        _verify_probe_consistency(spark, path, meta_entry)
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("cid").asc()
     )

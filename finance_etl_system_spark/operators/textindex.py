@@ -83,8 +83,16 @@ def _read_index_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
     hits; a corrupt index raises too."""
     from pyspark.errors import AnalysisException
 
+    from ..functions.generations import read_live_state
+
     try:
-        return spark.read.parquet(path)
+        # read_live_state: a streaming-built index's postings/doclen
+        # partition by batch_id and may be concurrently compacted
+        # (streaming/compaction.py::compact_stream_index) — the
+        # generation filter keeps a search atomic against the fold;
+        # for batch-built indexes (no batch_id column, no marker)
+        # this is exactly spark.read.parquet
+        return read_live_state(spark, path)
     except AnalysisException as e:
         cls = error_condition(e)
         if cls == "UNABLE_TO_INFER_SCHEMA":

@@ -49,11 +49,16 @@ _COUNT_SCHEMA = "_h1 bigint, _h2 bigint, n bigint, batch_id bigint"
 def _load_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
     """Count log; missing dir = first batch -> empty. Only the
     path-not-found case is absorbed (same rationale as
-    streaming/dedup.py::_load_state)."""
+    streaming/dedup.py::_load_state). read_live_state makes this
+    atomic against a concurrent compact_count_log — essential here:
+    the counts are ADDITIVE, so a non-atomic read overlapping a fold
+    would double-count grams."""
     from pyspark.errors import AnalysisException
 
+    from .compaction import read_live_state
+
     try:
-        return spark.read.parquet(counts_dir).select(
+        return read_live_state(spark, counts_dir).select(
             "_h1", "_h2", "n", "batch_id"
         )
     except AnalysisException as e:

@@ -64,12 +64,17 @@ def _load_chunk_state(
     Missing dir = first batch → empty. Only path-not-found is
     absorbed; any other read failure raises — silently gating against
     an empty history would admit everything and corrupt the state
-    (the streaming/dedup.py _load_state rule)."""
+    (the streaming/dedup.py _load_state rule). read_live_state makes
+    this read atomic against a concurrent compact_chunk_state: the
+    live generation is resolved before listing, and the compactor's
+    deferred GC keeps that generation's files alive a full cycle."""
     from pyspark.errors import AnalysisException
+
+    from .compaction import read_live_state
 
     try:
         return (
-            spark.read.parquet(state_dir)
+            read_live_state(spark, state_dir)
             .filter(F.col("batch_id") != F.lit(int(exclude_batch_id)))
             .select("chunk_hash")
         )

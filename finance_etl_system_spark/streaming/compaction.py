@@ -1,41 +1,44 @@
 """State-partition compaction for the batch_id-partitioned streaming
-states (chunk-hash index, MinHash signature table, boilerplate
-gram-count log).
+states (chunk-hash index, MinHash signature table, drift counts,
+boilerplate gram-count log, streaming text index).
 
 Every stateful stream in this package appends its per-batch state as
 its OWN ``batch_id=k`` partition (retries rewrite only their own
 partition — the effectively-once contract), so the state directory
 gains one partition per micro-batch and the per-batch state probe's
 file fan-out grows with stream lifetime. Compaction folds retired
-partitions into one consolidated ``batch_id=-1`` partition — a pure
-file-count optimization: no reader cares WHICH partition a state row
-lives in, only what the rows say.
+partitions into one consolidated partition — a pure file-count
+optimization: no reader cares WHICH partition a state row lives in,
+only what the rows say.
 
-Shared contract (SCALE.md "Streaming chunk gate"):
+Protocol — reader-atomic generation flip (functions/generations.py):
 
-- **keep_last**: structured streaming commits batch k before
-  starting k+1, so only the NEWEST batch can ever replay; a replayed
-  batch must not meet its own first attempt where the operator's
-  retry guard is partition-based (chunk gate and boilerplate read
-  state MINUS their own batch_id). ``keep_last=1`` keeps exactly the
-  still-retry-eligible partitions out of the fold.
-- **crash safety — staged swap with an intent marker.** A naive
-  "write consolidated, then delete folded" is only safe for
-  DISTINCT-fold states (a crash leaves duplicate rows, harmless to
-  join-probe readers) but corrupts ADDITIVE state: re-folding a
-  directory that holds both the consolidated sums and the original
-  partitions would double-count. So the fold is staged under
-  ``_compact_tmp`` (underscore-prefixed → invisible to Spark's file
-  discovery), a ``_COMPACTING`` marker records the fold set once the
-  stage is COMPLETE, and only then is the old consolidated partition
-  swapped out and the folded partitions deleted. Recovery on the
-  next call replays forward from whatever step the crash interrupted
-  (marker present ⇒ stage is complete and trustworthy; no marker ⇒
-  any stage remnant is garbage to discard). Every fold function is
-  therefore exactly-once in effect, additive sums included.
-- compaction is a MAINTENANCE operation: run it between batches /
-  with the stream paused, like an index rebuild (operators/pq.py) —
-  mid-swap readers could miss folded rows for the swap instant.
+- Generation ``g``'s consolidated rows live in partition
+  ``batch_id=-g``; the live generation is published by the atomic
+  ``_GEN_<g>.json`` marker, whose payload records ``max_folded`` =
+  the highest raw batch_id folded into that generation.
+- Readers go through :func:`read_live_state`, which resolves the
+  marker FIRST and filters to ``batch_id == -g OR batch_id >
+  max_folded``. A compaction running concurrently is invisible: the
+  new ``batch_id=-(g+1)`` partition is pruned by the g-filter, and
+  generation g's inputs are only garbage-collected at the START of
+  the NEXT compaction — an in-flight reader keeps every file it
+  resolved for a full compaction cycle. Compaction therefore runs
+  safely concurrent with the stream; no pause-the-world window.
+  (Residual: a reader that holds its plan across an ENTIRE
+  subsequent compaction cycle can race the deferred GC delete.)
+- Crash safety: every byte written before the marker rename is
+  invisible to readers, so a crash at any step leaves the state at
+  generation ``g`` exactly; the next call GCs partial artifacts and
+  recomputes. ADDITIVE folds (summed counts) can never double-count
+  because the fold input is always the marker-resolved live set.
+
+**keep_last**: structured streaming commits batch k before starting
+k+1, so only the NEWEST batch can ever replay; a replayed batch must
+not meet its own first attempt where the operator's retry guard is
+partition-based (chunk gate and boilerplate read state MINUS their
+own batch_id). ``keep_last=1`` keeps exactly the still-retry-eligible
+partitions out of the fold.
 """
 
 from __future__ import annotations
@@ -46,56 +49,78 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.generations import (
+    current_generation,
+    gc_stale_markers,
+    hadoop_fs,
+    list_names,
+    live_batch_filter,
+    publish_generation,
+    read_live_state,  # noqa: F401 — re-exported reader entry point
+    read_small_text,
+)
+
+# generation 1's partition id (generation g lives at batch_id=-g);
+# kept under the historical name — pre-generation state dirs used a
+# single batch_id=-1 consolidated partition, which the protocol
+# adopts verbatim as the IMPLICIT generation 1 (no marker needed), so
+# the first marker a store ever publishes is _GEN_2.json and a crash
+# before it can only leave a sub- -1 partition no reader selects
 COMPACTED_BATCH_ID = -1
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
-
-
-def _write_marker(spark, marker_path: str, fold_ids: list[int]) -> None:
-    fs, HPath = _fs(spark, marker_path)
-    out = fs.create(HPath(marker_path), True)
-    out.write(bytearray(json.dumps({"fold": fold_ids}).encode()))
-    out.close()
-
-
-def _read_marker(spark, marker_path: str) -> list[int]:
-    # java-side line read: py4j passes byte[] buffers by value, so
-    # the usual read(buf) loop cannot fill a Python bytearray
-    fs, HPath = _fs(spark, marker_path)
-    jvm = spark.sparkContext._jvm
-    stream = fs.open(HPath(marker_path))
-    reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(stream, "UTF-8")
-    )
-    try:
-        line = reader.readLine()
-    finally:
-        reader.close()
-    return json.loads(line)["fold"]
-
-
-def _finish_swap(spark, state_dir: str, fold_ids: list[int]) -> None:
-    """Complete a compaction whose stage is known-good: swap the
-    staged consolidated data into ``batch_id=-1``, delete the folded
-    partitions, drop the marker. Each step is idempotent, so this
-    replays cleanly from any crash point past marker creation."""
-    fs, HPath = _fs(spark, state_dir)
+def _recover_legacy_swap(spark: SparkSession, state_dir: str) -> None:
+    """Migrate a directory left mid-compaction by the r11 staged-swap
+    protocol (``_compact_tmp`` stage + ``_COMPACTING`` intent
+    marker). A parseable marker means the stage completed — replay
+    the swap forward; an unparseable marker is a crash mid-create,
+    which under that protocol preceded every delete, so marker and
+    stage are both garbage (advisor finding r11)."""
+    fs, HPath = hadoop_fs(spark, state_dir)
+    marker = f"{state_dir}/_COMPACTING"
     tmp = HPath(f"{state_dir}/_compact_tmp")
-    dest = HPath(f"{state_dir}/batch_id={COMPACTED_BATCH_ID}")
-    if fs.exists(tmp):
-        if fs.exists(dest):
-            fs.delete(dest, True)
-        fs.rename(tmp, dest)
-    for b in fold_ids:
-        p = HPath(f"{state_dir}/batch_id={b}")
-        if fs.exists(p):
-            fs.delete(p, True)
-    fs.delete(HPath(f"{state_dir}/_COMPACTING"), False)
+    raw = read_small_text(spark, marker)
+    if raw is not None:
+        try:
+            fold_ids = json.loads(raw)["fold"]
+        except (ValueError, KeyError):
+            fs.delete(HPath(marker), False)
+            fs.delete(tmp, True)
+            return
+        dest = HPath(f"{state_dir}/batch_id={COMPACTED_BATCH_ID}")
+        if fs.exists(tmp):
+            if fs.exists(dest):
+                fs.delete(dest, True)
+            fs.rename(tmp, dest)
+        for b in fold_ids:
+            p = HPath(f"{state_dir}/batch_id={b}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        fs.delete(HPath(marker), False)
+    elif fs.exists(tmp):
+        # crashed BEFORE the marker: the stage may be partial — it is
+        # garbage (state untouched), discard
+        fs.delete(tmp, True)
+
+
+def _gc_stale_partitions(
+    spark: SparkSession, state_dir: str, gen: int, max_folded: int
+) -> None:
+    """Deferred GC (module docstring): delete every partition the
+    live generation's readers cannot select — older/partial
+    consolidated generations and raw partitions already folded."""
+    fs, HPath = hadoop_fs(spark, state_dir)
+    for name in list_names(spark, state_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        stale_consolidated = b < 0 and b != -gen
+        folded_raw = 0 <= b <= max_folded
+        if stale_consolidated or folded_raw:
+            fs.delete(HPath(f"{state_dir}/{name}"), True)
 
 
 def compact_batch_partitions(
@@ -107,60 +132,59 @@ def compact_batch_partitions(
     sub_partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
 ) -> int:
-    """Fold all but the newest ``keep_last`` batch_id partitions of
-    ``state_dir`` (plus any prior consolidated partition) into one
-    ``batch_id=-1`` partition, using ``fold`` to merge the rows
-    (its input still carries batch_id; its output must NOT). Returns
-    the number of partitions folded; 0 when there is nothing to do
-    (including a missing state dir). Crash-safe per the module
-    docstring; call between batches, not concurrently with the
-    stream.
+    """Fold all but the newest ``keep_last`` raw batch_id partitions
+    of ``state_dir`` (plus the prior consolidated generation) into
+    the next generation's consolidated partition, using ``fold`` to
+    merge the rows (its input still carries batch_id; its output
+    must NOT). Returns the number of raw partitions folded; 0 when
+    there is nothing to do (including a missing state dir).
+    Reader-atomic and crash-safe per the module docstring — safe to
+    run concurrently with the stream's own batches.
 
     ``sub_partition_by`` preserves secondary partition columns under
     the consolidated partition (e.g. the text index's ``bucket``, so
-    probe-time partition pruning survives compaction — the staged
-    dir is written partitioned and renamed whole). ``sort_within``
-    re-applies a file-clustering contract (e.g. term-sorted postings
-    for row-group skipping) to the folded output.
+    probe-time partition pruning survives compaction).
+    ``sort_within`` re-applies a file-clustering contract (e.g.
+    term-sorted postings for row-group skipping) to the folded
+    output.
     """
     from pyspark.errors import AnalysisException
 
-    fs, HPath = _fs(spark, state_dir)
-    marker = f"{state_dir}/_COMPACTING"
-    tmp = f"{state_dir}/_compact_tmp"
-    if fs.exists(HPath(marker)):
-        # a prior compaction crashed after staging completed — its
-        # stage (or already-swapped partition) is authoritative;
-        # replay the swap forward before doing anything new
-        _finish_swap(spark, state_dir, _read_marker(spark, marker))
-    elif fs.exists(HPath(tmp)):
-        # crashed BEFORE the marker: the stage may be partial — it is
-        # garbage (state untouched), discard and recompute
-        fs.delete(HPath(tmp), True)
+    _recover_legacy_swap(spark, state_dir)
+    if not list_names(spark, state_dir):
+        return 0
+    gen, max_folded = current_generation(spark, state_dir)
+    gc_stale_markers(spark, state_dir, gen)
+    _gc_stale_partitions(spark, state_dir, gen, max_folded)
 
     try:
         df = spark.read.parquet(state_dir)
     except AnalysisException:
         return 0
-    live = sorted(
+    df = df.filter(live_batch_filter(gen, max_folded))
+    live_raw = sorted(
         r.batch_id
         for r in df.select("batch_id").distinct().collect()
-        if r.batch_id != COMPACTED_BATCH_ID
+        if r.batch_id >= 0
     )
-    if len(live) <= keep_last:
+    if len(live_raw) <= keep_last:
         return 0
-    to_fold = live[: len(live) - keep_last]
-    folded = fold(
-        df.filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + to_fold))
-    )
+    to_fold = live_raw[: len(live_raw) - keep_last]
+    fold_ids = [-gen] + to_fold
+    folded = fold(df.filter(F.col("batch_id").isin(fold_ids)))
     if sort_within:
         folded = folded.sortWithinPartitions(*sort_within)
+    new_gen = gen + 1
+    dest = f"{state_dir}/batch_id=-{new_gen}"
     writer = folded.write.mode("overwrite")
     if sub_partition_by:
         writer = writer.partitionBy(*sub_partition_by)
-    writer.parquet(tmp)
-    _write_marker(spark, marker, to_fold)
-    _finish_swap(spark, state_dir, to_fold)
+    writer.parquet(dest)
+    # the marker IS the commit point — everything above is invisible
+    # to readers resolving generation `gen`
+    publish_generation(
+        spark, state_dir, new_gen, {"max_folded": to_fold[-1]}
+    )
     return len(to_fold)
 
 
@@ -254,10 +278,10 @@ def compact_count_log(
 ) -> int:
     """Compact the boilerplate gram-count log
     (streaming/boilerplate.py): counts are ADDITIVE across batches,
-    so the fold sums n per gram key — the case the staged-swap
-    protocol exists for (a half-compacted additive directory would
-    double-count under a naive re-fold; the marker protocol makes
-    the fold exactly-once)."""
+    so the fold sums n per gram key — the case the generation
+    protocol's invisible-until-committed rule exists for (a
+    half-compacted additive directory read naively would
+    double-count; the marker flip makes the fold exactly-once)."""
     keys = ["_h1", "_h2"]
     return compact_batch_partitions(
         spark,

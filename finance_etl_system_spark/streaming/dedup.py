@@ -45,11 +45,15 @@ def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
     path-not-found case is absorbed: any other read failure (corrupt
     footer, transient FS error) must raise — silently deduping against
     an empty history would admit the whole corpus as survivors and
-    permanently corrupt the state table."""
+    permanently corrupt the state table. read_live_state makes this
+    atomic against a concurrent compact_sig_state (generation-marker
+    protocol, functions/generations.py)."""
     from pyspark.errors import AnalysisException
 
+    from .compaction import read_live_state
+
     try:
-        return spark.read.parquet(state_dir).select("id", "sig")
+        return read_live_state(spark, state_dir).select("id", "sig")
     except AnalysisException as e:
         # detect first-batch by ERROR CLASS, not message substring
         # (messages vary across Spark versions/locales); fall back to

@@ -121,8 +121,13 @@ def drift_monitor_batch(
     # dir may not exist yet if every batch so far was all-NULL.
     from pyspark.errors import AnalysisException
 
+    from .compaction import read_live_state
+
     try:
-        log = spark.read.parquet(counts_dir)
+        # read_live_state: atomic vs a concurrent compact_drift_counts
+        # (counts are additive — a naive read overlapping a fold
+        # would double the cumulative PSI denominator)
+        log = read_live_state(spark, counts_dir)
         cum_counts = {
             r["bucket"]: r["sum(n)"]
             for r in log.groupBy("bucket").agg(F.sum("n")).collect()

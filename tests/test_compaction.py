@@ -1,8 +1,9 @@
 """Shared state-partition compactor (streaming/compaction.py): fold
-correctness for all three state shapes (distinct chunk hashes,
-unique-id signatures, ADDITIVE gram counts) and crash recovery at
-each step of the staged-swap protocol. The chunk-gate-specific
-decision-preservation test lives in tests/test_streaming_chunkgate.py."""
+correctness for the state shapes (distinct chunk hashes, unique-id
+signatures, ADDITIVE gram counts), crash recovery at each step of the
+generation-marker protocol, migration from the r11 staged-swap layout,
+and reader atomicity against a concurrent fold. The chunk-gate-specific
+decision-preservation tests live in tests/test_streaming_chunkgate.py."""
 
 from __future__ import annotations
 
@@ -19,6 +20,7 @@ from finance_etl_system_spark.streaming.compaction import (
     compact_batch_partitions,
     compact_count_log,
     compact_sig_state,
+    read_live_state,
 )
 from finance_etl_system_spark.streaming.dedup import dedup_increment_batch
 
@@ -36,7 +38,15 @@ DOCS = [
 def _sig_rows(spark, state):
     return {
         (r.id, tuple(r.sig))
-        for r in spark.read.parquet(state).select("id", "sig").collect()
+        for r in read_live_state(spark, state).select("id", "sig").collect()
+    }
+
+
+def _live_parts(spark, state):
+    return {
+        r.batch_id
+        for r in read_live_state(spark, state)
+        .select("batch_id").distinct().collect()
     }
 
 
@@ -50,11 +60,10 @@ def test_compact_sig_state_preserves_rows_and_verdicts(spark, tmp_path):
     before = _sig_rows(spark, state)
     assert compact_sig_state(spark, state, keep_last=1) >= 1
     assert _sig_rows(spark, state) == before
-    parts = {
-        r.batch_id
-        for r in spark.read.parquet(state).select("batch_id").distinct().collect()
-    }
-    assert COMPACTED_BATCH_ID in parts and max(parts) >= 0
+    parts = _live_parts(spark, state)
+    # first fold publishes generation 2 (gen 1 is the implicit
+    # pre-marker state, so a crashed first fold is reader-invisible)
+    assert min(parts) == -2 and max(parts) >= 0
     assert compact_sig_state(spark, state, keep_last=1) == 0  # idempotent
 
     # the next batch still dedups against folded history: a near-copy
@@ -73,7 +82,7 @@ def test_compact_sig_state_preserves_rows_and_verdicts(spark, tmp_path):
 def _count_totals(spark, counts):
     return {
         (r._h1, r._h2): r.total
-        for r in spark.read.parquet(counts)
+        for r in read_live_state(spark, counts)
         .groupBy("_h1", "_h2").agg(F.sum("n").alias("total")).collect()
     }
 
@@ -99,33 +108,150 @@ def test_compact_count_log_sums_exactly_once(spark, tmp_path):
     assert compact_count_log(spark, counts, keep_last=1) == 0
 
 
-def test_recovery_from_crash_before_marker_discards_stale_stage(
-    spark, tmp_path
-):
-    """No marker ⇒ any _compact_tmp is a partial stage from a crash
-    and must be discarded, then compaction recomputes cleanly."""
+def test_reader_resolved_before_commit_is_unaffected(spark, tmp_path):
+    """The reader-atomicity contract itself: a live-state frame whose
+    generation was resolved BEFORE a fold commits still collects the
+    exact pre-fold rows AFTER the commit (deferred GC keeps its
+    generation's files for a full cycle), while a fresh read after
+    the commit sees the folded view with identical totals."""
     verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
     _boiler_batches(spark, verd, counts)
     before = _count_totals(spark, counts)
-    # garbage stage: wrong totals that would corrupt if trusted
+    pre = read_live_state(spark, counts)  # generation resolved NOW
+    assert compact_count_log(spark, counts, keep_last=1) == 2
+    got_pre = {
+        (r._h1, r._h2): r.total
+        for r in pre.groupBy("_h1", "_h2")
+        .agg(F.sum("n").alias("total")).collect()
+    }
+    assert got_pre == before  # old-generation reader: unchanged
+    assert _count_totals(spark, counts) == before  # new reader: exact
+
+
+def test_crash_before_publish_leaves_state_exact(spark, tmp_path):
+    """Everything a fold writes before the marker rename is invisible:
+    a 'crash' that wrote a garbage next-generation partition (no
+    marker) changes nothing for readers, and the next compaction GCs
+    it and recomputes the additive sums exactly once."""
+    verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
+    _boiler_batches(spark, verd, counts)
+    before = _count_totals(spark, counts)
+    # garbage partial fold at the partition the FIRST fold targets
+    # (generation 2): wrong totals that would corrupt if trusted
     (
         spark.createDataFrame([(1, 1, 999)], "_h1 long, _h2 long, n long")
-        .write.mode("overwrite").parquet(f"{counts}/_compact_tmp")
+        .write.mode("overwrite").parquet(f"{counts}/batch_id=-2")
     )
+    assert _count_totals(spark, counts) == before  # readers: invisible
     assert compact_count_log(spark, counts, keep_last=1) == 2
     assert _count_totals(spark, counts) == before
 
 
-def test_recovery_from_crash_after_marker_completes_swap(spark, tmp_path):
-    """Marker present ⇒ the stage is complete and authoritative; a
-    re-run must finish the swap WITHOUT re-folding (the double-count
-    hazard the staged protocol exists for)."""
+def test_unparseable_marker_is_ignored_and_gcd(spark, tmp_path):
+    """A half-written marker file (crash mid-create on a filesystem
+    without atomic rename) is unparseable JSON: readers skip it (the
+    prior generation stays live) and the next compaction deletes it
+    — the state dir can never be wedged (advisor finding r11)."""
     verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
     _boiler_batches(spark, verd, counts)
     before = _count_totals(spark, counts)
-    # simulate the crash point: stage written, marker written, swap
-    # and deletes NOT done — exactly what compact_batch_partitions
-    # does up to its _write_marker call
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 2
+    # crash artifacts of a hypothetical NEXT fold: partial data + a
+    # truncated marker prefix (what a non-atomic create could leave)
+    (
+        spark.createDataFrame([(7, 7, 7777)], "_h1 long, _h2 long, n long")
+        .write.mode("overwrite").parquet(f"{counts}/batch_id=-3")
+    )
+    with open(os.path.join(counts, "_GEN_3.json"), "w") as fh:
+        fh.write('{"gen": 3, "max_f')  # unbalanced braces: never parses
+    assert _count_totals(spark, counts) == before  # gen 2 still live
+    # new batches with ids ABOVE max_folded (the streaming contract:
+    # epoch ids never reuse once committed)
+    for b in (3, 4):
+        (
+            spark.createDataFrame([(8, 8, 1)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    expect = dict(before)
+    expect[(8, 8)] = 2
+    assert _count_totals(spark, counts) == expect
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # folds 2,3
+    assert _count_totals(spark, counts) == expect
+    # the garbage marker was GC'd and REPLACED by a complete gen-3
+    # marker from the successful fold
+    with open(os.path.join(counts, "_GEN_3.json")) as fh:
+        mk = json.load(fh)
+    assert mk["gen"] == 3 and mk["max_folded"] == 3
+    # the garbage -3 partition was GC'd and the slot rewritten by the
+    # good fold: live view = gen-3 consolidated + kept newest batch
+    assert _live_parts(spark, counts) == {-3, 4}
+
+
+def test_generation_cycle_folds_and_gcs(spark, tmp_path):
+    """Two full compaction cycles: generations increment, totals stay
+    exact, and the SECOND compaction's deferred GC removes the first
+    fold's inputs from disk (the grace window is one cycle)."""
+    verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
+    _boiler_batches(spark, verd, counts, n=3)
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 2
+    # folded inputs still on disk (grace window for in-flight readers)
+    assert os.path.exists(os.path.join(counts, "batch_id=0"))
+    assert os.path.exists(os.path.join(counts, "_GEN_2.json"))
+    before = _count_totals(spark, counts)
+    # two more batches with fresh ids (epoch ids never reuse)
+    for b in (3, 4):
+        (
+            spark.createDataFrame([(9, 9, 1)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # folds 2,3
+    got = _count_totals(spark, counts)
+    assert got[(9, 9)] == 2
+    del got[(9, 9)]
+    assert got == before
+    # generation 3 committed; generation 2's fold INPUTS GC'd (they
+    # were gen 1's raw partitions), while gen 2's own consolidated
+    # partition — an input of the gen-3 fold — survives one more
+    # cycle for in-flight readers
+    assert os.path.exists(os.path.join(counts, "_GEN_3.json"))
+    assert not os.path.exists(os.path.join(counts, "batch_id=0"))
+    assert not os.path.exists(os.path.join(counts, "batch_id=1"))
+    assert os.path.exists(os.path.join(counts, "batch_id=-2"))
+    assert _live_parts(spark, counts) == {-3, 4}
+
+
+def test_legacy_pre_generation_dir_migrates(spark, tmp_path):
+    """A state dir compacted by the r11 staged-swap protocol (a
+    batch_id=-1 partition, no generation marker) is adopted as
+    generation 1; the next fold produces generation 2 with exact
+    totals."""
+    counts = str(tmp_path / "counts")
+    rows = [(-1, 1, 1, 10), (2, 1, 1, 5), (2, 2, 2, 7), (3, 1, 1, 1)]
+    for b, h1, h2, n in rows:
+        (
+            spark.createDataFrame([(h1, h2, n)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    before = _count_totals(spark, counts)
+    assert compact_count_log(spark, counts, keep_last=1) == 1  # folds 2
+    assert _count_totals(spark, counts) == before
+    assert os.path.exists(os.path.join(counts, "_GEN_2.json"))
+    assert _live_parts(spark, counts) == {-2, 3}
+
+
+def test_legacy_crashed_swap_recovers(spark, tmp_path):
+    """r11 staged-swap crash artifacts still recover: a COMPLETE
+    _COMPACTING marker replays the swap forward without re-folding
+    (the double-count hazard); an UNPARSEABLE one (the r11 advisor
+    finding) is discarded with its stage, and compaction recomputes."""
+    verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
+    _boiler_batches(spark, verd, counts)
+    before = _count_totals(spark, counts)
+    # complete-marker crash point: stage written, marker written, swap
+    # and deletes NOT done — exactly the r11 protocol's commit point
     df = spark.read.parquet(counts)
     fold = [0, 1]
     (
@@ -139,12 +265,22 @@ def test_recovery_from_crash_after_marker_completes_swap(spark, tmp_path):
     # then finds nothing further to fold
     assert compact_count_log(spark, counts, keep_last=1) == 0
     assert _count_totals(spark, counts) == before
-    parts = {
-        r.batch_id
-        for r in spark.read.parquet(counts).select("batch_id").distinct().collect()
-    }
-    assert parts == {COMPACTED_BATCH_ID, 2}
+    assert _live_parts(spark, counts) == {COMPACTED_BATCH_ID, 2}
     assert not os.path.exists(os.path.join(counts, "_COMPACTING"))
+
+    # unparseable-marker crash: marker and stage are both garbage
+    verd2, counts2 = str(tmp_path / "verd2"), str(tmp_path / "counts2")
+    _boiler_batches(spark, verd2, counts2)
+    before2 = _count_totals(spark, counts2)
+    (
+        spark.createDataFrame([(1, 1, 999)], "_h1 long, _h2 long, n long")
+        .write.mode("overwrite").parquet(f"{counts2}/_compact_tmp")
+    )
+    with open(os.path.join(counts2, "_COMPACTING"), "w") as fh:
+        fh.write('{"fold": [0')  # truncated mid-write
+    assert compact_count_log(spark, counts2, keep_last=1) == 2
+    assert _count_totals(spark, counts2) == before2
+    assert not os.path.exists(os.path.join(counts2, "_COMPACTING"))
 
 
 def test_compact_drift_counts_keeps_cumulative_psi(spark, tmp_path):
@@ -191,8 +327,8 @@ def test_compact_stream_index_preserves_search_and_pruning(
     """The streaming text index is the fastest-growing layout
     (batches x buckets partitions): folding retired batch partitions
     must keep BM25 results identical, keep the bucket sub-partition
-    layout under batch_id=-1 (probe pruning intact), and a retry of
-    the kept newest batch must still change nothing."""
+    layout under the consolidated partition (probe pruning intact),
+    and a retry of the kept newest batch must still change nothing."""
     from finance_etl_system_spark.operators.textindex import (
         bm25_search_index,
     )
@@ -228,15 +364,10 @@ def test_compact_stream_index_preserves_search_and_pruning(
     want = search()
     assert compact_stream_index(spark, idx, keep_last=1) == 2
     assert search() == want
-    # layout: consolidated partition keeps bucket subdirs
-    root = os.path.join(idx, "postings", "batch_id=-1")
+    # layout: consolidated gen-2 partition keeps bucket subdirs
+    root = os.path.join(idx, "postings", "batch_id=-2")
     assert any(d.startswith("bucket=") for d in os.listdir(root))
-    parts = {
-        r.batch_id
-        for r in spark.read.parquet(f"{idx}/postings")
-        .select("batch_id").distinct().collect()
-    }
-    assert parts == {COMPACTED_BATCH_ID, 2}
+    assert _live_parts(spark, f"{idx}/postings") == {-2, 2}
     # retry of the kept newest batch still converges
     index_batch(
         spark.createDataFrame(docs[4:6], "doc_id LONG, text STRING"), 2, idx
@@ -273,7 +404,7 @@ def test_generic_fold_rejects_nothing_but_uses_callable(spark, tmp_path):
     ) == 2
     got = {
         (r.k, r.n)
-        for r in spark.read.parquet(d)
+        for r in read_live_state(spark, d)
         .groupBy("k").agg(F.max("n").alias("n")).collect()
     }
     assert got == {(1, 3), (2, 10)}

@@ -145,8 +145,12 @@ def test_ivf_pq_index_prune_and_recall(spark, corpus, tmp_path):
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # verify_consistency=False keeps the frame lazy so the literal
+    # partition filter is inspectable in ITS plan (the eager default
+    # checkpoints the scan, whose plan then starts at ExistingRDD)
     got = cosine_topk_ivf_pq(
-        spark, path, queries, k=10, nprobe=2, rerank_with=corpus, rerank=50
+        spark, path, queries, k=10, nprobe=2, rerank_with=corpus,
+        rerank=50, verify_consistency=False,
     )
     pf = " ".join(partition_filters(got))
     assert "cluster" in pf and " IN " in pf.upper(), pf
@@ -540,3 +544,71 @@ def test_ivf_pq_append_refused_during_compaction(spark, corpus, tmp_path):
         spark.read.parquet(f"{path}/codes").count() == corpus.count()
     )
     assert verify_ivf_pq_index(spark, path)["consistent"]
+
+
+def test_probe_detects_mid_scan_rebuild(spark, corpus, tmp_path):
+    """The check-then-read race, closed (advisor r10 / verdict r11
+    #3): a rebuild that starts — or starts AND commits — inside a
+    probe's read window makes the probe fail LOUDLY instead of
+    silently scoring new codes with the old model. The _race_hook
+    seam fires in exactly the window the entry-time
+    _check_not_building cannot cover."""
+    import os
+
+    from finance_etl_system_spark.operators.pq import (
+        build_ivf_pq_index,
+        cosine_topk_ivf_pq,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        corpus, path, dim=DIM, k_clusters=4, m=M, k_codes=K_CODES,
+        id_col="vec_id", max_iter=3,
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # (a) a rebuild takes the fence mid-probe: the post-scan re-check
+    # sees the marker and refuses the (possibly mixed) shortlist
+    def fence():
+        open(os.path.join(path, "_BUILDING"), "w").close()
+
+    with pytest.raises(RuntimeError, match="overlapped a rebuild"):
+        cosine_topk_ivf_pq(spark, path, queries, k=3, _race_hook=fence)
+    os.remove(os.path.join(path, "_BUILDING"))
+
+    # (b) a WHOLE rebuild (different params) commits inside the
+    # window — both markers are long gone by the re-check; the meta
+    # compare catches it (or the scan itself dies on the replaced
+    # files and is attributed to the race)
+    def rebuild_smaller():
+        build_ivf_pq_index(
+            corpus, path, dim=DIM, k_clusters=2, m=M, k_codes=K_CODES,
+            id_col="vec_id", max_iter=3,
+        )
+
+    with pytest.raises(RuntimeError, match="overlapped a completed"):
+        cosine_topk_ivf_pq(
+            spark, path, queries, k=3, _race_hook=rebuild_smaller
+        )
+
+    # (c) the nastiest case: an IDENTICAL-params rebuild — every meta
+    # byte equal except build_id
+    def rebuild_same():
+        build_ivf_pq_index(
+            corpus, path, dim=DIM, k_clusters=2, m=M, k_codes=K_CODES,
+            id_col="vec_id", max_iter=3,
+        )
+
+    with pytest.raises(RuntimeError, match="overlapped a completed"):
+        cosine_topk_ivf_pq(
+            spark, path, queries, k=3, _race_hook=rebuild_same
+        )
+
+    # sanity: an unraced probe over the final index works and returns
+    # self-matches at rank 1
+    got = cosine_topk_ivf_pq(
+        spark, path, queries, k=3, nprobe=2, rerank_with=corpus, rerank=20
+    ).collect()
+    assert {r.qid: r.cid for r in got if r.rnk == 1} == {0: 0, 1: 1, 2: 2}

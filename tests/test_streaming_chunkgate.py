@@ -145,7 +145,6 @@ def test_compact_chunk_state_preserves_decisions(spark, tmp_path):
     byte-equal, and the next batch's decisions still equal the batch
     rule. Re-compaction is a no-op."""
     from finance_etl_system_spark.streaming.chunkgate import (
-        COMPACTED_BATCH_ID,
         compact_chunk_state,
     )
 
@@ -165,11 +164,19 @@ def test_compact_chunk_state_preserves_decisions(spark, tmp_path):
     }
 
     assert compact_chunk_state(spark, state, keep_last=1) == 2
-    st = spark.read.parquet(state)
+    # LIVE view: consolidated partition + the kept newest batch.
+    # (The raw dir still holds the folded inputs until the next
+    # compaction's deferred GC — that grace window is what makes the
+    # fold atomic for concurrent readers.)
+    from finance_etl_system_spark.streaming.compaction import read_live_state
+
+    st = read_live_state(spark, state)
     assert {r.chunk_hash for r in st.collect()} == hashes_before
+    # first fold publishes generation 2 (gen 1 is the implicit
+    # pre-marker state)
     assert {
         r.batch_id for r in st.select("batch_id").distinct().collect()
-    } == {COMPACTED_BATCH_ID, 2}
+    } == {-2, 2}
     # idempotent: nothing left to fold
     assert compact_chunk_state(spark, state, keep_last=1) == 0
 
@@ -207,3 +214,87 @@ def test_empty_and_all_dup_batches(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     chunk_gate_batch(empty, 2, kept, rej, state, threshold=0.6)
     assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {0}
+
+
+def test_gate_decisions_identical_under_concurrent_compaction(
+    spark, tmp_path
+):
+    """The generation-marker protocol's headline guarantee: chunk-gate
+    batches running WHILE compact_chunk_state folds the same state
+    dir in another thread make decisions identical to an uncompacted
+    run (no pause-the-world maintenance window). Safe because (a)
+    readers resolve the live generation before listing and the
+    compactor's GC is deferred one cycle, and (b) keep_last=1 keeps
+    the newest — possibly still-committing — batch partition out of
+    every fold."""
+    import threading
+
+    from finance_etl_system_spark.streaming.chunkgate import (
+        compact_chunk_state,
+    )
+    from finance_etl_system_spark.streaming.compaction import (
+        read_live_state,
+    )
+    from finance_etl_system_spark.functions.generations import (
+        live_generation,
+    )
+
+    fresh1 = " ".join(f"kappa{i} lam{i} mu{i}" for i in range(60))
+    fresh2 = " ".join(f"nu{i} xi{i} omi{i}" for i in range(60))
+    batches = [
+        [(0, BASE), (1, OTHER)],
+        [(10, THIRD), (11, BASE + " unique closing remarks here")],
+        [(20, OTHER + " with a tiny tail"), (21, fresh1)],
+        [(30, THIRD + " small addition"), (31, fresh2)],
+        [(40, fresh1 + " trailing words"), (41, BASE)],
+    ]
+
+    def run(tag: str, concurrent: bool):
+        kept = str(tmp_path / f"kept_{tag}")
+        rej = str(tmp_path / f"rej_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+        stop = threading.Event()
+        errs: list[Exception] = []
+
+        def pump():
+            while not stop.is_set():
+                try:
+                    compact_chunk_state(spark, state, keep_last=1)
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+                    return
+
+        t = None
+        if concurrent:
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
+        for i, rows in enumerate(batches):
+            chunk_gate_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                i, kept, rej, state, threshold=0.6,
+            )
+        if t is not None:
+            stop.set()
+            t.join(120)
+            assert not t.is_alive()
+        assert not errs, errs
+        per_batch = {}
+        for path, label in ((kept, "kept"), (rej, "rej")):
+            if not os.path.exists(path):
+                continue
+            for r in spark.read.parquet(path).collect():
+                per_batch.setdefault(r.batch_id, {}).setdefault(
+                    label, set()
+                ).add(r.doc_id)
+        hashes = {
+            r.chunk_hash for r in read_live_state(spark, state).collect()
+        }
+        return per_batch, hashes, state
+
+    plain_decisions, plain_hashes, _ = run("plain", concurrent=False)
+    conc_decisions, conc_hashes, conc_state = run("conc", concurrent=True)
+    assert conc_decisions == plain_decisions
+    assert conc_hashes == plain_hashes
+    # the compactor genuinely ran: at least one generation committed
+    # while the stream was live
+    assert live_generation(spark, conc_state) is not None
