@@ -388,10 +388,15 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     # persist the column contract: probes must not have to GUESS which
     # column is the id (silent wrong-column pick if the vectors table
-    # ever gains a column)
+    # ever gains a column). ``build_id`` (wall-clock ns — uniqueness
+    # is all that matters) lets a probe's post-scan re-check detect a
+    # whole rebuild committing inside its read window even when every
+    # parameter is identical (the operators/pq.py precedent, r12).
+    import time as _time
+
     corpus.sparkSession.createDataFrame(
-        [(id_col, vec_col, int(k_clusters))],
-        "id_col string, vec_col string, k_clusters int",
+        [(id_col, vec_col, int(k_clusters), int(_time.time_ns()))],
+        "id_col string, vec_col string, k_clusters int, build_id long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     return model
 
@@ -725,6 +730,8 @@ def cosine_topk_ivf_index(
     nprobe: int = 2,
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    verify_consistency: bool = True,
+    _race_hook=None,
 ) -> DataFrame:
     """Query a persisted IVF index (build_ivf_index): route each query
     to its nprobe nearest centroids (broadcast k-row table), then scan
@@ -806,8 +813,60 @@ def cosine_topk_ivf_index(
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("cid").asc()
     )
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "cid", "cosine")
     )
+    if _race_hook is not None:
+        _race_hook()  # test seam: the check-then-read window
+    if verify_consistency:
+        # the operators/pq.py r12 pattern: materialize the nq×k
+        # result (the only lazy read of index tables), then re-check
+        # that no compaction fenced the index and the meta row —
+        # build_id included — is unchanged, so a rebuild or
+        # compaction overlapping this probe fails loudly instead of
+        # returning a half-swapped scan.
+        # verify_consistency=False keeps the frame lazy for the
+        # partition-pruning plan/metrics tests.
+        try:
+            out = out.localCheckpoint(eager=True)
+        except Exception:
+            _verify_ivf_probe_consistency(spark, path, meta)
+            raise
+        _verify_ivf_probe_consistency(spark, path, meta)
+    return out
+
+
+def _verify_ivf_probe_consistency(spark, path: str, meta_entry) -> None:
+    """Post-scan re-validation for IVF probes (the operators/pq.py
+    ``_verify_probe_consistency`` twin): raises if a compaction is in
+    flight now, or the meta row changed — ``build_id`` changes every
+    build_ivf_index run, so even an identical-params rebuild that
+    fully committed inside the probe window is detected."""
+    from pyspark.errors import AnalysisException
+
+    fs, HPath = _ivf_fs(spark, path)
+    if fs.exists(HPath(_compact_marker(path))):
+        raise RuntimeError(
+            f"IVF probe at {path} overlapped a compaction"
+            " (_COMPACTING appeared during the scan); retry the"
+            " probe after the compaction finishes"
+        )
+    now = None
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        now = rows[0] if rows else None
+    except AnalysisException as e:
+        if error_condition(e) not in (
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
+            raise
+    entry_d = meta_entry.asDict() if meta_entry is not None else None
+    now_d = now.asDict() if now is not None else None
+    if entry_d != now_d:
+        raise RuntimeError(
+            f"IVF probe at {path} overlapped a completed rebuild"
+            f" (meta changed during the scan: {entry_d!r} →"
+            f" {now_d!r}); retry the probe against the new index"
+        )

@@ -117,6 +117,12 @@ def chunk_gate_batch(
     chunks = content_defined_chunks(
         batch, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
+    # checkpoint the decision set too (r12, verdict r11 #6): its plan
+    # (owners groupBy + chunk-keyed join) used to re-execute for each
+    # of the four downstream actions (two isEmpty probes + two sink
+    # writes) — 3 redundant multi-stage jobs per batch, the dominant
+    # share of the measured ~8.6 s fixed floor. After the checkpoint
+    # the sinks join two in-memory tables.
     dup_ids = chunk_dup_doc_ids(
         batch,
         text_col=text_col,
@@ -124,15 +130,27 @@ def chunk_gate_batch(
         threshold=threshold,
         history_chunks=history,
         chunks=chunks,
-    )
+    ).localCheckpoint(eager=True)
+    # emptiness decided from counts on checkpointed frames (driver
+    # arithmetic), not per-sink isEmpty() jobs. n_ids (distinct)
+    # guards the duplicate-id edge: kept is empty iff EVERY distinct
+    # id was rejected, regardless of row multiplicity.
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(id_col).alias("n_ids"),
+    ).collect()[0]
+    n_dup = dup_ids.count()
     rejected = batch.join(dup_ids, id_col, "left_semi")
     kept = batch.join(dup_ids, id_col, "left_anti")
     with partition_overwrite(spark, "dynamic"):
-        for frame, path in ((kept, kept_dir), (rejected, rejected_dir)):
+        for frame, path, empty in (
+            (kept, kept_dir, n_dup >= stats.n_ids),
+            (rejected, rejected_dir, n_dup == 0),
+        ):
             # empty-partition guard: a data-file-less partitioned dir
             # is unreadable downstream (the forget lesson) — absence
             # means zero rows
-            if frame.isEmpty():
+            if empty:
                 continue
             (
                 frame.withColumn("batch_id", F.lit(int(batch_id)))

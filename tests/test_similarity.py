@@ -163,8 +163,10 @@ def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # verify_consistency=False keeps the frame lazy: the plan and
+    # executed-scan assertions below inspect the probe's OWN scan
     got = cosine_topk_ivf_index(
-        spark, path, queries, k=10, nprobe=2
+        spark, path, queries, k=10, nprobe=2, verify_consistency=False
     )
     # static literal pruning: the probed cluster ids are pushed as a
     # partition filter (cluster IN ...), and the executed scan must
@@ -175,7 +177,8 @@ def test_ivf_index_persist_prune_and_recall(spark, tmp_path):
     from finance_etl_system_spark.plans.metrics import executed_metrics
 
     one_probe = cosine_topk_ivf_index(
-        spark, path, queries.limit(1), k=10, nprobe=1
+        spark, path, queries.limit(1), k=10, nprobe=1,
+        verify_consistency=False,
     )
     total_vecs = e.count()
     vec_scans = [
@@ -281,7 +284,10 @@ def test_ivf_append_parity_and_stats(spark, tmp_path):
     # pruning still skips unprobed partitions after the append
     from finance_etl_system_spark.plans.metrics import executed_metrics
 
-    one = cosine_topk_ivf_index(spark, inc, queries.limit(1), k=5, nprobe=1)
+    one = cosine_topk_ivf_index(
+        spark, inc, queries.limit(1), k=5, nprobe=1,
+        verify_consistency=False,
+    )
     n_total = e.count()
     vec_scans = [
         s for s in executed_metrics(one, execute=True)["scans"]
@@ -422,7 +428,9 @@ def test_ivf_streaming_append_idempotent(spark, tmp_path):
     from finance_etl_system_spark.plans.metrics import executed_metrics
 
     n_total = base_n + len(rows)
-    probe = cosine_topk_ivf_index(spark, path, queries, k=3, nprobe=1)
+    probe = cosine_topk_ivf_index(
+        spark, path, queries, k=3, nprobe=1, verify_consistency=False
+    )
     vec_scans = [
         s for s in executed_metrics(probe, execute=True)["scans"]
         if s["scan_rows"] > 4
@@ -807,3 +815,47 @@ def test_embedding_centroids_dirty_fallback(spark):
     assert got[("a", 1)] == (want_a1, 3)
     # label b: null VECTOR is excluded from every dim, n_vectors counts it
     assert got[("b", 1)] == (round(tick(full[0]) / 1e8, 6), 2)
+
+
+def test_ivf_probe_detects_mid_scan_rebuild_or_compaction(
+    spark, corpus, tmp_path
+):
+    """The check-then-read race, closed for the plain-IVF probe too
+    (the operators/pq.py r12 twin): a compaction fencing the index —
+    or a whole rebuild committing — inside a probe's read window
+    makes the probe fail LOUDLY instead of returning a half-swapped
+    scan. build_id makes even an identical-params rebuild visible."""
+    import os
+
+    from finance_etl_system_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, k_clusters=4, id_col="vec_id")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # (a) a compaction takes the fence mid-probe
+    def fence():
+        open(os.path.join(path, "_COMPACTING"), "w").close()
+
+    with pytest.raises(RuntimeError, match="overlapped a compaction"):
+        cosine_topk_ivf_index(spark, path, queries, k=3, _race_hook=fence)
+    os.remove(os.path.join(path, "_COMPACTING"))
+
+    # (b) an IDENTICAL-params rebuild commits inside the window —
+    # every meta byte equal except build_id
+    def rebuild_same():
+        build_ivf_index(corpus, path, k_clusters=4, id_col="vec_id")
+
+    with pytest.raises(RuntimeError, match="overlapped a completed"):
+        cosine_topk_ivf_index(
+            spark, path, queries, k=3, _race_hook=rebuild_same
+        )
+
+    # sanity: an unraced probe over the final index still self-matches
+    got = cosine_topk_ivf_index(spark, path, queries, k=3).collect()
+    assert {r.qid: r.cid for r in got if r.rnk == 1} == {0: 0, 1: 1, 2: 2}

@@ -64,6 +64,9 @@ def main() -> None:
         chunk_gate_batch,
         compact_chunk_state,
     )
+    from finance_etl_system_spark.streaming.compaction import (
+        read_live_state,
+    )
 
     spark = get_spark("chunkgate-scale")
     root = os.path.join(
@@ -85,7 +88,10 @@ def main() -> None:
         chunk_gate_batch(df, b, kept, rej, state)
         times.append(time.time() - t0)
 
-    state_rows = spark.read.parquet(state).count()
+    # live view: after a generation-flip compaction the raw dir still
+    # holds folded inputs until the next GC cycle — counting them
+    # would double-report state size
+    state_rows = read_live_state(spark, state).count()
     # windows skip batch 0 (empty-state fast path + JVM warm)
     early = times[1:6]
     late = times[-5:]

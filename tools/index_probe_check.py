@@ -62,7 +62,9 @@ def run_ivf(spark, sf_dir: str, label: str) -> None:
     queries = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), "embedding"
     ).localCheckpoint(eager=True)
-    probe = cosine_topk_ivf_index(spark, path, queries, k=10, nprobe=1)
+    probe = cosine_topk_ivf_index(
+        spark, path, queries, k=10, nprobe=1, verify_consistency=False
+    )
     t, scanned = _probe_stats(probe)
     print(
         f"| ivf_probe {label} | {n} | {scanned} | "
