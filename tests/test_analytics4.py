@@ -98,3 +98,12 @@ def test_excess_qty_suppliers_share_recomputed(spark):
     }
     got = {r.s_suppkey: r.n_excess_parts for r in rows}
     assert got == truth
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -171,3 +171,12 @@ def test_ann_method_report_contract(spark):
     assert rows["lsh"]["recall_avg"] >= 0.3  # 16-bit/4-band point
     for r in rows.values():
         assert r["recall_min"] <= r["recall_avg"] <= 1.0
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -408,3 +408,12 @@ def test_generic_fold_rejects_nothing_but_uses_callable(spark, tmp_path):
         .groupBy("k").agg(F.max("n").alias("n")).collect()
     }
     assert got == {(1, 3), (2, 10)}
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -224,3 +224,12 @@ def test_corpus_chunk_stage_drops_subdocument_duplicates(spark):
     )
     kept = {r.doc_id for r in out.collect()}
     assert kept == {0, 2}
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

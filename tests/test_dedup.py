@@ -347,3 +347,12 @@ def test_lsh_cap_boilerplate_skew_keeps_content_recall(spark):
     assert len(base) >= 28  # uncapped finds essentially all 30
     recall = len(capped & base) / len(base)
     assert recall >= 0.98, (len(capped & base), len(base))
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -185,3 +185,12 @@ def test_incremental_with_history_beyond_lookback(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, atol=1e-9)
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

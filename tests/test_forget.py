@@ -197,3 +197,12 @@ def test_forget_ignores_stale_staging_under_dynamic_mode(
     back = spark.read.parquet(path)
     assert back.filter("id = 1").count() == 0
     assert back.count() == 2
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

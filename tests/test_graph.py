@@ -164,3 +164,12 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         assert rounds <= 7, rounds
 
     check()
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -379,3 +379,12 @@ def test_tick_avg_ignores_nulls_like_avg(spark):
         " / (100.0 * COUNT(v)), 6) FROM t"
     ).fetchone()
     assert got["mavg"] == oracle
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -98,3 +98,12 @@ def test_registry_query_shape(spark):
     assert [r["rnk"] for r in out] == list(range(1, 21))
     probs = [r["quality_prob"] for r in out]
     assert probs == sorted(probs, reverse=True)
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -116,3 +116,12 @@ def test_oracle_column_names_match_spark(spark):
         if spark_cols != duck_cols:
             mismatches[name] = (spark_cols, duck_cols)
     assert not mismatches, mismatches
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

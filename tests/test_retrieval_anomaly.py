@@ -511,3 +511,12 @@ def test_retrieval_eval_metrics_sane(spark):
     assert 0.0 < r.ndcg_at_10 <= 1.0
     assert 0.0 < r.recall_at_20 <= 1.0
     assert 0.0 <= r.mrr_at_20 <= 1.0
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

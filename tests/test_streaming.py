@@ -1109,3 +1109,12 @@ def test_stream_enrich_temporal_scd2_versions(spark, tmp_path):
     stream_enrich_batch(replay, 1, dim=dim, out_dir=out, key="user_id")
     again = spark.read.parquet(out).collect()
     assert {r.eid: r.tier for r in again} == want and len(again) == len(events)
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -298,3 +298,12 @@ def test_gate_decisions_identical_under_concurrent_compaction(
     # the compactor genuinely ran: at least one generation committed
     # while the stream was live
     assert live_generation(spark, conc_state) is not None
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify

@@ -300,3 +300,12 @@ def test_contamination_spans_and_scrub_ground_truth(spark):
         for r in contamination_spans(corpus, eva, k=5, key="string").collect()
     )
     assert h == s
+
+
+# Certification tier (verdict r11 #4; markers registered in
+# tests/conftest.py): this module is excluded from the fast tier
+# `pytest -m "not certify"` and runs in the full per-round gate.
+# Assignment is duration-measured (tools/tier_report.py), not guessed.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.certify
