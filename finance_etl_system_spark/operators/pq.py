@@ -910,6 +910,44 @@ def cosine_topk_ivf_pq(
     query_vec_col: str = "embedding",
     corpus_vec_col: str = "embedding",
     verify_consistency: bool = True,
+    retries: int = 2,
+    _race_hook=None,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index with bounded self-heal: when
+    the post-scan consistency guard detects an overlapping rebuild or
+    compaction (``_verify_probe_consistency``), the probe simply
+    re-runs — entry re-resolves meta/fences, so the retry reads the
+    NEW index generation. Only the 'overlapped' detection retries
+    (up to ``retries`` times); a STANDING fence (a ``_BUILDING``
+    marker left by a crashed rebuild) raises the manual-heal entry
+    error on the next attempt and is never spun on."""
+    from .similarity import _retry_on_probe_race
+
+    return _retry_on_probe_race(
+        lambda hook: _cosine_topk_ivf_pq_once(
+            spark, path, queries, k=k, nprobe=nprobe,
+            rerank_with=rerank_with, rerank=rerank, query_id=query_id,
+            query_vec_col=query_vec_col, corpus_vec_col=corpus_vec_col,
+            verify_consistency=verify_consistency, _race_hook=hook,
+        ),
+        retries,
+        _race_hook,
+    )
+
+
+def _cosine_topk_ivf_pq_once(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_with: DataFrame | None = None,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    verify_consistency: bool = True,
     _race_hook=None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: route each query to its nprobe

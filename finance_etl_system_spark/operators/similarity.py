@@ -721,7 +721,56 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def _retry_on_probe_race(once, retries: int, race_hook):
+    """Bounded self-heal for the post-scan consistency guards (r12):
+    a probe that DETECTED an overlapping rebuild/compaction re-runs
+    from scratch — entry re-resolves meta and fences, so the retry
+    reads the new index generation as one consistent snapshot. Only
+    the 'overlapped' detection retries; a standing fence (a marker
+    left by a crashed rebuild/compaction) raises its manual-heal
+    error without spinning. The test race hook fires on the FIRST
+    attempt only — it exists to inject the race, not to re-inject it
+    forever."""
+    attempt = 0
+    while True:
+        try:
+            return once(race_hook if attempt == 0 else None)
+        except RuntimeError as e:
+            if "overlapped" not in str(e) or attempt >= retries:
+                raise
+            attempt += 1
+
+
 def cosine_topk_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    verify_consistency: bool = True,
+    retries: int = 2,
+    _race_hook=None,
+) -> DataFrame:
+    """Query a persisted IVF index with the same bounded self-heal as
+    cosine_topk_ivf_pq: an 'overlapped rebuild/compaction' detection
+    re-runs the probe (up to ``retries``) against the new
+    generation; a standing ``_COMPACTING`` fence raises the
+    manual-heal error at entry instead of spinning."""
+    return _retry_on_probe_race(
+        lambda hook: _cosine_topk_ivf_index_once(
+            spark, path, queries, k=k, nprobe=nprobe,
+            query_id=query_id, vec_col=vec_col,
+            verify_consistency=verify_consistency, _race_hook=hook,
+        ),
+        retries,
+        _race_hook,
+    )
+
+
+def _cosine_topk_ivf_index_once(
     spark,
     path: str,
     queries: DataFrame,
@@ -748,6 +797,19 @@ def cosine_topk_ivf_index(
     the probed partitions, see tools/index_probe_check.py and the
     plan+metrics assert in tests/test_similarity.py.) Exact cosine
     within the probed buckets, deterministic top-k."""
+    # entry fence: a held (or crash-stale) _COMPACTING marker means
+    # the vectors tree may be mid-swap — refuse fast with the
+    # manual-heal message rather than scanning a possibly
+    # half-promoted directory (the r12 retry wrapper deliberately
+    # does NOT retry this: the marker is standing state, not a race)
+    fs, HPath = _ivf_fs(spark, path)
+    if fs.exists(HPath(_compact_marker(path))):
+        raise RuntimeError(
+            f"IVF index at {path} has a _COMPACTING marker: a"
+            " compaction is running or failed mid-swap — probe"
+            " refused; verify_ivf_index, repair, then delete the"
+            " marker to heal"
+        )
     centroids = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
     # the meta table names the INDEX's columns; the caller's vec_col

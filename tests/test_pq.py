@@ -575,7 +575,9 @@ def test_probe_detects_mid_scan_rebuild(spark, corpus, tmp_path):
         open(os.path.join(path, "_BUILDING"), "w").close()
 
     with pytest.raises(RuntimeError, match="overlapped a rebuild"):
-        cosine_topk_ivf_pq(spark, path, queries, k=3, _race_hook=fence)
+        cosine_topk_ivf_pq(
+            spark, path, queries, k=3, retries=0, _race_hook=fence
+        )
     os.remove(os.path.join(path, "_BUILDING"))
 
     # (b) a WHOLE rebuild (different params) commits inside the
@@ -590,7 +592,8 @@ def test_probe_detects_mid_scan_rebuild(spark, corpus, tmp_path):
 
     with pytest.raises(RuntimeError, match="overlapped a completed"):
         cosine_topk_ivf_pq(
-            spark, path, queries, k=3, _race_hook=rebuild_smaller
+            spark, path, queries, k=3, retries=0,
+            _race_hook=rebuild_smaller,
         )
 
     # (c) the nastiest case: an IDENTICAL-params rebuild — every meta
@@ -603,8 +606,23 @@ def test_probe_detects_mid_scan_rebuild(spark, corpus, tmp_path):
 
     with pytest.raises(RuntimeError, match="overlapped a completed"):
         cosine_topk_ivf_pq(
-            spark, path, queries, k=3, _race_hook=rebuild_same
+            spark, path, queries, k=3, retries=0, _race_hook=rebuild_same
         )
+
+    # (d) with the DEFAULT retries the same detected race SELF-HEALS:
+    # the retry re-resolves meta/fences and answers from the new
+    # index generation (the race hook fires on attempt 0 only)
+    def rebuild_again():
+        build_ivf_pq_index(
+            corpus, path, dim=DIM, k_clusters=2, m=M, k_codes=K_CODES,
+            id_col="vec_id", max_iter=3,
+        )
+
+    healed = cosine_topk_ivf_pq(
+        spark, path, queries, k=3, nprobe=2, rerank_with=corpus,
+        rerank=20, _race_hook=rebuild_again,
+    ).collect()
+    assert {r.qid: r.cid for r in healed if r.rnk == 1} == {0: 0, 1: 1, 2: 2}
 
     # sanity: an unraced probe over the final index works and returns
     # self-matches at rank 1

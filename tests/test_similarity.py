@@ -843,6 +843,13 @@ def test_ivf_probe_detects_mid_scan_rebuild_or_compaction(
         open(os.path.join(path, "_COMPACTING"), "w").close()
 
     with pytest.raises(RuntimeError, match="overlapped a compaction"):
+        cosine_topk_ivf_index(
+            spark, path, queries, k=3, retries=0, _race_hook=fence
+        )
+    # the fence is STANDING state: with retries allowed, the next
+    # attempt refuses at entry with the manual-heal message instead
+    # of spinning on re-scans
+    with pytest.raises(RuntimeError, match="_COMPACTING marker"):
         cosine_topk_ivf_index(spark, path, queries, k=3, _race_hook=fence)
     os.remove(os.path.join(path, "_COMPACTING"))
 
@@ -853,8 +860,15 @@ def test_ivf_probe_detects_mid_scan_rebuild_or_compaction(
 
     with pytest.raises(RuntimeError, match="overlapped a completed"):
         cosine_topk_ivf_index(
-            spark, path, queries, k=3, _race_hook=rebuild_same
+            spark, path, queries, k=3, retries=0, _race_hook=rebuild_same
         )
+
+    # with the DEFAULT retries the detected rebuild SELF-HEALS: the
+    # retry answers from the new generation
+    healed = cosine_topk_ivf_index(
+        spark, path, queries, k=3, _race_hook=rebuild_same
+    ).collect()
+    assert {r.qid: r.cid for r in healed if r.rnk == 1} == {0: 0, 1: 1, 2: 2}
 
     # sanity: an unraced probe over the final index still self-matches
     got = cosine_topk_ivf_index(spark, path, queries, k=3).collect()
