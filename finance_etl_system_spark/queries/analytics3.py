@@ -26,7 +26,7 @@ semantics differ between Spark datediff and DuckDB date_diff).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -314,10 +314,159 @@ ORDER BY cohort_mon
 """
 
 
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full weekly cohort-retention MATRIX over the events stream —
+    the (cohort_week × week_offset) grid every growth dashboard
+    renders, where ``customer_retention`` above keeps only three
+    fixed horizons. Shape: one distinct (user, week) projection feeds
+    BOTH the cohort assignment (min week per user) and the activity
+    join, all three shuffles keyed on user_id / cohort_week —
+    output is grid-sized (weeks²), never user-sized.
+
+    The week index is pure UTC epoch arithmetic
+    (floor(epoch_days − 19723) / 7, 19723 = 2024-01-01) on BOTH
+    engines, so the result is independent of the driver session's
+    timezone — a ``to_date(timestamp)`` formulation would shift
+    cohort boundaries under a non-UTC session (the CLAUDE.md
+    arbitrary-session contract)."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) - F.lit(19_723))
+        / F.lit(7)
+    ).cast("long")
+    wk = e.select(F.col("user_id"), week.alias("week")).distinct()
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        wk.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_RETENTION_WEEKLY_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR((FLOOR(epoch_us(ts) / 86400000000) - 19723) / 7) AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY cohort_week)
+SELECT f.cohort_week AS cohort_week,
+       wk.week - f.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active,
+       s.cohort_size AS cohort_size,
+       ROUND(COUNT(DISTINCT wk.user_id) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM wk
+JOIN first f ON wk.user_id = f.user_id
+JOIN sizes s ON s.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, wk.week - f.cohort_week, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding click/view within a 7-day window, else 'none' —
+    the marketing-attribution shape (and the ignore-nulls
+    carry-forward idiom: ``last(col, ignorenulls) over rows between
+    unbounded preceding and 1 preceding``, which Catalyst evaluates
+    in the SAME single user-keyed window pass as sessionization).
+    One shuffle on user_id; the purchase filter happens AFTER the
+    carry-forward (a purchase needs non-purchase neighbors), and the
+    final aggregate is touch-type-sized. Money accumulates as exact
+    integer ticks (functions/columns policy)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("ticks"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_k = F.when(F.col("event_type").isin("click", "view"), F.col("k"))
+    carried = e.withColumn("touch_type", F.last(touch, True).over(w)) \
+        .withColumn("touch_k", F.last(touch_k, True).over(w))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("k") - F.col("touch_k") <= 604_800_000_000,
+                    F.col("touch_type"),
+                ),
+                F.lit("none"),
+            ).alias("touch_type"),
+            "ticks",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("ticks").cast("double") / 100.0, 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+_ATTRIBUTION_LAST_TOUCH_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS ticks
+  FROM events
+),
+t AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY k, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN k END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY k, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_k
+  FROM e
+)
+SELECT COALESCE(CASE WHEN k - touch_k <= 604800000000 THEN touch_type END,
+                'none') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(ticks) / 100.0, 2) AS attributed_value
+FROM t
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "part_cooccurrence": q_part_cooccurrence,
     "customer_retention": q_customer_retention,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "attribution_last_touch": q_attribution_last_touch,
     "ship_speed_priority": q_ship_speed_priority,
     "waiting_suppliers": q_waiting_suppliers,
     "product_profit": q_product_profit,
@@ -327,6 +476,8 @@ ORACLE = {
     "forecast_revenue": _FORECAST_REVENUE_SQL,
     "part_cooccurrence": _PART_COOCCURRENCE_SQL,
     "customer_retention": _CUSTOMER_RETENTION_SQL,
+    "cohort_retention_weekly": _COHORT_RETENTION_WEEKLY_SQL,
+    "attribution_last_touch": _ATTRIBUTION_LAST_TOUCH_SQL,
     "ship_speed_priority": _SHIP_SPEED_PRIORITY_SQL,
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
     "product_profit": _PRODUCT_PROFIT_SQL,
