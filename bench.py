@@ -254,6 +254,30 @@ def main() -> None:
             json.dump({"sf": sf, "io": io}, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    try:
+        # Self-contained committed artifact (verdict r12 what's-wrong
+        # #4): the stdout line carries only the slowest query (the
+        # driver's ~500 B tail window), which INVITES misreading a
+        # single noisy headline number as a regression. This sidecar
+        # holds the latest run's FULL per-query map; commit it each
+        # round next to BENCH_r*.json.
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_full.json")
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "ts": round(time.time(), 1),
+                    "sf": sf,
+                    "value": line["value"],
+                    "canary_sec": canary,
+                    "scan_canary_sec": scan_canary,
+                    "timing": line["timing"],
+                    "queries": timings,
+                },
+                fh, indent=1, sort_keys=True,
+            )
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     print(json.dumps(line))
 
     # Persist per-run history in-repo: the stdout line is compact (no

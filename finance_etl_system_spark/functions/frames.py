@@ -54,11 +54,18 @@ def literal_frame(
         [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(st)
     )
     df = spark.createDataFrame(tbl, schema=st)
-    node = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-    assert node == "LocalRelation", (
-        f"literal_frame degraded to {node}; the plan lints require "
-        "LocalTableScan — see plans/lint.py"
-    )
+    # Fail-loudly contract (advisor r12): an `assert` vanishes under
+    # python -O, and `_jdf` does not exist on a Spark Connect session
+    # (the CLAUDE.md arbitrary-session contract) — so raise explicitly
+    # and skip the plan probe when the JVM handle is unavailable.
+    jdf = getattr(df, "_jdf", None)
+    if jdf is not None:
+        node = jdf.queryExecution().analyzed().getClass().getSimpleName()
+        if node != "LocalRelation":
+            raise RuntimeError(
+                f"literal_frame degraded to {node}; the plan lints "
+                "require LocalTableScan — see plans/lint.py"
+            )
     return df
 
 

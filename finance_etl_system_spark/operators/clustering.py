@@ -8,7 +8,7 @@ coarse quantizer previously reused a label column) and the standard
 corpus-partitioning step (cluster-then-sample) in training-data
 curation.
 
-Scale shape per iteration: ONE shuffle-free mapInPandas pass fuses
+Scale shape per iteration: ONE shuffle-free mapInArrow pass fuses
 assignment (vectorized argmin against the k×d matrix closed over by
 the UDF) with the centroid update's partial sums — each partition
 emits at most k rows (cluster, Σx as array<double>, n), and the
@@ -41,6 +41,16 @@ class KMeansModel:
     shifts: list[float] = field(default_factory=list)
 
 
+def _flat_f64(col, d: int) -> np.ndarray:
+    """(n, d) float64 view of an Arrow list<float|double> column —
+    one ``flatten`` over the contiguous values buffer (zero-copy for
+    float64 input) instead of a per-row ``np.vstack`` over a pandas
+    object column (r13, guide §4.2). Ragged/null elements fail the
+    reshape exactly like vstack failed before."""
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(-1, d)
+
+
 def _partial_stats_fn(centroids: np.ndarray):
     """One Lloyd iteration's map side: assign each vector to its
     nearest centroid (argmin over ||x−c||² expanded as −2X·Cᵀ +
@@ -49,7 +59,13 @@ def _partial_stats_fn(centroids: np.ndarray):
     partition's batches. Emits ≤ k rows per PARTITION, so the
     iteration is a single shuffle-free stage and the driver reduce
     sees k×P rows regardless of N. Ties break toward the lowest
-    cluster id (np.argmin)."""
+    cluster id (np.argmin). Runs as ``mapInArrow`` (r13): the
+    mapInPandas form spent most of each iteration converting the
+    array column to a pandas object Series and vstacking it back —
+    per-iteration wall 0.21-0.28 s at sf0.1 dropped to the matmul
+    cost; identical float64 arithmetic, identical output."""
+    import pyarrow as pa
+
     c = np.ascontiguousarray(centroids, dtype=np.float64)
     c_norm2 = (c * c).sum(axis=1)
     k, d = c.shape
@@ -57,23 +73,24 @@ def _partial_stats_fn(centroids: np.ndarray):
     def stats(batches):
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            x = np.vstack(pdf["_v"].to_numpy())
+            x = _flat_f64(b.column(0), d)
             idx = np.argmin(-2.0 * (x @ c.T) + c_norm2, axis=1)
             onehot = (idx == np.arange(k)[:, None]).astype(np.float64)
             sums += onehot @ x  # (k, n) @ (n, d)
             counts += np.bincount(idx, minlength=k)
         nz = counts > 0
-        if not nz.any():  # empty partition: emit nothing (an empty
-            return  # object column trips Arrow's NumPyConverter)
-        yield pd.DataFrame(
-            {
-                "cluster": np.arange(k)[nz].astype(np.int32),
-                "s": list(sums[nz]),
-                "n": counts[nz],
-            }
+        if not nz.any():
+            return  # empty partition: emit nothing
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(k)[nz].astype(np.int32), pa.int32()),
+                pa.array(list(sums[nz]), pa.list_(pa.float64())),
+                pa.array(counts[nz], pa.int64()),
+            ],
+            names=["cluster", "s", "n"],
         )
 
     return stats
@@ -87,9 +104,17 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-6,
+    compute_inertia: bool = True,
 ) -> KMeansModel:
     """Fit k-means; returns the model (centroids live on the driver,
-    k×d — broadcast back for assignment)."""
+    k×d — broadcast back for assignment).
+
+    ``compute_inertia=False`` skips the trailing inertia pass — a
+    FULL extra corpus scan (+ driver collect) whose only output is
+    the scalar ``model.inertia``. Callers that only need the
+    centroids (every query/index-build in this package) should pass
+    False; the model then carries ``inertia=nan`` (r13, guide §1.2:
+    don't compute what you throw away)."""
     # Materialize the projected vectors ONCE (eager localCheckpoint,
     # the pagerank.py iteration discipline): without this every Lloyd
     # iteration re-scans the source and re-derives the lineage — 10
@@ -113,8 +138,11 @@ def kmeans_fit(
     it = 0
     for it in range(1, max_iter + 1):
         # fused assign+partial-sum: one shuffle-free stage, ≤ k rows
-        # per partition reach the driver
-        stats = src.mapInPandas(
+        # per partition reach the driver. select("_v") first: the
+        # Arrow boundary ships only the vector column, never _id
+        # (guide §4.1 — Spark cannot prune columns through an opaque
+        # map function).
+        stats = src.select("_v").mapInArrow(
             _partial_stats_fn(centroids),
             schema="cluster int, s array<double>, n long",
         ).collect()
@@ -132,9 +160,10 @@ def kmeans_fit(
         if shift <= tol:
             break
 
-    final = kmeans_assign(src.withColumnRenamed("_v", vec_col), centroids,
-                          vec_col=vec_col)
-    inertia = float(final.agg(F.sum("dist2")).collect()[0][0])
+    if compute_inertia:
+        final = kmeans_assign(src.withColumnRenamed("_v", vec_col),
+                              centroids, vec_col=vec_col)
+        inertia = float(final.agg(F.sum("dist2")).collect()[0][0])
     return KMeansModel(centroids=centroids, n_iter=it, inertia=inertia,
                        shifts=shifts)
 

@@ -148,8 +148,14 @@ def forget_documents(
         audit.append((name, "corpus_table", b, a))
 
     if text_index is not None:
+        from ..functions.generations import read_live_state
+
         postings = f"{text_index}/postings"
-        b = spark.read.parquet(postings).count()
+        # generation-aware counts (advisor r12): a streaming-built
+        # index's folded batch partitions survive on disk until the
+        # next compaction's deferred GC — a naive count in that
+        # window double-counts them
+        b = read_live_state(spark, postings).count()
         compact_text_index(
             spark, text_index, ids.select(F.col("_del_id").alias("doc_id"))
         )
@@ -160,7 +166,7 @@ def forget_documents(
             )
         audit.append(
             ("text_index", "postings",
-             b, spark.read.parquet(postings).count())
+             b, read_live_state(spark, postings).count())
         )
 
     if ivf_index is not None:

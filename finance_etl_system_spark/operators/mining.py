@@ -76,7 +76,8 @@ def mine_triplets(
     corpus-sized frame."""
     assert neg_lo < neg_hi <= pos_threshold
     model = kmeans_fit(
-        df, vec_col=vec_col, id_col=id_col, k=k_clusters, max_iter=max_iter
+        df, vec_col=vec_col, id_col=id_col, k=k_clusters,
+        max_iter=max_iter, compute_inertia=False,
     )
     assigned = kmeans_assign(df, model.centroids, vec_col=vec_col).select(
         F.col(id_col).alias("_id"),

@@ -706,7 +706,7 @@ def build_ivf_pq_index(
         R = None
     coarse = kmeans_fit(
         corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
-        max_iter=max_iter,
+        max_iter=max_iter, compute_inertia=False,
     )
     cents_hat = _normalize(np.asarray(coarse.centroids, dtype=np.float64))
     assigned = kmeans_assign(corpus, coarse.centroids, vec_col=vec_col)
@@ -872,25 +872,47 @@ def _verify_probe_consistency(spark, path: str, meta_entry: dict) -> None:
     table (the shortlist is checkpointed; the exact rerank joins the
     caller's own corpus frame), so the result is consistent with the
     single generation of the index that was live at entry."""
-    from .similarity import _build_marker, _compact_marker, _ivf_fs
+    from pyspark.errors import AnalysisException
+
+    from ..functions.errors import error_condition
+    from .similarity import (
+        ProbeRaceError,
+        _build_marker,
+        _compact_marker,
+        _ivf_fs,
+    )
 
     fs, HPath = _ivf_fs(spark, path)
     if fs.exists(HPath(_build_marker(path))):
-        raise RuntimeError(
+        raise ProbeRaceError(
             f"IVF-PQ probe at {path} overlapped a rebuild"
             " (_BUILDING appeared during the scan) — the shortlist"
             " may mix old and new tables; retry the probe after the"
             " rebuild finishes"
         )
     if fs.exists(HPath(_compact_marker(path))):
-        raise RuntimeError(
+        raise ProbeRaceError(
             f"IVF-PQ probe at {path} overlapped a codes compaction"
             " (_COMPACTING appeared during the scan); retry the"
             " probe after the compaction finishes"
         )
-    now = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    # Absorb a mid-overwrite meta (advisor r12): a concurrent rebuild
+    # between the old meta's delete and the new one's commit makes
+    # this read fail with PATH_NOT_FOUND/UNABLE_TO_INFER_SCHEMA or
+    # return zero rows — all three mean "meta changed under us",
+    # i.e. the retryable race, not a crash (mirrors
+    # _verify_ivf_probe_consistency in operators/similarity.py).
+    now = None
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        now = rows[0].asDict() if rows else None
+    except AnalysisException as e:
+        if error_condition(e) not in (
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
+            raise
     if now != meta_entry:
-        raise RuntimeError(
+        raise ProbeRaceError(
             f"IVF-PQ probe at {path} overlapped a completed rebuild"
             f" (meta changed during the scan: {meta_entry!r} →"
             f" {now!r}); retry the probe against the new index"

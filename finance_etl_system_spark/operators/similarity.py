@@ -365,7 +365,7 @@ def build_ivf_index(
 
     model = kmeans_fit(
         corpus, vec_col=vec_col, id_col=id_col, k=k_clusters,
-        max_iter=max_iter,
+        max_iter=max_iter, compute_inertia=False,
     )
     assigned = kmeans_assign(corpus, model.centroids, vec_col=vec_col)
     # full rewrite — pin static overwrite so a rebuild over an
@@ -721,6 +721,16 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+class ProbeRaceError(RuntimeError):
+    """A probe's post-scan consistency guard detected an overlapping
+    rebuild/compaction. Retryable by construction: re-entering the
+    probe re-resolves meta and fences against the new generation.
+    A dedicated type (advisor r12) so the retry dispatch cannot
+    false-positive on unrelated RuntimeErrors whose text happens to
+    contain 'overlapped', and message rewording cannot silently
+    disable self-heal."""
+
+
 def _retry_on_probe_race(once, retries: int, race_hook):
     """Bounded self-heal for the post-scan consistency guards (r12):
     a probe that DETECTED an overlapping rebuild/compaction re-runs
@@ -735,8 +745,8 @@ def _retry_on_probe_race(once, retries: int, race_hook):
     while True:
         try:
             return once(race_hook if attempt == 0 else None)
-        except RuntimeError as e:
-            if "overlapped" not in str(e) or attempt >= retries:
+        except ProbeRaceError:
+            if attempt >= retries:
                 raise
             attempt += 1
 
@@ -910,7 +920,7 @@ def _verify_ivf_probe_consistency(spark, path: str, meta_entry) -> None:
 
     fs, HPath = _ivf_fs(spark, path)
     if fs.exists(HPath(_compact_marker(path))):
-        raise RuntimeError(
+        raise ProbeRaceError(
             f"IVF probe at {path} overlapped a compaction"
             " (_COMPACTING appeared during the scan); retry the"
             " probe after the compaction finishes"
@@ -927,7 +937,7 @@ def _verify_ivf_probe_consistency(spark, path: str, meta_entry) -> None:
     entry_d = meta_entry.asDict() if meta_entry is not None else None
     now_d = now.asDict() if now is not None else None
     if entry_d != now_d:
-        raise RuntimeError(
+        raise ProbeRaceError(
             f"IVF probe at {path} overlapped a completed rebuild"
             f" (meta changed during the scan: {entry_d!r} →"
             f" {now_d!r}); retry the probe against the new index"

@@ -406,11 +406,29 @@ def compact_text_index(
     order would have n_docs/avgdl silently INCLUDE deleted docs in
     every score. Either half-state is detected by
     ``verify_text_index``."""
+    from ..functions.generations import read_live_state
+
     ids = F.broadcast(deleted_doc_ids.select("doc_id").distinct())
-    post = spark.read.parquet(f"{path}/postings").join(
+    # read_live_state, not a naive read (advisor r12): a
+    # streaming-built index keeps its already-folded batch_id
+    # partitions on disk until the NEXT compaction's deferred GC, so
+    # a naive read in that window sees the consolidated partition AND
+    # its folded inputs — duplicated postings this rewrite would
+    # materialize as doubled term frequencies. The generation filter
+    # selects exactly the live rows (no-op for batch-built indexes);
+    # batch_id is dropped so the swapped-in replacement is a plain
+    # batch-shaped index (its markers stay behind in the swapped-out
+    # dir and die with it).
+    post = read_live_state(spark, f"{path}/postings").join(
         ids, "doc_id", "left_anti"
     )
-    dl = spark.read.parquet(f"{path}/doclen").join(ids, "doc_id", "left_anti")
+    dl = read_live_state(spark, f"{path}/doclen").join(
+        ids, "doc_id", "left_anti"
+    )
+    if "batch_id" in post.columns:
+        post = post.drop("batch_id")
+    if "batch_id" in dl.columns:
+        dl = dl.drop("batch_id")
     # static overwrite: a bucket whose every posting was deleted must
     # be TRUNCATED — under the dynamic mode a streaming sink may have
     # left on this session, its old files would silently survive
@@ -434,10 +452,16 @@ def verify_text_index(spark: SparkSession, path: str) -> dict:
     doclen-only docs are legal mid-window states only in the reverse
     (never-used) order, so they are reported too. Both sides reduce to
     doc-count-sized distinct sets before the anti-joins."""
+    from ..functions.generations import read_live_state
+
     post_docs = (
-        spark.read.parquet(f"{path}/postings").select("doc_id").distinct()
+        read_live_state(spark, f"{path}/postings")
+        .select("doc_id")
+        .distinct()
     )
-    dl_docs = spark.read.parquet(f"{path}/doclen").select("doc_id").distinct()
+    dl_docs = (
+        read_live_state(spark, f"{path}/doclen").select("doc_id").distinct()
+    )
     orphans = post_docs.join(dl_docs, "doc_id", "left_anti").count()
     dl_only = dl_docs.join(post_docs, "doc_id", "left_anti").count()
     return {

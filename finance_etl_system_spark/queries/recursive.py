@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..functions.frames import literal_frame
 
 # Shared edge derivation: aggregate the fact join once, then keep each
 # source's top-3 destinations. Integer counts + name tiebreak = exact
@@ -175,7 +176,20 @@ def _materialize_edges(
         ) t WHERE rk <= 3
         """
     )
-    edges.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    # The sparsified edge list is NODE-scale by construction
+    # (≤ |nations|·3 rows at any SF — out-degree is exactly 3), so it
+    # belongs to the sanctioned driver-sized class: collect it and
+    # recurse over a literal_frame LocalRelation instead of a
+    # checkpointed RDD view (r13, guide §2.4/§3.3). The UnionLoop
+    # re-plans its member every iteration; against ExistingRDD that
+    # meant a BroadcastExchange per iteration (the RDD has no stats —
+    # hence the old explicit hint), against LocalRelation each
+    # iteration joins a locally-known ≤75-row table. Same rows, same
+    # results; one heavy fact aggregate either way.
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    literal_frame(
+        spark, rows, "src string, dst string"
+    ).createOrReplaceTempView(view)
 
 
 def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64(id), id)), so the fit replays identically; per-cluster
     float sums keep run-to-run jitter below the rounding."""
     e = load_table(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=_K, max_iter=5)
+    model = kmeans_fit(e, k=_K, max_iter=5, compute_inertia=False)
     assigned = kmeans_assign(e, model.centroids)
     return (
         assigned.groupBy("cluster")
@@ -83,7 +83,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, quota, kept, kept share — the auditable bookkeeping every
     mix op in this engine ships."""
     e = load_table(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=_K, max_iter=5)
+    model = kmeans_fit(e, k=_K, max_iter=5, compute_inertia=False)
     # materialize the assignment ONCE: it feeds both the quota branch
     # and the kept branch — uncached, the corpus-wide distance pass
     # would run twice in one plan
@@ -138,7 +138,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup uses eps ≈ 0.9+.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=_K, max_iter=5)
+    model = kmeans_fit(e, k=_K, max_iter=5, compute_inertia=False)
     assigned = kmeans_assign(e, model.centroids)
     flags = semantic_dedup(assigned, eps=0.42)
     return (

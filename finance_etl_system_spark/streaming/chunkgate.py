@@ -134,10 +134,20 @@ def chunk_gate_batch(
     # emptiness decided from counts on checkpointed frames (driver
     # arithmetic), not per-sink isEmpty() jobs. n_ids (distinct)
     # guards the duplicate-id edge: kept is empty iff EVERY distinct
-    # id was rejected, regardless of row multiplicity.
+    # id was rejected, regardless of row multiplicity. NULL ids form
+    # their own +1 bucket (advisor r12): countDistinct ignores NULLs
+    # while the left_anti below always KEEPS null-id rows (a null id
+    # never equi-matches dup_ids), so without the bucket a batch of
+    # all-duplicate non-null ids plus some null-id rows would skip
+    # the kept write and silently drop those rows.
     stats = batch.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(id_col).alias("n_ids"),
+        (
+            F.countDistinct(id_col)
+            + F.coalesce(  # max over an EMPTY batch is NULL, not 0
+                F.max(F.col(id_col).isNull().cast("int")), F.lit(0)
+            )
+        ).alias("n_ids"),
     ).collect()[0]
     n_dup = dup_ids.count()
     rejected = batch.join(dup_ids, id_col, "left_semi")

@@ -410,6 +410,81 @@ def test_generic_fold_rejects_nothing_but_uses_callable(spark, tmp_path):
     assert got == {(1, 3), (2, 10)}
 
 
+def test_gdpr_compact_and_verify_read_live_generation_only(
+    spark, tmp_path
+):
+    """Advisor r12 (medium): after compact_stream_index, the FOLDED
+    raw batch partitions stay on disk until the next compaction's
+    deferred GC. compact_text_index (the GDPR-delete rewrite) and
+    verify_text_index must read the LIVE generation only in that
+    window — a naive read would materialize the consolidated
+    partition AND its folded inputs into the rewritten index
+    (doubled term frequencies, corrupted BM25)."""
+    from finance_etl_system_spark.operators.textindex import (
+        bm25_search_index,
+        compact_text_index,
+        verify_text_index,
+    )
+    from finance_etl_system_spark.streaming.compaction import (
+        compact_stream_index,
+    )
+    from finance_etl_system_spark.streaming.indexing import index_batch
+
+    docs = [
+        (1, "spark streams merge data quickly across partitions"),
+        (2, "the stream merges and shuffles rows by key"),
+        (3, "unrelated prose about cooking pasta tonight"),
+        (4, "another stream document about merge strategies"),
+        (5, "merge windows stream through spark executors"),
+        (6, "completely different text on gardening and soil"),
+    ]
+    idx = str(tmp_path / "idx")
+    for i in range(3):
+        index_batch(
+            spark.createDataFrame(
+                docs[2 * i : 2 * i + 2], "doc_id LONG, text STRING"
+            ),
+            i, idx,
+        )
+
+    def search():
+        return [
+            (r.rnk, r.doc_id, round(r.bm25, 9), r.n_terms_hit)
+            for r in bm25_search_index(
+                spark, idx, ["stream", "merge"]
+            ).collect()
+        ]
+
+    assert compact_stream_index(spark, idx, keep_last=1) == 2
+    # the post-fold window the advisor flagged: folded raw partitions
+    # are still on disk (deferred GC), so a naive read double-counts
+    on_disk = {
+        n for n in os.listdir(os.path.join(idx, "postings"))
+        if n.startswith("batch_id=")
+    }
+    assert {"batch_id=0", "batch_id=1", "batch_id=-2"} <= on_disk
+    ver = verify_text_index(spark, idx)
+    assert ver["consistent"], ver
+    live_df = (
+        read_live_state(spark, f"{idx}/postings")
+        .filter(F.col("doc_id") != 3)
+        .drop("batch_id")
+    )
+    cols = sorted(live_df.columns)
+    live = {tuple(r) for r in live_df.select(*cols).collect()}
+    # GDPR-delete doc 3 inside the window: the rewrite must carry
+    # exactly the live rows minus doc 3 into the new index — one
+    # posting row per (doc, term), folded inputs excluded
+    compact_text_index(
+        spark, idx, spark.createDataFrame([(3,)], "doc_id LONG")
+    )
+    post = spark.read.parquet(f"{idx}/postings")
+    assert "batch_id" not in post.columns
+    assert {tuple(r) for r in post.select(*cols).collect()} == live
+    assert search()  # the compacted index still answers queries
+    assert verify_text_index(spark, idx)["consistent"]
+
+
 # Certification tier (verdict r11 #4; markers registered in
 # tests/conftest.py): this module is excluded from the fast tier
 # `pytest -m "not certify"` and runs in the full per-round gate.

