@@ -122,61 +122,94 @@ BOOL_TERMS = ["stream", "merge", "query"]
 TOP_K = 20
 
 
+def _per_doc_tf(
+    d: DataFrame, terms: list[str], *, analyzed: bool = False
+) -> DataFrame:
+    """(doc_id, dl, tfs) with dl = token count and tfs[i] = number of
+    occurrences of terms[i] — ROW-LOCAL (one ``aggregate`` fold over
+    the token array, no explode, no shuffle). Docs with no tokens are
+    dropped, matching the explode formulation this replaced (an empty
+    array exploded to zero rows, so such docs never reached the
+    length/corpus aggregates)."""
+    toks = token_array(F.col("text"), analyzed=analyzed)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    base = d.select("doc_id", toks.alias("_toks"))
+    return base.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.aggregate(
+            "_toks",
+            F.array_repeat(F.lit(0).cast("long"), len(terms)),
+            lambda acc, x: F.zip_with(
+                acc,
+                term_arr,
+                lambda c, t: c + F.when(x == t, 1).otherwise(0),
+            ),
+        ).alias("tfs"),
+    ).filter(F.col("dl") > 0)
+
+
 def _bm25_scored(
     d: DataFrame, terms: list[str] = QUERY_TERMS, *, analyzed: bool = False
 ) -> DataFrame:
     """Per-document BM25 score frame (doc_id, bm25, n_terms_hit) for
     the given query terms — shared by the plain, boolean-AND and
-    hybrid rankers so all three reuse the same two doc-keyed
-    shuffles. With ``analyzed``, the corpus tokens pass the stop-word
-    + S-stemmer chain (callers must pass ``analyze_terms``-normalized
-    query terms)."""
-    toks = d.select(
-        "doc_id",
-        F.explode(token_array(F.col("text"), analyzed=analyzed)).alias("term"),
+    hybrid rankers. With ``analyzed``, the corpus tokens pass the
+    stop-word + S-stemmer chain (callers must pass
+    ``analyze_terms``-normalized query terms).
+
+    r13 shape (guide §2.3/§2.4): the old formulation exploded every
+    token and ran TWO token-scale doc-keyed shuffles (per-doc length,
+    per-(doc, term) tf) plus two joins and a window. For a FIXED
+    small query none of that is needed: dl and the per-term tf vector
+    are row-local (``_per_doc_tf``), the corpus statistics
+    (n_docs, total_dl, df per term) are ONE map-side-combinable
+    scalar aggregate broadcast back, and the score is a row-local
+    expression. Exchanges: token-scale 2 → one 1-row aggregate;
+    shuffle bytes no longer scale with token count — at 100 TB the
+    query is two corpus map passes + a k-integer reduce. Scores are
+    bit-stable: contributions sum in fixed term order and round 6dp
+    (the old groupBy summed ≤|Q| doubles in partition order)."""
+    per_doc = _per_doc_tf(d, terms, analyzed=analyzed)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col("tfs")[i] > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    # one scan feeds both aggregates; Catalyst reuses the exchange
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    contribs = []
+    hits = []
+    for i in range(len(terms)):
+        tf = F.col("tfs")[i]
+        df = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
         )
-        .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.col("tf")
+        contrib = (
+            idf
+            * tf
             * F.lit(K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
-            ),
+            / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / avgdl))
         )
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
+        contribs.append(F.when(tf > 0, contrib).otherwise(F.lit(0.0)))
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    n_hit = hits[0]
+    for h in hits[1:]:
+        n_hit = n_hit + h
+    return (
+        scored.withColumn("bm25", F.round(total, 6))
+        .withColumn("n_terms_hit", n_hit.cast("long"))
+        .filter(F.col("n_terms_hit") > 0)
+        .select("doc_id", "bm25", "n_terms_hit")
     )
-    return scored
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
