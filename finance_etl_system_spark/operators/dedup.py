@@ -164,15 +164,21 @@ def minhash_signatures(
     """Per-doc MinHash signature: min over shingles of
     (a_i * h(shingle) + b_i) mod p, for each permutation i.
 
-    Shuffle-free AND single-pass: the shingle set stays an ARRAY per
-    doc, and ONE ``aggregate`` traversal folds every shingle hash into
-    a num_perm-slot running-min accumulator (``zip_with`` against the
-    constant (a_i, b_i) table). The earlier per-permutation
-    ``array_min(transform(...))`` formulation walked the shingle array
-    num_perm times, allocating num_perm full-size intermediate arrays
-    per doc — the fold allocates only the num_perm-slot accumulator
-    per step and benches ~3x faster. h() is xxhash64 (JVM-side),
-    hashed once per shingle and reused by every permutation.
+    Shuffle-free AND single-pass: shingling and the per-shingle
+    xxhash64 run JVM-side (hashed once per shingle, reused by every
+    permutation), then ONE ``mapInArrow`` pass computes all num_perm
+    running minima as a vectorized numpy broadcast over the batch's
+    contiguous hash buffer (r13, guide §4.2 — the previous Catalyst
+    ``aggregate``/``zip_with`` fold is a CodegenFallback higher-order
+    function, i.e. ~num_perm interpreted expression evaluations per
+    shingle; numpy does the identical int64 arithmetic natively).
+    Exactness: h < p = 2^31 − 1 and a, b < p, so h·a + b < 2^62 fits
+    int64 with NO overflow on either engine, and numpy's ``%`` with a
+    positive modulus matches Spark's ``pmod`` — signatures are
+    bit-identical to the fold's (pinned by the dedup/recall suites
+    and the attestation value hashes). Null text → null sig; a doc
+    with zero shingles keeps the fold's init value p in every slot —
+    both exactly as before.
     """
     a, b = _perm_params(num_perm, seed)
     # conditional spread: small-file local sources arrive as one
@@ -181,36 +187,73 @@ def minhash_signatures(
     sh = spread_for_expansion(df, id_col, spread=spread).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
-    sh = sh.withColumn(
-        "h", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    )
-    ab = F.array(
-        *[
-            F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b"))
-            for i in range(num_perm)
-        ]
-    )
-    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
-    # Returned as ONE array column, deliberately not unpacked into
-    # mh_<i> scalars: a downstream projection of sig[0..num_perm-1]
-    # would let Catalyst collapse the projections and inline the whole
-    # fold once PER ELEMENT. Callers that need per-perm access should
-    # index after a materialization barrier (as minhash_lsh_pairs'
-    # localCheckpoint does).
-    return sh.select(
+    hashed = sh.select(
         "id",
-        F.aggregate(
-            "h",
-            init,
-            lambda acc, hv: F.zip_with(
-                acc,
-                ab,
-                lambda m, p: F.least(
-                    m, F.pmod(hv * p["a"] + p["b"], F.lit(_MERSENNE))
-                ),
-            ),
-        ).alias("sig"),
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("h"),
     )
+    id_type = hashed.schema["id"].dataType.simpleString()
+    k = int(num_perm)
+    p = int(_MERSENNE)
+    av = np.ascontiguousarray(a, dtype=np.int64)
+    bv = np.ascontiguousarray(b, dtype=np.int64)
+
+    def fold(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if not nrows:
+                continue
+            ids = batch.column(0)
+            h = batch.column(1)
+            offs = np.asarray(h.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            vals = h.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            m = len(vals)
+            # (m, k) permuted hashes, then segment-min per row.
+            # reduceat runs ONLY over non-empty segment starts
+            # (strictly increasing, all < m; trailing segment extends
+            # to the buffer end, which IS the last non-empty
+            # segment's end) — passing clamped raw offsets instead
+            # would truncate the final non-empty segment whenever
+            # empty/null rows follow it in the batch. Empty segments
+            # keep the fold's init value p.
+            nonempty = (offs[1:] - offs[:-1]) > 0
+            mins = np.full((nrows, k), p, dtype=np.int64)
+            if m:
+                mins[nonempty] = np.minimum.reduceat(
+                    (vals[:, None] * av[None, :] + bv[None, :]) % p,
+                    offs[:-1][nonempty],
+                    axis=0,
+                )
+            valid = np.asarray(h.is_valid())
+            if valid.all():
+                sig = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(nrows + 1, dtype=np.int32) * k, pa.int32()
+                    ),
+                    pa.array(mins.ravel(), pa.int64()),
+                )
+            else:  # null shingle arrays (null text) stay null sigs
+                counts = np.where(valid, k, 0)
+                sig = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(([0], np.cumsum(counts))),
+                        pa.int32(),
+                    ),
+                    pa.array(mins[valid].ravel(), pa.int64()),
+                    mask=pa.array(~valid),
+                )
+            yield pa.RecordBatch.from_arrays([ids, sig], names=["id", "sig"])
+
+    # Returned as ONE array column behind an opaque map boundary:
+    # downstream sig[i] projections cannot inline the fold (the old
+    # expression form documented the same hazard).
+    return hashed.mapInArrow(fold, schema=f"id {id_type}, sig array<bigint>")
 
 
 def _band_rows(sig: DataFrame, bands: int, rpb: int) -> DataFrame:

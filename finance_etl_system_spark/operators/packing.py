@@ -53,6 +53,7 @@ def prefix_pack(
     budget: int,
     buckets: int = 64,
     base_offset: int = 0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add ``bin_id``: fixed-``budget`` bin in the total order
     (order_col, tiebreak_col), via a two-phase distributed prefix sum.
@@ -63,7 +64,19 @@ def prefix_pack(
     shifts the whole scan by a carried token total, letting an
     INCREMENTAL caller continue bin numbering exactly where the
     previous batch stopped (pipeline/corpus.py corpus_increment).
+
+    ``materialize`` (default) eagerly localCheckpoints the input
+    first (r13, guide §3.3/§5): the scan below fans the input into
+    TWO branches (per-bucket window + per-bucket totals) whose
+    column-pruning differences defeat exchange reuse, so an
+    unmaterialized caller pipeline — typically a full
+    tokenize/score pass — executed twice per pack. The input is
+    doc-level (one row per packable unit), the sanctioned
+    materialization class. Pass False if the input is already a
+    materialization barrier.
     """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     width = max(1, KEY_SPACE // buckets)
     b = df.withColumn("_bucket", F.expr(f"{order_col} div {width}"))
     w_in = (

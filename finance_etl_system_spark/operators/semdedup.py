@@ -8,7 +8,7 @@ and training-set selection.
 
 Why this shape scales: the quadratic cosine pass never crosses a
 cluster boundary. With k chosen so clusters hold ~10k-20k vectors
-(the paper uses k≈√N·c), each `applyInPandas` group is a sequence of
+(the paper uses k≈√N·c), each `applyInArrow` group is a sequence of
 (block × kept) matmuls — no global all-pairs, no driver data, and
 the only shuffle is the groupBy(cluster) hash partition that the
 k-means assignment already requires. 100-TB posture: k grows with N,
@@ -39,7 +39,6 @@ of the input, independent of partitioning.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,38 +118,57 @@ def semantic_dedup(
         "max_sim double"
     )
 
-    def dedup_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        cluster = int(pdf["cluster"].iloc[0])
-        # paper order: farthest-from-centroid first; 9dp rounding
-        # absorbs float-sum jitter, vec_id breaks ties uniquely
-        pdf = pdf.sort_values(
-            ["_d9", id_col], ascending=[False, True]
-        ).reset_index(drop=True)
-        n = len(pdf)
+    def dedup_one(table):
+        """One cluster as a pyarrow Table (r13, guide §4.2: the
+        applyInPandas form spent most of the pass converting the
+        embedding column to a pandas object Series and vstacking it
+        back). The (n, d) matrix is ONE zero-copy flatten+reshape of
+        the list column's values buffer; the greedy kernel and its
+        float64 arithmetic are unchanged. NaN max_sim (no prior kept
+        row) is emitted as NULL — exactly what the pandas
+        serializer's nan_as_null conversion produced before."""
+        import pyarrow as pa
+
+        cluster = table.column("cluster")[0].as_py()
+        ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
         if n > max_cluster:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "cluster": cluster,
-                    id_col: pdf[id_col],
-                    "kept": True,
-                    "overflow": True,
-                    "max_sim": np.nan,
+                    "cluster": pa.array(
+                        np.full(n, cluster, dtype=np.int32), pa.int32()
+                    ),
+                    id_col: pa.array(ids, pa.int64()),
+                    "kept": pa.array(np.ones(n, dtype=bool)),
+                    "overflow": pa.array(np.ones(n, dtype=bool)),
+                    "max_sim": pa.nulls(n, pa.float64()),
                 }
             )
-        x = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
+        d9 = table.column("_d9").to_numpy(zero_copy_only=False)
+        # paper order: farthest-from-centroid first; 9dp rounding
+        # absorbs float-sum jitter, vec_id breaks ties uniquely
+        order = np.lexsort((ids, -d9))
+        emb = table.column(vec_col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        x = np.ascontiguousarray(flat, dtype=np.float64).reshape(n, -1)
+        x = x[order]
         norms = np.linalg.norm(x, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
         x = x / norms[:, None]
         kept, max_sim = _greedy_blockwise(x, eps, block=block)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cluster": cluster,
-                id_col: pdf[id_col],
-                "kept": kept,
-                "overflow": False,
-                "max_sim": max_sim,
+                "cluster": pa.array(
+                    np.full(n, cluster, dtype=np.int32), pa.int32()
+                ),
+                id_col: pa.array(ids[order], pa.int64()),
+                "kept": pa.array(kept),
+                "overflow": pa.array(np.zeros(n, dtype=bool)),
+                "max_sim": pa.array(
+                    max_sim, pa.float64(), from_pandas=True
+                ),  # from_pandas=True: NaN -> null, as before
             }
         )
 
@@ -160,4 +178,4 @@ def semantic_dedup(
         F.col(vec_col),
         F.round(F.col("dist2"), 9).alias("_d9"),
     )
-    return src.groupBy("cluster").applyInPandas(dedup_one, schema=schema)
+    return src.groupBy("cluster").applyInArrow(dedup_one, schema=schema)

@@ -91,18 +91,40 @@ def holt_forecast(
     )
     hs = np.arange(1, horizon + 1)
 
-    def series_rows(g: pd.DataFrame) -> pd.DataFrame | None:
-        y = g[value_col].dropna().to_numpy(dtype=np.float64)
-        if len(y) == 0:
+    def forecast_frame(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """All complete series of one chunk, vectorized (r13, guide
+        §4.2): group boundaries from one numpy comparison over the
+        pre-sorted group column, the Holt recursion per series slice,
+        and ONE output frame per chunk — the per-group
+        pandas-DataFrame-plus-concat formulation this replaces spent
+        most of the pass constructing ~|groups| tiny frames."""
+        g = pdf[group_col].to_numpy()
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        change = np.nonzero(g[1:] != g[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        keys, levels, trends = [], [], []
+        for s0, e0 in zip(starts, ends):
+            ys = y[s0:e0]
+            ys = ys[~np.isnan(ys)]  # dropna per series, order kept
+            if len(ys) == 0:
+                continue
+            level, trend = holt_numpy(ys, alpha, beta)
+            keys.append(g[s0])
+            levels.append(level)
+            trends.append(trend)
+        if not keys:
             return None
-        level, trend = holt_numpy(y, alpha, beta)
+        lv = np.asarray(levels, dtype=np.float64)
+        tr = np.asarray(trends, dtype=np.float64)
+        m = len(keys)
         return pd.DataFrame(
             {
-                group_col: g[group_col].iloc[0],
-                "h": hs.astype(np.int32),
-                "forecast": level + hs * trend,
-                "level": level,
-                "trend": trend,
+                group_col: np.repeat(np.asarray(keys), horizon),
+                "h": np.tile(hs.astype(np.int32), m),
+                "forecast": (lv[:, None] + hs[None, :] * tr[:, None]).ravel(),
+                "level": np.repeat(lv, horizon),
+                "trend": np.repeat(tr, horizon),
             }
         )
 
@@ -121,17 +143,13 @@ def holt_forecast(
             carry = pdf[boundary]
             complete = pdf[~boundary]
             if len(complete):
-                out = [
-                    r
-                    for _, g in complete.groupby(group_col, sort=False)
-                    if (r := series_rows(g)) is not None
-                ]
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+                out = forecast_frame(complete)
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            r = series_rows(carry)
-            if r is not None:
-                yield r
+            out = forecast_frame(carry)
+            if out is not None:
+                yield out
 
     return (
         df.select(group_col, time_col, value_col)

@@ -113,11 +113,15 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized multi-supplier order. Late := shipped > 75 days after
     the order date (the fixture has no l_receiptdate/l_commitdate).
 
-    Plan: lineitem x orders once, projected to (orderkey, suppkey,
-    late) — then one left_semi (exists another supplier on the order)
-    and one left_anti (not exists another LATE supplier). All three
-    legs hash-partition on l_orderkey, so the exchange is planned once
-    and reused; no row multiplication anywhere.
+    Plan: lineitem x orders ONCE, projected to (orderkey, suppkey,
+    late) and eagerly materialized — then one left_semi (exists
+    another supplier on the order) and one left_anti (not exists
+    another LATE supplier) over the materialized frame. Before r13
+    the three legs each re-derived the full fact join (the committed
+    before-plan shows lineitem scanned 3x: column-pruning differences
+    between the legs defeat exchange reuse); the checkpoint is a
+    3-narrow-column projection of the fact join, so materializing it
+    once costs far less than running the join three times at any SF.
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -132,6 +136,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.date_add(F.col("o_orderdate").cast("date"), 75)
             ).alias("late"),
         )
+        .localCheckpoint(eager=True)
     )
     l1 = lo.filter(F.col("late"))
     others = lo.select(

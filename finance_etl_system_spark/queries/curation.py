@@ -381,12 +381,28 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(_toks()).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    raw = tf.groupBy("term").agg(F.sum("tf").alias("cr"))
+    # ONE corpus pass (r13, guide §3.3): tf carries lang (a doc
+    # attribute — adding it to the grouping keys changes nothing) and
+    # is eagerly materialized; raw/tgt/consts/tconst/scored all
+    # re-aggregate the checkpointed table instead of re-deriving the
+    # scan+explode subtree (the before-plan showed 12 document scans
+    # for this one query). tgt's per-term count of target-slice
+    # tokens equals the sum of its per-doc tfs.
+    tf = (
+        toks.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    raw = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cr"))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds llr + consts
+    )
     tgt = (
-        toks.filter(F.col("lang") == "en")
+        tf.filter(F.col("lang") == "en")
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("tf").alias("ct"))
+        .localCheckpoint(eager=True)  # benchmark-sized; feeds llr + nt
     )
     consts = raw.agg(
         F.sum("cr").cast("double").alias("nr"),
@@ -575,7 +591,15 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    # vocab-sized materialization barrier (r13, guide §3.3): `uni`
+    # feeds both the score join and `total`; unmaterialized, each
+    # reference re-derived the whole scan+explode+tf subtree (the
+    # before-plan shows 12 document scans for this one query)
+    uni = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
     total = uni.agg(F.sum("ct").cast("double").alias("total"))
     scored = (
         tf.join(uni, "term")

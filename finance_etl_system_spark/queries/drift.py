@@ -88,7 +88,13 @@ def _bucket_counts(
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
-    )
+    # materialize the <=|edges|+1-row bucket table before fanning out
+    # (r13, guide §3.3/§5): `totals` re-derived the whole
+    # scan+bisect+aggregate subtree (plan-level duplication — Catalyst
+    # does not share subtrees, and column pruning defeats exchange
+    # reuse), so every drift query paid the corpus scan twice. The
+    # checkpoint is grid-sized at any SF.
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("ref_n").alias("n_ref"), F.sum("cur_n").alias("n_cur")
     )
@@ -633,7 +639,10 @@ def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
-    )
+    # grid-sized barrier before the totals fan-out (r13, guide
+    # §3.3/§5) — same rationale as _bucket_counts: unmaterialized,
+    # `totals` re-derived the whole scan+bucket+aggregate subtree
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )
@@ -703,7 +712,9 @@ def q_drift_ks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_b"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_b"),
-    )
+    # grid-sized barrier before the totals fan-out (r13) — see
+    # _bucket_counts
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("ref_b").alias("n_ref"), F.sum("cur_b").alias("n_cur")
     )

@@ -500,7 +500,16 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    uni = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    # vocab-sized barrier (r13, guide §3.3): uni feeds the score join
+    # AND the total; unmaterialized, each reference re-derived the
+    # scan+explode+tf subtree (3 corpus passes for this one query —
+    # same fix as curriculum_pack, same rationale as the bf barrier
+    # in q_bigram_surprisal)
+    uni = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
     total = uni.agg(F.sum("ct").alias("total"))
     scored = (
         tf.join(uni, "term")

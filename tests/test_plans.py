@@ -89,16 +89,38 @@ def test_forecast_revenue_is_pure_scan_agg(spark):
     assert exchange_count(df) <= 1
 
 
-def test_waiting_suppliers_projects_self_join_sides(spark):
-    """Q21 shape: the three lineitem legs are projected to
-    (orderkey, suppkey, shipdate) before any exchange; no cartesian
-    product sneaks in via the inequality conjuncts."""
+def test_waiting_suppliers_projects_self_join_sides(spark, monkeypatch):
+    """Q21 shape (r13): the fact join is projected to
+    (orderkey, suppkey, late) and materialized ONCE; the semi/anti
+    legs read the materialized frame, so the final plan carries no
+    lineitem re-scans and no cartesian product. The projection and
+    pushdown assertions run against the frame captured at the
+    checkpoint boundary (a localCheckpoint spy), where the scans are
+    still visible."""
+    # Spark 4: patch the CONCRETE class (pyspark.sql.DataFrame is the
+    # abstract base; classic sessions instantiate the subclass, whose
+    # override would shadow a base-class patch)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    seen = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        seen.append(self)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
     df = q_waiting_suppliers(spark, SF_SMOKE)
     assert not has_cartesian_product(df)
-    lineitem_scans = [s for s in read_schemas(df) if "l_suppkey" in s]
+    assert seen and seen[-1].columns == ["l_orderkey", "l_suppkey", "late"]
+    lineitem_scans = [s for s in read_schemas(seen[-1]) if "l_suppkey" in s]
     assert lineitem_scans
     assert all("l_extendedprice" not in s for s in lineitem_scans)
-    assert any("EqualTo(o_orderstatus,F)" in f for f in pushed_filters(df))
+    assert any(
+        "EqualTo(o_orderstatus,F)" in f for f in pushed_filters(seen[-1])
+    )
+    # the final plan probes the materialized leg, never lineitem
+    assert not [s for s in read_schemas(df) if "l_suppkey" in s]
 
 
 def test_product_profit_broadcasts_all_dims(spark):
@@ -564,7 +586,10 @@ def test_no_forced_corpus_vocab_broadcast_hints(spark):
         "text_tfidf": 0,          # dfreq join un-hinted, no scalars
         "unigram_surprisal": 1,   # the 1-row corpus total
         "bigram_surprisal": 1,    # the 1-row corpus total
-        "curriculum_pack": 3,     # 1-row total + prefix_pack offsets
+        "curriculum_pack": 1,     # prefix_pack offsets; the 1-row
+        # total hint now sits behind the scored-frame checkpoint
+        # (r13: prefix_pack materializes its input), so the final
+        # analyzed plan no longer contains it
         "importance_rank": 3,     # target vocab + two 1-row scalars
         "dedup_safe_split": 0,    # cc labels join un-hinted
     }
