@@ -25,12 +25,17 @@ rebuilds that adopt it):
   stages the marker under a ``.tmp`` name (excluded by the reader's
   exact-filename regex) and renames it into place, so on any
   POSIX-rename filesystem readers never even see a partial file.
-- Old generations are garbage-collected at the START of the next
-  compaction, not at publish time: an in-flight reader that resolved
-  generation ``g`` keeps every file it needs until a full
-  compaction cycle later. (A reader that outlives an entire cycle
-  can race the GC delete — that is the documented residual, vastly
-  weaker than the pause-the-world convention this replaced.)
+- Old generations are garbage-collected TWO compaction cycles after
+  they stop being live, not at publish time (r13): each marker
+  carries ``prev_max_folded`` — the outgoing generation's fold
+  point — and the GC at the start of a compaction deletes only what
+  neither the live generation nor its predecessor can select. An
+  in-flight reader that resolved generation ``g`` therefore keeps
+  every file it needs across two complete subsequent compaction
+  cycles (pinned by tests/test_compaction.py's
+  slow-reader-spans-a-cycle test); only a reader outliving BOTH
+  would race the delete, which for the micro-batch cadences here is
+  a scan lasting two full compaction intervals.
 
 Crash safety falls out: every mutation before the marker rename is
 invisible to readers (a new ``batch_id=-(g+1)`` partition is pruned

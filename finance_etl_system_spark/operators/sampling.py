@@ -89,6 +89,7 @@ def budget_take(
     budgets: dict[str, int],
     buckets: int = 64,
     consumed: dict[str, int] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-group weight-budget selection ("mixture sampling"): for
     each group, keep the rows whose running weight total in
@@ -139,7 +140,19 @@ def budget_take(
     # truncation's accidental monotonicity
     # (k - pmod(k, w)) div w == floor(k / w) exactly, in pure long
     # arithmetic (no double round-trip, exact over the full domain)
-    b = df.filter(F.col(group_col).isin(list(budgets))).withColumn(
+    b = df.filter(F.col(group_col).isin(list(budgets)))
+    # doc-level materialization barrier (r13, guide §3.3): the
+    # window branch and the totals branch both consume this frame,
+    # and their column-pruning differences defeat subtree sharing —
+    # unmaterialized, the caller's scan+tokenize pipeline ran twice.
+    # The frame is (group, weight, order, tiebreak) narrow rows, one
+    # per packable unit — the sanctioned class (prefix_pack has the
+    # same flag); the corpus-sized WINDOWED frame is still never
+    # materialized. Placed after the budget filter so the IN
+    # pushdown above keeps its effect.
+    if materialize:
+        b = b.localCheckpoint(eager=True)
+    b = b.withColumn(
         "_bucket",
         F.expr(
             f"(`{order_col}` - pmod(`{order_col}`, {width}))"
@@ -152,12 +165,11 @@ def budget_take(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     b = b.withColumn("_cum_in", F.sum(weight_col).over(w_in))
-    # the totals branch re-scans the (column-pruned) input rather than
-    # reusing the windowed frame: its shuffle then carries only
-    # map-side-combined (group, bucket, total) partials — groups×
-    # buckets rows per partition — where a post-window aggregate would
-    # re-shuffle the whole corpus (and materializing the windowed
-    # frame to share the scan would cache corpus-sized state)
+    # the totals branch re-reads the (materialized, narrow) input
+    # rather than reusing the windowed frame: its shuffle then
+    # carries only map-side-combined (group, bucket, total) partials
+    # — groups×buckets rows per partition — where a post-window
+    # aggregate would re-shuffle the whole corpus
     totals = b.groupBy(group_col, "_bucket").agg(
         F.sum(weight_col).alias("_total")
     )

@@ -81,6 +81,11 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _toks().alias("toks"))
         .filter(F.size("toks") >= NGRAM)
+        # doc-level materialization barrier (r13, guide §3.3): d
+        # feeds THREE branches (eval grams, corpus-hit grams,
+        # per-doc totals) whose column-pruning differences defeat
+        # subtree sharing — unmaterialized, the scan+tokenize ran 3x
+        .localCheckpoint(eager=True)
     )
     # Two explode traps, both measured at sf0.1:
     # - explode(transform(...)) feeds a CodegenFallback HOF into

@@ -236,7 +236,10 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_src = d.groupBy("source").agg(
         F.sum("n_tokens").alias("n_tokens")
-    )
+    # |sources|-row barrier (r13, guide §3.3): per_src feeds the
+    # total, the normalizer and the final projection — the before-
+    # plan re-derived the scan+tokenize+aggregate subtree 4x
+    ).localCheckpoint(eager=True)
     total = per_src.agg(
         F.sum("n_tokens").cast("double").alias("total")
     )

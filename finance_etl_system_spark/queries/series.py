@@ -44,13 +44,19 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 250)
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(money_sum("value").alias("day_total"))
+    ).agg(
+        money_sum("value").alias("day_total")
+    # grid-sized barrier (r13, guide §3.3): daily feeds the spine's
+    # type list AND the fill join; with types also derived from it
+    # (identical rows: a type is in daily iff it has a filtered
+    # event), the before-plan's 3 events scans drop to 1 (bounds)
+    ).localCheckpoint(eager=True)
 
     bounds = load_table(spark, sf_dir, "events").agg(
         F.min(F.col("ts").cast("date")).alias("lo"),
         F.max(F.col("ts").cast("date")).alias("hi"),
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
     )

@@ -169,10 +169,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
     )
-    # tf feeds BOTH the df aggregation and the score join; Catalyst
-    # plans one shuffle and reuses it (ReusedExchange) — do NOT
-    # checkpoint here, it would break the reuse and double the cost
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregation and the score join. The
+    # hoped-for ReusedExchange never fires (verified r13: 0 in the
+    # plan — column-pruning differences between the two consumers
+    # defeat it, as everywhere else in this sweep), so materialize
+    # the (doc, term, tf) table once instead of running the
+    # explode+aggregate twice (guide §3.3; same fix as
+    # importance_rank's tf barrier)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf",

@@ -21,12 +21,12 @@ Protocol — reader-atomic generation flip (functions/generations.py):
   marker FIRST and filters to ``batch_id == -g OR batch_id >
   max_folded``. A compaction running concurrently is invisible: the
   new ``batch_id=-(g+1)`` partition is pruned by the g-filter, and
-  generation g's inputs are only garbage-collected at the START of
-  the NEXT compaction — an in-flight reader keeps every file it
-  resolved for a full compaction cycle. Compaction therefore runs
-  safely concurrent with the stream; no pause-the-world window.
-  (Residual: a reader that holds its plan across an ENTIRE
-  subsequent compaction cycle can race the deferred GC delete.)
+  generation g's inputs are only garbage-collected TWO compactions
+  later (r13 two-cycle GC — ``prev_max_folded`` in the marker
+  payload records what the previous generation could still select)
+  — an in-flight reader keeps every file it resolved across two
+  full compaction cycles. Compaction therefore runs safely
+  concurrent with the stream; no pause-the-world window.
 - Crash safety: every byte written before the marker rename is
   invisible to readers, so a crash at any step leaves the state at
   generation ``g`` exactly; the next call GCs partial artifacts and
@@ -55,6 +55,7 @@ from ..functions.generations import (
     hadoop_fs,
     list_names,
     live_batch_filter,
+    live_generation,
     publish_generation,
     read_live_state,  # noqa: F401 — re-exported reader entry point
     read_small_text,
@@ -104,11 +105,21 @@ def _recover_legacy_swap(spark: SparkSession, state_dir: str) -> None:
 
 
 def _gc_stale_partitions(
-    spark: SparkSession, state_dir: str, gen: int, max_folded: int
+    spark: SparkSession,
+    state_dir: str,
+    gen: int,
+    prev_max_folded: int,
 ) -> None:
-    """Deferred GC (module docstring): delete every partition the
-    live generation's readers cannot select — older/partial
-    consolidated generations and raw partitions already folded."""
+    """Two-cycle deferred GC (module docstring): delete only the
+    partitions that neither the live generation ``gen`` nor the
+    PREVIOUS generation ``gen-1`` can select — consolidated
+    partitions older than ``-(gen-1)`` and raw partitions already
+    folded as of generation ``gen-1`` (``prev_max_folded``, carried
+    in generation ``gen``'s marker payload). Generation ``gen-1``'s
+    full live set therefore survives this compaction, so a reader
+    that resolved it keeps every file it needs across TWO complete
+    compaction cycles, not one (r13 — closes the r12 residual where
+    a reader outliving a single cycle could race the delete)."""
     fs, HPath = hadoop_fs(spark, state_dir)
     for name in list_names(spark, state_dir):
         if not name.startswith("batch_id="):
@@ -117,8 +128,8 @@ def _gc_stale_partitions(
             b = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        stale_consolidated = b < 0 and b != -gen
-        folded_raw = 0 <= b <= max_folded
+        stale_consolidated = b < 0 and b not in (-gen, -(gen - 1))
+        folded_raw = 0 <= b <= prev_max_folded
         if stale_consolidated or folded_raw:
             fs.delete(HPath(f"{state_dir}/{name}"), True)
 
@@ -154,8 +165,16 @@ def compact_batch_partitions(
     if not list_names(spark, state_dir):
         return 0
     gen, max_folded = current_generation(spark, state_dir)
+    # max_folded of generation gen-1, carried in gen's marker payload
+    # (absent on pre-r13 markers and the implicit generation 1: -1 =
+    # GC no raws this cycle; they fall out one cycle later once a
+    # new-format marker lands)
+    mk = live_generation(spark, state_dir)
+    prev_max_folded = (
+        int(mk[1].get("prev_max_folded", -1)) if mk is not None else -1
+    )
     gc_stale_markers(spark, state_dir, gen)
-    _gc_stale_partitions(spark, state_dir, gen, max_folded)
+    _gc_stale_partitions(spark, state_dir, gen, prev_max_folded)
 
     try:
         df = spark.read.parquet(state_dir)
@@ -183,7 +202,13 @@ def compact_batch_partitions(
     # the marker IS the commit point — everything above is invisible
     # to readers resolving generation `gen`
     publish_generation(
-        spark, state_dir, new_gen, {"max_folded": to_fold[-1]}
+        spark,
+        state_dir,
+        new_gen,
+        # prev_max_folded = the OUTGOING generation's fold point:
+        # the next compaction's two-cycle GC keeps everything the
+        # outgoing generation's readers can still select
+        {"max_folded": to_fold[-1], "prev_max_folded": max_folded},
     )
     return len(to_fold)
 

@@ -189,9 +189,12 @@ def test_unparseable_marker_is_ignored_and_gcd(spark, tmp_path):
 
 
 def test_generation_cycle_folds_and_gcs(spark, tmp_path):
-    """Two full compaction cycles: generations increment, totals stay
-    exact, and the SECOND compaction's deferred GC removes the first
-    fold's inputs from disk (the grace window is one cycle)."""
+    """Three full compaction cycles: generations increment, totals
+    stay exact, and the deferred GC removes a generation's inputs
+    TWO cycles after they were folded (the r13 two-cycle grace
+    window: each cycle keeps everything the live generation AND its
+    predecessor can select, so a reader survives any single
+    compaction cycle it overlaps)."""
     verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
     _boiler_batches(spark, verd, counts, n=3)
     assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 2
@@ -211,15 +214,67 @@ def test_generation_cycle_folds_and_gcs(spark, tmp_path):
     assert got[(9, 9)] == 2
     del got[(9, 9)]
     assert got == before
-    # generation 3 committed; generation 2's fold INPUTS GC'd (they
-    # were gen 1's raw partitions), while gen 2's own consolidated
-    # partition — an input of the gen-3 fold — survives one more
-    # cycle for in-flight readers
+    # generation 3 committed; generation 1's raw partitions (folded
+    # into gen 2) SURVIVE this cycle — gen-2 readers resolved before
+    # this fold can still select them — and are GC'd only by the
+    # NEXT compaction
     assert os.path.exists(os.path.join(counts, "_GEN_3.json"))
-    assert not os.path.exists(os.path.join(counts, "batch_id=0"))
-    assert not os.path.exists(os.path.join(counts, "batch_id=1"))
+    assert os.path.exists(os.path.join(counts, "batch_id=0"))
+    assert os.path.exists(os.path.join(counts, "batch_id=1"))
     assert os.path.exists(os.path.join(counts, "batch_id=-2"))
     assert _live_parts(spark, counts) == {-3, 4}
+    # third cycle: now gen 1's raws (folded as of gen 2, two cycles
+    # ago) are deleted; gen 2's consolidated partition and the raws
+    # gen-2 readers need (batch 2,3) survive one more cycle
+    for b in (5, 6):
+        (
+            spark.createDataFrame([(9, 9, 1)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # folds 4,5
+    assert os.path.exists(os.path.join(counts, "_GEN_4.json"))
+    assert not os.path.exists(os.path.join(counts, "batch_id=0"))
+    assert not os.path.exists(os.path.join(counts, "batch_id=1"))
+    assert os.path.exists(os.path.join(counts, "batch_id=-3"))
+    assert os.path.exists(os.path.join(counts, "batch_id=-2"))
+    assert _live_parts(spark, counts) == {-4, 6}
+
+
+def test_slow_reader_survives_a_full_compaction_cycle(spark, tmp_path):
+    """The r12 residual, closed: a reader that resolved generation g
+    and then sleeps through an ENTIRE subsequent compaction cycle
+    (new batches + fold to g+1, new batches + fold to g+2 — the
+    second fold is the one whose single-cycle GC used to delete
+    generation g's files) still collects its exact generation-g
+    view. The two-cycle GC keeps everything g's readers can select
+    until the THIRD cycle."""
+    verd, counts = str(tmp_path / "verd"), str(tmp_path / "counts")
+    _boiler_batches(spark, verd, counts, n=3)  # batches 0,1,2
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 2
+    expected = _count_totals(spark, counts)
+    reader = read_live_state(spark, counts)  # resolves gen 2 NOW
+    for b in (3, 4):
+        (
+            spark.createDataFrame([(9, 9, 1)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 3
+    for b in (5, 6):
+        (
+            spark.createDataFrame([(9, 9, 1)], "_h1 long, _h2 long, n long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(counts)
+        )
+    assert compact_count_log(spark, counts, keep_last=1) == 2  # → gen 4
+    got = {
+        (r._h1, r._h2): r.total
+        for r in reader.groupBy("_h1", "_h2")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == expected
 
 
 def test_legacy_pre_generation_dir_migrates(spark, tmp_path):
