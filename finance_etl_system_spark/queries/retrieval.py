@@ -126,25 +126,37 @@ def _per_doc_tf(
     d: DataFrame, terms: list[str], *, analyzed: bool = False
 ) -> DataFrame:
     """(doc_id, dl, tfs) with dl = token count and tfs[i] = number of
-    occurrences of terms[i] — ROW-LOCAL (one ``aggregate`` fold over
-    the token array, no explode, no shuffle). Docs with no tokens are
-    dropped, matching the explode formulation this replaced (an empty
-    array exploded to zero rows, so such docs never reached the
-    length/corpus aggregates)."""
-    toks = token_array(F.col("text"), analyzed=analyzed)
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    base = d.select("doc_id", toks.alias("_toks"))
+    occurrences of terms[i] — ROW-LOCAL, no explode, no token-scale
+    shuffle. Docs with no tokens are dropped, matching the explode
+    formulation this replaced (an empty array exploded to zero rows,
+    so such docs never reached the length/corpus aggregates).
+
+    Two r13 per-task-work fixes (guide §1.2 step 2, §4.1):
+    - tf per term is ``size(toks) - size(array_remove(toks, t))`` —
+      plain collection expressions inside whole-stage codegen. The
+      ``aggregate``/``zip_with`` fold it replaces is a CodegenFallback
+      higher-order function (~|Q| interpreted lambda evals per token;
+      measured 25% slower for the plain chain at sf0.1, exact-equal
+      output on every doc).
+    - explicit (doc_id, text) projection ahead of the tokenizer so
+      only those two columns reach the expensive expression chain.
+    A spread_for_expansion reshuffle was measured and REJECTED here:
+    per-doc work is ~0.1 ms, so at local scale the exchange+task
+    overhead exceeds the parallelism win (0.79 s vs 0.56 s for the
+    checkpointed pass), and a 100-TB scan is already multi-split."""
+    base = d.select("doc_id", "text").select(
+        "doc_id", token_array(F.col("text"), analyzed=analyzed).alias("_toks")
+    )
     return base.select(
         "doc_id",
         F.size("_toks").alias("dl"),
-        F.aggregate(
-            "_toks",
-            F.array_repeat(F.lit(0).cast("long"), len(terms)),
-            lambda acc, x: F.zip_with(
-                acc,
-                term_arr,
-                lambda c, t: c + F.when(x == t, 1).otherwise(0),
-            ),
+        F.array(
+            *[
+                (
+                    F.size("_toks") - F.size(F.array_remove("_toks", t))
+                ).cast("long")
+                for t in terms
+            ]
         ).alias("tfs"),
     ).filter(F.col("dl") > 0)
 
@@ -166,11 +178,21 @@ def _bm25_scored(
     (n_docs, total_dl, df per term) are ONE map-side-combinable
     scalar aggregate broadcast back, and the score is a row-local
     expression. Exchanges: token-scale 2 → one 1-row aggregate;
-    shuffle bytes no longer scale with token count — at 100 TB the
-    query is two corpus map passes + a k-integer reduce. Scores are
+    shuffle bytes no longer scale with token count. Scores are
     bit-stable: contributions sum in fixed term order and round 6dp
-    (the old groupBy summed ≤|Q| doubles in partition order)."""
-    per_doc = _per_doc_tf(d, terms, analyzed=analyzed)
+    (the old groupBy summed ≤|Q| doubles in partition order).
+
+    The ``per_doc`` proxy (doc_id, dl, ≤|Q| tf longs — tens of bytes
+    per document, never the text) feeds BOTH the stats aggregate and
+    the scoring projection; unmaterialized, Catalyst re-derives the
+    tokenize+fold subtree for each consumer and the corpus is
+    tokenized twice (the analyzed chain doubles a stemmer pass —
+    measured +0.6-0.8 s at sf0.1). One localCheckpoint of the narrow
+    doc-level frame makes it one tokenize pass (guide §8: decide on a
+    lightweight proxy, materialize it, never re-derive)."""
+    per_doc = _per_doc_tf(d, terms, analyzed=analyzed).localCheckpoint(
+        eager=True
+    )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
