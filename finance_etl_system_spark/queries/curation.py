@@ -370,15 +370,14 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-smoothed over the raw vocabulary: p̂(t) = (c_t+1)/(N+V).
     Length normalization keeps the score comparable across doc sizes.
 
-    Scale shape: two map-combinable term aggregates (target counts,
-    raw counts) produce a weight table that joins back onto per-doc
-    tf. The TARGET vocab (benchmark-sized by construction) is
-    broadcast-hinted; the raw-corpus weight table grows with the
-    corpus (Heaps' law) so its join onto tf is left un-hinted — a
-    plain shuffle join that AQE upgrades to broadcast when the vocab
-    is genuinely small. The three scalars (N_T, N_R, V) are one-row
-    cross joins. No all-pairs anywhere; top-20 is
-    TakeOrderedAndProject.
+    Scale shape: ONE map-combinable term aggregate computes raw AND
+    target counts per term (the target count is a conditional sum —
+    no separate target aggregate, no raw⋈tgt join). The weight table
+    grows with the corpus (Heaps' law) so its join onto tf is left
+    un-hinted — a plain shuffle join that AQE upgrades to broadcast
+    when the vocab is genuinely small. The three scalars (N_T, N_R,
+    V) fold out of the same table as one broadcast row. No all-pairs
+    anywhere; top-20 is TakeOrderedAndProject.
     """
     from pyspark.sql import Window
 
@@ -388,48 +387,45 @@ def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE corpus pass (r13, guide §3.3): tf carries lang (a doc
     # attribute — adding it to the grouping keys changes nothing) and
-    # is eagerly materialized; raw/tgt/consts/tconst/scored all
-    # re-aggregate the checkpointed table instead of re-deriving the
-    # scan+explode subtree (the before-plan showed 12 document scans
-    # for this one query). tgt's per-term count of target-slice
-    # tokens equals the sum of its per-doc tfs.
+    # is eagerly materialized; vocab/consts/scored all re-aggregate
+    # the checkpointed table instead of re-deriving the scan+explode
+    # subtree (the before-plan showed 12 document scans for this one
+    # query). The per-term target count equals the sum of the target
+    # slice's per-doc tfs.
     tf = (
         toks.groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
-    raw = (
+    # ONE vocab pass (r13 second iteration): raw and target counts
+    # come out of the SAME groupBy("term") — ct is the conditional
+    # sum over the target slice, so the former raw⋈tgt left join (and
+    # its second aggregate + checkpoint) disappears. A term with no
+    # target occurrences gets ct NULL (sum over an empty when-set),
+    # exactly what the left join produced; COALESCE(ct,0) below is
+    # unchanged. consts folds nr, v AND nt from this one table.
+    vocab = (
         tf.groupBy("term")
-        .agg(F.sum("tf").alias("cr"))
+        .agg(
+            F.sum("tf").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("tf"))).alias("ct"),
+        )
         .localCheckpoint(eager=True)  # vocab-sized; feeds llr + consts
     )
-    tgt = (
-        tf.filter(F.col("lang") == "en")
-        .groupBy("term")
-        .agg(F.sum("tf").alias("ct"))
-        .localCheckpoint(eager=True)  # benchmark-sized; feeds llr + nt
-    )
-    consts = raw.agg(
+    consts = vocab.agg(
         F.sum("cr").cast("double").alias("nr"),
         F.count(F.lit(1)).cast("double").alias("v"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt"),
     )
-    tconst = tgt.agg(
-        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
-    )
-    llr = (
-        raw.join(F.broadcast(tgt), "term", "left")
-        .crossJoin(F.broadcast(consts))
-        .crossJoin(F.broadcast(tconst))
-        .select(
-            "term",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    / (F.col("nt") + F.col("v"))
-                )
-                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
-            ).alias("llr"),
-        )
+    llr = vocab.crossJoin(F.broadcast(consts)).select(
+        "term",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                / (F.col("nt") + F.col("v"))
+            )
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+        ).alias("llr"),
     )
     scored = (
         tf.join(llr, "term")
@@ -595,11 +591,19 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # vocab-sized materialization barrier (r13, guide §3.3): `uni`
-    # feeds both the score join and `total`; unmaterialized, each
-    # reference re-derived the whole scan+explode+tf subtree (the
-    # before-plan shows 12 document scans for this one query)
+    # per-(doc, term) materialization barrier (r13, guide §3.3): tf
+    # feeds the vocab aggregate AND the score join; unmaterialized,
+    # each consumer re-derived the whole scan+explode+tf subtree (the
+    # before-plan shows 12 document scans for this one query) — the
+    # corpus is now tokenized exactly once.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # vocab-sized barrier: `uni` feeds both the score join and
+    # `total`; materializing it keeps the term-scale tf from being
+    # re-aggregated per consumer.
     uni = (
         tf.groupBy("term")
         .agg(F.sum("tf").alias("ct"))
