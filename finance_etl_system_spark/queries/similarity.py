@@ -175,65 +175,59 @@ def embedding_centroids_frame(e: DataFrame) -> DataFrame:
     # some label is dirty does the exact per-dim-count form run.
     # The guard keeps oracle semantics: when _nbad == 0,
     # COUNT(_t[i]) == COUNT(embedding) for every dim by definition.
-    ticks = e.withColumn(
-        "_t",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1e8, 0).cast("long"),
-        ),
+    # r13 construction-cost note (guide §1.2 step 2): the previous
+    # Column-object form issued ~400 py4j round trips to assemble the
+    # 64-sum aggregate and the 64-division projection (~0.45 s of
+    # driver time per build, measured warm at sf0.1). The SAME
+    # expressions now arrive as one SQL string parsed JVM-side in a
+    # single call; the physical plan is identical. ``get(_t, i)``:
+    # null past the end, exactly F.get (ANSI [] throws on ragged
+    # arrays; the oracle's embedding[i+1] is null there).
+    spark = e.sparkSession
+    ticks_sub = (
+        "SELECT label, embedding, transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1e8, 0) AS BIGINT)) AS _t "
+        "FROM {e}"
     )
-    bad = (
-        F.col("embedding").isNotNull()
-        & (
-            (F.size("embedding") != _DIM)
-            | F.exists("_t", lambda x: x.isNull())
-        )
-    ).cast("long")
-    wide = ticks.groupBy("label").agg(
-        # F.get: null past the end (ANSI [] throws on ragged arrays;
-        # the oracle's embedding[i+1] is null there)
-        *[F.sum(F.get("_t", i)).alias(f"_s{i}") for i in range(_DIM)],
-        F.count("embedding").alias("_nv"),
-        F.sum(bad).alias("_nbad"),
-        F.count(F.lit(1)).alias("n_vectors"),
+    sums = ", ".join(f"SUM(get(_t, {i})) AS _s{i}" for i in range(_DIM))
+    wide = spark.sql(
+        f"SELECT label, {sums}, COUNT(embedding) AS _nv, "
+        f"SUM(CAST((embedding IS NOT NULL AND (size(embedding) != {_DIM} "
+        "OR exists(_t, x -> x IS NULL))) AS BIGINT)) AS _nbad, "
+        f"COUNT(1) AS n_vectors FROM ({ticks_sub}) GROUP BY label",
+        e=e,
     ).localCheckpoint(eager=True)  # |labels| rows; reused for the
     # dirty probe and the output without a second corpus scan
     if wide.filter(F.col("_nbad") > 0).limit(1).count() > 0:
         # some label has ragged/null-element vectors: per-dim counts
         # genuinely differ from _nv — run the exact form (costs the
         # extra 64 COUNT aggregates only on dirty data)
-        wide = ticks.groupBy("label").agg(
-            *[
-                (
-                    F.sum(F.get("_t", i))
-                    / (F.lit(1e8) * F.count(F.get("_t", i)))
-                ).alias(f"_c{i}")
-                for i in range(_DIM)
-            ],
-            F.count(F.lit(1)).alias("n_vectors"),
+        dims = ", ".join(
+            f"SUM(get(_t, {i})) / (1e8 * COUNT(get(_t, {i}))) AS _c{i}"
+            for i in range(_DIM)
+        )
+        wide = spark.sql(
+            f"SELECT label, {dims}, COUNT(1) AS n_vectors "
+            f"FROM ({ticks_sub}) GROUP BY label",
+            e=e,
         )
     else:
-        wide = wide.select(
+        wide = wide.selectExpr(
             "label",
-            *[
-                (F.col(f"_s{i}") / (F.lit(1e8) * F.col("_nv"))).alias(
-                    f"_c{i}"
-                )
-                for i in range(_DIM)
-            ],
+            *[f"_s{i} / (1e8 * _nv) AS _c{i}" for i in range(_DIM)],
             "n_vectors",
         )
     stack_args = ", ".join(f"CAST({i + 1} AS BIGINT), _c{i}" for i in range(_DIM))
     return (
-        wide.select(
+        wide.selectExpr(
             "label",
-            F.expr(f"stack({_DIM}, {stack_args}) AS (dim, raw)"),
+            f"stack({_DIM}, {stack_args}) AS (dim, raw)",
             "n_vectors",
         )
-        .select(
+        .selectExpr(
             "label",
             "dim",
-            F.round("raw", 6).alias("centroid"),
+            "round(raw, 6) AS centroid",
             "n_vectors",
         )
         .orderBy("label", "dim")
