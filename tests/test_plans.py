@@ -590,7 +590,10 @@ def test_no_forced_corpus_vocab_broadcast_hints(spark):
         # total hint now sits behind the scored-frame checkpoint
         # (r13: prefix_pack materializes its input), so the final
         # analyzed plan no longer contains it
-        "importance_rank": 3,     # target vocab + two 1-row scalars
+        "importance_rank": 1,     # the 1-row consts scalar; the
+        # target-vocab hint and the second scalar disappeared when the
+        # r13 rewrite folded raw+target counts into one groupBy (no
+        # raw⋈tgt join left to hint)
         "dedup_safe_split": 0,    # cc labels join un-hinted
     }
     for name, want in expected.items():
