@@ -115,14 +115,22 @@ def kmeans_fit(
     centroids (every query/index-build in this package) should pass
     False; the model then carries ``inertia=nan`` (r13, guide §1.2:
     don't compute what you throw away)."""
-    # Materialize the projected vectors ONCE (eager localCheckpoint,
-    # the pagerank.py iteration discipline): without this every Lloyd
+    # Materialize the projected vectors ONCE (localCheckpoint, the
+    # pagerank.py iteration discipline): without this every Lloyd
     # iteration re-scans the source and re-derives the lineage — 10
-    # iterations = 10 full corpus scans.
+    # iterations = 10 full corpus scans. LAZY on purpose (r13): the
+    # seeds job right below is a global TakeOrdered — it computes
+    # EVERY partition of src, so it doubles as the
+    # checkpoint-materialization job; eager=True spent one extra full
+    # pass (a separate driver job) producing nothing the seeds job
+    # would not compute anyway. If a partition somehow went
+    # unevaluated, LocalRDDCheckpointData launches its own fill-in
+    # job, so correctness never depends on this fusion (verified:
+    # identical centroids, one fewer job).
     src = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     seeds = (
         src.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(k)

@@ -6,7 +6,7 @@ operators/quantize.py, IVF routing in operators/similarity.py).
 Spark-first shapes:
 
 - **Train** (``pq_train``): all m sub-codebooks learn TOGETHER — each
-  Lloyd iteration is ONE shuffle-free mapInPandas pass that assigns
+  Lloyd iteration is ONE shuffle-free mapInArrow pass that assigns
   every subvector to its nearest codeword (m vectorized argmins per
   Arrow batch) and folds per-(subspace, codeword) partial sums inside
   the partition; at most m×k rows per partition reach the driver, which
@@ -20,7 +20,7 @@ Spark-first shapes:
 - **Search** (``pq_topk_adc``): asymmetric distance computation —
   per query ONE (m, k) lookup table of subspace inner products, score =
   Σ_s LUT[s, code_s]; corpus vectors are never reconstructed. The
-  mapInPandas kernel emits only each partition's top-k per query
+  mapInArrow kernel emits only each partition's top-k per query
   (np.argpartition), so the global rank runs over k×partitions rows —
   rank-after-limit, same hygiene as functions/frames.ranked_topk.
 
@@ -79,6 +79,16 @@ def _as_matrix(pdf_col) -> np.ndarray:
     return np.vstack(pdf_col.to_numpy()).astype(np.float64)
 
 
+def _arrow_matrix(col, d: int) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<double> column — ONE
+    flatten over the contiguous values buffer (r13, guide §4.2)
+    instead of a per-row ``np.vstack`` over a pandas object column.
+    Identical float64 bits to :func:`_as_matrix`; ragged/null
+    elements fail the reshape exactly like vstack failed before."""
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(-1, d)
+
+
 def _normalize(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=1, keepdims=True)
     n[n == 0.0] = 1.0  # zero vectors stay zero (cosine 0 vs anything)
@@ -106,7 +116,12 @@ def _pq_stats_fn(
     """One fused Lloyd iteration across ALL subspaces: per partition,
     assign each subvector to its nearest codeword and fold
     per-(subspace, codeword) (Σx, n) partials. ≤ m×k output rows per
-    partition."""
+    partition. Runs as ``mapInArrow`` (r13, guide §4.2): same batch
+    boundaries as the mapInPandas form it replaces, so the per-batch
+    float64 accumulation order — and therefore every partial — is
+    bit-identical; only the object-column vstack conversion is gone."""
+    import pyarrow as pa
+
     c = np.ascontiguousarray(codebooks)  # (m, k, dsub)
     m, k, dsub = c.shape
     c_norm2 = (c * c).sum(axis=2)  # (m, k)
@@ -114,12 +129,14 @@ def _pq_stats_fn(
     def stats(batches):
         sums = np.zeros((m, k, dsub))
         counts = np.zeros((m, k), dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            x = _subspaces(
-                _prep(_as_matrix(pdf["_v"]), pdf, residual_centroids), m
-            )
+            x = _normalize(_arrow_matrix(b.column("_v"), m * dsub))
+            if residual_centroids is not None:
+                cl = b.column("_cl").to_numpy(zero_copy_only=False)
+                x = x - residual_centroids[cl]
+            x = _subspaces(x, m)
             for s in range(m):
                 scores = -2.0 * (x[:, s, :] @ c[s].T) + c_norm2[s]
                 idx = np.argmin(scores, axis=1)
@@ -127,16 +144,17 @@ def _pq_stats_fn(
                 sums[s] += onehot @ x[:, s, :]
                 counts[s] += np.bincount(idx, minlength=k)
         nz = counts > 0
-        if not nz.any():  # empty partition: emit nothing (an empty
-            return  # object column trips Arrow's NumPyConverter)
+        if not nz.any():  # empty partition: emit nothing
+            return
         ss, cc = np.nonzero(nz)
-        yield pd.DataFrame(
-            {
-                "sub": ss.astype(np.int32),
-                "cluster": cc.astype(np.int32),
-                "s": [sums[a, b] for a, b in zip(ss, cc)],
-                "n": counts[nz],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ss.astype(np.int32), pa.int32()),
+                pa.array(cc.astype(np.int32), pa.int32()),
+                pa.array(list(sums[ss, cc]), pa.list_(pa.float64())),
+                pa.array(counts[nz], pa.int64()),
+            ],
+            names=["sub", "cluster", "s", "n"],
         )
 
     return stats
@@ -213,7 +231,7 @@ def opq_rotation(
     ``y = x @ R.T``. Rotation of a raw vector commutes with
     normalization, so it can be applied before or after unit-norm.
 
-    Scale: ONE mapInPandas pass emits a single (pid, d*d partial
+    Scale: ONE mapInArrow pass emits a single (pid, d*d partial
     second moment, n) row per partition (d=64 → 32 KB), and a
     16-lane tree reduce (groupBy pmod(pid, 16) → applyInPandas, each
     lane summing its partials in sorted-pid order) folds those to
@@ -234,25 +252,32 @@ def opq_rotation(
         df = df.sample(fraction=sample_fraction, seed=7)
 
     def moments(batches):
+        import pyarrow as pa
+
         s = np.zeros((dim, dim))
         n = 0
         pid = -1
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            x = _normalize(_as_matrix(pdf["_v"]))
+            pid = int(b.column("_pid")[0].as_py())
+            x = _normalize(_arrow_matrix(b.column("_v"), dim))
             s += x.T @ x
             n += len(x)
         if n:
-            yield pd.DataFrame(
-                {"pid": [pid], "s": [s.ravel()], "n": [n]}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([s.ravel()], pa.list_(pa.float64())),
+                    pa.array([n], pa.int64()),
+                ],
+                names=["pid", "s", "n"],
             )
 
     partials = df.select(
         F.spark_partition_id().alias("_pid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).mapInPandas(moments, schema="pid int, s array<double>, n long")
+    ).mapInArrow(moments, schema="pid int, s array<double>, n long")
     S, _n = _reduce_matrix_partials(partials, dim)
     evals, evecs = np.linalg.eigh(S)  # ascending
     order = np.argsort(-evals, kind="stable")
@@ -338,7 +363,12 @@ def opq_train_np(
         if sample_fraction is not None
         else df
     )
-    train = train.localCheckpoint(eager=True)  # reused every iteration
+    # LAZY checkpoint (r13): pq_train's first job on this frame is a
+    # global TakeOrdered (its seeds collect), which computes every
+    # partition — it doubles as the materialization job, so the
+    # separate eager pass was pure overhead. Iterations after the
+    # first read the persisted blocks exactly as before.
+    train = train.localCheckpoint(eager=False)  # reused every iteration
     for _ in range(opq_iters):
         model = pq_train(
             rotate_vectors(train, R, vec_col=vec_col),
@@ -355,14 +385,16 @@ def opq_train_np(
         R_T = np.ascontiguousarray(R.T)
 
         def procrustes(batches):
+            import pyarrow as pa
+
             A = np.zeros((dim, dim))
             n = 0
             pid = -1
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                if not b.num_rows:
                     continue
-                pid = int(pdf["_pid"].iloc[0])
-                x = _normalize(_as_matrix(pdf["_v"]))
+                pid = int(b.column("_pid")[0].as_py())
+                x = _normalize(_arrow_matrix(b.column("_v"), dim))
                 y = _subspaces(x @ R_T, m_)
                 recon = np.empty((len(x), dim))
                 for s in range(m_):
@@ -373,14 +405,19 @@ def opq_train_np(
                 A += x.T @ recon
                 n += len(x)
             if n:
-                yield pd.DataFrame(
-                    {"pid": [pid], "s": [A.ravel()], "n": [n]}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pid], pa.int32()),
+                        pa.array([A.ravel()], pa.list_(pa.float64())),
+                        pa.array([n], pa.int64()),
+                    ],
+                    names=["pid", "s", "n"],
                 )
 
         partials = train.select(
             F.spark_partition_id().alias("_pid"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        ).mapInPandas(procrustes, schema="pid int, s array<double>, n long")
+        ).mapInArrow(procrustes, schema="pid int, s array<double>, n long")
         A, _n = _reduce_matrix_partials(partials, dim)
         # max_R tr(R·A): A = U·S·Vᵀ ⇒ R = V·Uᵀ (unique a.e.; sign
         # flips pair between U and V columns so the product is stable)
@@ -443,7 +480,7 @@ def pq_train(
     )  # (m, k, dsub)
     data = src.drop("_id")
     for _ in range(max_iter):
-        stats = data.mapInPandas(
+        stats = data.mapInArrow(
             _pq_stats_fn(codebooks, residual_centroids),
             schema="sub int, cluster int, s array<double>, n long",
         ).collect()
@@ -548,27 +585,41 @@ def pq_topk_adc(
     n_local = rerank if rerank_with is not None else k
 
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
                 continue
-            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
-            cids = pdf["_cid"].to_numpy()
+            codes = (
+                b.column("codes")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, m)
+            )  # (n, m) — fixed-width rows by construction (pq_encode)
+            cids = b.column("_cid").to_numpy(zero_copy_only=False)
             cols = np.arange(m)
-            out = {"qid": [], "cid": [], "score": []}
+            out_q, out_c, out_s = [], [], []
             for qi, qid in enumerate(qids):
                 sc = luts[qi][cols, codes].sum(axis=1)  # (n,)
                 top = min(n_local, len(sc))
                 idx = np.argpartition(-sc, top - 1)[:top]
-                out["qid"].extend([qid] * top)
-                out["cid"].extend(cids[idx])
-                out["score"].extend(_round_half_away(sc[idx], 6))
-            yield pd.DataFrame(out)
+                out_q.append(np.full(top, qid, dtype=np.int64))
+                out_c.append(cids[idx].astype(np.int64))
+                out_s.append(_round_half_away(sc[idx], 6))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_c), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.float64()),
+                ],
+                names=["qid", "cid", "score"],
+            )
 
     from pyspark.sql import Window
 
     local = codes_df.select(
         F.col(id_col).alias("_cid"), "codes"
-    ).mapInPandas(score, schema="qid long, cid long, score double")
+    ).mapInArrow(score, schema="qid long, cid long, score double")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("cid").asc()
     )
@@ -1046,13 +1097,20 @@ def _cosine_topk_ivf_pq_once(
     cols = np.arange(m)
 
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
                 continue
-            codes = np.vstack(pdf["codes"].to_numpy())
-            cids = pdf["_cid"].to_numpy()
-            cls = pdf["cluster"].to_numpy()
-            out = {"qid": [], "cid": [], "score": []}
+            codes = (
+                b.column("codes")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, m)
+            )
+            cids = b.column("_cid").to_numpy(zero_copy_only=False)
+            cls = b.column("cluster").to_numpy(zero_copy_only=False)
+            out_q, out_c, out_s = [], [], []
             for qi, qid in enumerate(qids):
                 mask = np.isin(cls, list(qprobes[qid]))
                 if not mask.any():
@@ -1062,11 +1120,18 @@ def _cosine_topk_ivf_pq_once(
                 ].sum(axis=1)
                 top = min(n_local, len(sc))
                 idx = np.argpartition(-sc, top - 1)[:top]
-                out["qid"].extend([qid] * top)
-                out["cid"].extend(cids[mask][idx])
-                out["score"].extend(_round_half_away(sc[idx], 6))
-            if out["qid"]:
-                yield pd.DataFrame(out)
+                out_q.append(np.full(top, qid, dtype=np.int64))
+                out_c.append(cids[mask][idx].astype(np.int64))
+                out_s.append(_round_half_away(sc[idx], 6))
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), pa.int64()),
+                        pa.array(np.concatenate(out_c), pa.int64()),
+                        pa.array(np.concatenate(out_s), pa.float64()),
+                    ],
+                    names=["qid", "cid", "score"],
+                )
 
     from pyspark.sql import Window
 
@@ -1074,7 +1139,7 @@ def _cosine_topk_ivf_pq_once(
         _race_hook()  # test seam: the check-then-read window
     local = codes_df.select(
         F.col(id_col).alias("_cid"), "cluster", "codes"
-    ).mapInPandas(score, schema="qid long, cid long, score double")
+    ).mapInArrow(score, schema="qid long, cid long, score double")
     if verify_consistency:
         # eager: materialize the ONLY scan that touches index tables,
         # then re-check the fences/meta — this closes the
