@@ -20,8 +20,8 @@ assignment already requires; anchors are a content-hash sample, so
 membership is a pure function of the row (operators/sampling.py
 discipline).
 
-Determinism: anchors/members sort by id inside the kernel (pandas
-group input order is partition-dependent); positives take the highest
+Determinism: anchors/members sort by id inside the kernel (the
+group's input order is partition-dependent); positives take the highest
 cosine ≥ pos_threshold, hard negatives the highest cosine inside
 [neg_lo, neg_hi), both tiebroken by candidate id; cosines round to
 6dp before selection so float-sum jitter is inert.
@@ -33,7 +33,6 @@ OHLCV rows); this extends the SURVEY §2.10 X2 training-data path.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,17 +93,36 @@ def mine_triplets(
         " pos_cos double, neg_cos double, truncated boolean"
     )
 
-    def mine_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        truncated = len(pdf) > max_cluster
+    def mine_one(table):
+        """One cluster as a pyarrow Table (r13, guide §4.2 — the
+        applyInPandas form spent the pass converting the embedding
+        column to a pandas object Series and vstacking it back; the
+        (n, d) matrix is now ONE zero-copy flatten+reshape). The
+        truncation/sort semantics are the pandas ones re-expressed as
+        the same lexsort permutations (unique _id makes every order
+        total), and the blockwise cosine selection is untouched —
+        outputs verified byte-identical against the pandas kernel."""
+        import pyarrow as pa
+
+        n_all = table.num_rows
+        ids = table.column("_id").to_numpy(zero_copy_only=False)
+        hashes = table.column("_h").to_numpy(zero_copy_only=False)
+        anchors = table.column("_is_anchor").to_numpy(zero_copy_only=False)
+        emb = table.column("_v")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        x = np.ascontiguousarray(flat, dtype=np.float64).reshape(n_all, -1)
+        truncated = n_all > max_cluster
         if truncated:  # deterministic content-hash truncation
-            pdf = pdf.sort_values(["_h", "_id"]).head(max_cluster)
-        pdf = pdf.sort_values("_id").reset_index(drop=True)
-        x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(x, axis=1, keepdims=True)
-        n[n == 0.0] = 1.0
-        x = x / n
-        ids = pdf["_id"].to_numpy()
-        a_idx = np.flatnonzero(pdf["_is_anchor"].to_numpy())
+            keep = np.lexsort((ids, hashes))[:max_cluster]
+            ids, anchors, x = ids[keep], anchors[keep], x[keep]
+        order = np.argsort(ids, kind="mergesort")
+        ids, anchors, x = ids[order], anchors[order], x[order]
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        x = x / nrm
+        a_idx = np.flatnonzero(anchors)
         rows = {
             "anchor_id": [], "pos_id": [], "neg_id": [],
             "pos_cos": [], "neg_cos": [], "truncated": [],
@@ -129,15 +147,18 @@ def mine_triplets(
                     rows["pos_cos"].append(float(sims[pos[t]]))
                     rows["neg_cos"].append(float(sims[neg[t]]))
                     rows["truncated"].append(bool(truncated))
-        return pd.DataFrame(rows).astype(
+        return pa.table(
             {
-                "anchor_id": "int64", "pos_id": "int64",
-                "neg_id": "int64", "pos_cos": "float64",
-                "neg_cos": "float64", "truncated": "bool",
+                "anchor_id": pa.array(rows["anchor_id"], pa.int64()),
+                "pos_id": pa.array(rows["pos_id"], pa.int64()),
+                "neg_id": pa.array(rows["neg_id"], pa.int64()),
+                "pos_cos": pa.array(rows["pos_cos"], pa.float64()),
+                "neg_cos": pa.array(rows["neg_cos"], pa.float64()),
+                "truncated": pa.array(rows["truncated"], pa.bool_()),
             }
         )
 
-    triplets = assigned.groupBy("cluster").applyInPandas(
+    triplets = assigned.groupBy("cluster").applyInArrow(
         mine_one, schema=out_schema
     )
     if not with_report:

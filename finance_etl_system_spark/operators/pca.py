@@ -2,7 +2,7 @@
 
 Classic N≫d decomposition: the cluster computes the exact sufficient
 statistics (n, Σx, ΣxxᵀT) in one pass — partial per Arrow batch via
-mapInPandas, reduced by a map-side-combinable (dim_i, dim_j) sum — and
+mapInArrow, reduced by a map-side-combinable (dim_i, dim_j) sum — and
 the driver eigendecomposes the d×d covariance (d=64 here; the driver
 never holds anything that scales with N). Projection is one
 broadcast-matrix pandas-UDF pass, no shuffle.
@@ -43,22 +43,41 @@ def pca_fit(df: DataFrame, *, vec_col: str = "embedding", q: int = 2) -> PCAMode
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
     )
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def partial(batches):
+        # mapInArrow (r13, guide §4.2): the (n, d) matrix is ONE
+        # zero-copy flatten+reshape of the list column instead of a
+        # per-row object-column vstack. Same per-batch emission and
+        # identical float64 values, so the map-side-combined sums —
+        # and the fitted model — are bit-identical to the pandas form.
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
                 continue
-            x = np.vstack(pdf["_v"].to_numpy())
+            col = b.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(flat, dtype=np.float64).reshape(
+                b.num_rows, -1
+            )
             d = x.shape[1]
             n = np.full(d * d, float(len(x)))
             s = np.tile(x.sum(axis=0), d)  # only first d used downstream
             ss = (x.T @ x).ravel()
             idx = np.arange(d * d)
-            yield pd.DataFrame({"ij": idx, "n": n, "s": s[:d * d], "ss": ss})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idx, pa.int64()),
+                    pa.array(n, pa.float64()),
+                    pa.array(s[: d * d], pa.float64()),
+                    pa.array(ss, pa.float64()),
+                ],
+                names=["ij", "n", "s", "ss"],
+            )
 
     # (d² rows per batch) -> groupBy(ij).sum: map-side combined, the
     # driver collects exactly d² reduced rows
     stats = (
-        src.mapInPandas(partial, "ij long, n double, s double, ss double")
+        src.mapInArrow(partial, "ij long, n double, s double, ss double")
         .groupBy("ij")
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"))
         .collect()
