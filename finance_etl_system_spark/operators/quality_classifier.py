@@ -16,7 +16,7 @@ Spark-first shapes:
   vocab lookup a fastText model would broadcast, so the feature step
   has NO driver state at all (the DSIR paper's hashing trick).
 - **Train** (``logreg_train``): full-batch gradient descent with L2;
-  each iteration is ONE mapInPandas pass emitting a (pid, gradient
+  each iteration is ONE mapInArrow pass emitting a (pid, gradient
   partial, loss partial, n) row per partition, folded through the
   SHARED deterministic 16-lane tree reduce
   (operators/pq.py::reduce_vector_partials — one implementation, so
@@ -131,24 +131,40 @@ def logreg_train(
     label column must be 0/1."""
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=7)
+    # LAZY checkpoint (r13): the first gradient pass below computes
+    # every partition and doubles as the materialization job (the
+    # kmeans_fit fusion); later iterations read the persisted blocks.
     src = df.select(
         F.col(features_col).alias("_x"),
         F.col(label_col).cast("double").alias("_y"),
-    ).localCheckpoint(eager=True)  # scanned every iteration
+    ).localCheckpoint(eager=False)  # scanned every iteration
     w = np.zeros(dim)
 
     def grad_pass(weights: np.ndarray):
+        # mapInArrow (r13, guide §4.2): the (n, dim) feature matrix is
+        # ONE zero-copy flatten+reshape per batch instead of a per-row
+        # object-column vstack; same batch boundaries, so the float64
+        # partials accumulate in the same order — bit-identical.
         def stats(batches):
+            import pyarrow as pa
+
             g = np.zeros(dim)
             loss = 0.0
             n = 0
             pid = -1
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                if not b.num_rows:
                     continue
-                pid = int(pdf["_pid"].iloc[0])
-                x = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
-                y = pdf["_y"].to_numpy(dtype=np.float64)
+                pid = int(b.column("_pid")[0].as_py())
+                flat = b.column("_x").flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                x = np.ascontiguousarray(flat, dtype=np.float64).reshape(
+                    b.num_rows, dim
+                )
+                y = b.column("_y").to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )
                 z = x @ weights
                 p = _sigmoid(z)
                 g += x.T @ (p - y)
@@ -159,8 +175,13 @@ def logreg_train(
                 )
                 n += len(y)
             if n:
-                yield pd.DataFrame(
-                    {"pid": [pid], "s": [np.append(g, loss)], "n": [n]}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pid], pa.int32()),
+                        pa.array([np.append(g, loss)], pa.list_(pa.float64())),
+                        pa.array([n], pa.int64()),
+                    ],
+                    names=["pid", "s", "n"],
                 )
 
         return stats
@@ -170,7 +191,7 @@ def logreg_train(
     for _ in range(iters):
         partials = src.select(
             F.spark_partition_id().alias("_pid"), "_x", "_y"
-        ).mapInPandas(
+        ).mapInArrow(
             grad_pass(w), schema="pid int, s array<double>, n long"
         )
         acc, n = reduce_vector_partials(partials, dim + 1)
