@@ -14,7 +14,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = "32"
+# Scale-dependent, so env-overridable (r13, guide §2.2/§9): 32 suits
+# local[32] fixtures; a production deploy sets
+# SPARK_GRAFT_SHUFFLE_PARTITIONS high (e.g. 2-4x total cores) and lets
+# AQE coalesce down — the initial count only needs to be an upper
+# bound once adaptive coalescing is on.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+)
 
 
 def get_spark(app_name: str = "finance-etl-system-spark") -> SparkSession:
