@@ -41,14 +41,16 @@ class KMeansModel:
     shifts: list[float] = field(default_factory=list)
 
 
-def _flat_f64(col, d: int) -> np.ndarray:
+def _flat_f64(col, d: int, n: int) -> np.ndarray:
     """(n, d) float64 view of an Arrow list<float|double> column —
     one ``flatten`` over the contiguous values buffer (zero-copy for
     float64 input) instead of a per-row ``np.vstack`` over a pandas
-    object column (r13, guide §4.2). Ragged/null elements fail the
-    reshape exactly like vstack failed before."""
+    object column (r13, guide §4.2). ``n`` must be the batch row
+    count: ``flatten()`` silently drops null list entries, so a
+    ``reshape(-1, d)`` could succeed with row-shifted data (r13
+    advisor finding); pinning both dims fails loudly instead."""
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    return np.ascontiguousarray(flat, dtype=np.float64).reshape(-1, d)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(n, d)
 
 
 def _partial_stats_fn(centroids: np.ndarray):
@@ -76,7 +78,7 @@ def _partial_stats_fn(centroids: np.ndarray):
         for b in batches:
             if not b.num_rows:
                 continue
-            x = _flat_f64(b.column(0), d)
+            x = _flat_f64(b.column(0), d, b.num_rows)
             idx = np.argmin(-2.0 * (x @ c.T) + c_norm2, axis=1)
             onehot = (idx == np.arange(k)[:, None]).astype(np.float64)
             sums += onehot @ x  # (k, n) @ (n, d)

@@ -79,14 +79,17 @@ def _as_matrix(pdf_col) -> np.ndarray:
     return np.vstack(pdf_col.to_numpy()).astype(np.float64)
 
 
-def _arrow_matrix(col, d: int) -> np.ndarray:
+def _arrow_matrix(col, d: int, n: int) -> np.ndarray:
     """(n, d) float64 matrix from an Arrow list<double> column — ONE
     flatten over the contiguous values buffer (r13, guide §4.2)
     instead of a per-row ``np.vstack`` over a pandas object column.
-    Identical float64 bits to :func:`_as_matrix`; ragged/null
-    elements fail the reshape exactly like vstack failed before."""
+    Identical float64 bits to :func:`_as_matrix`. ``n`` must be the
+    batch row count: ``flatten()`` silently DROPS null list entries,
+    so a ``reshape(-1, d)`` could still succeed with row-shifted data
+    (r13 advisor finding); pinning both dims makes any null/ragged
+    row fail loudly instead."""
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    return np.ascontiguousarray(flat, dtype=np.float64).reshape(-1, d)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(n, d)
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -132,7 +135,7 @@ def _pq_stats_fn(
         for b in batches:
             if not b.num_rows:
                 continue
-            x = _normalize(_arrow_matrix(b.column("_v"), m * dsub))
+            x = _normalize(_arrow_matrix(b.column("_v"), m * dsub, b.num_rows))
             if residual_centroids is not None:
                 cl = b.column("_cl").to_numpy(zero_copy_only=False)
                 x = x - residual_centroids[cl]
@@ -261,7 +264,7 @@ def opq_rotation(
             if not b.num_rows:
                 continue
             pid = int(b.column("_pid")[0].as_py())
-            x = _normalize(_arrow_matrix(b.column("_v"), dim))
+            x = _normalize(_arrow_matrix(b.column("_v"), dim, b.num_rows))
             s += x.T @ x
             n += len(x)
         if n:
@@ -394,7 +397,7 @@ def opq_train_np(
                 if not b.num_rows:
                     continue
                 pid = int(b.column("_pid")[0].as_py())
-                x = _normalize(_arrow_matrix(b.column("_v"), dim))
+                x = _normalize(_arrow_matrix(b.column("_v"), dim, b.num_rows))
                 y = _subspaces(x @ R_T, m_)
                 recon = np.empty((len(x), dim))
                 for s in range(m_):
@@ -594,8 +597,9 @@ def pq_topk_adc(
                 b.column("codes")
                 .flatten()
                 .to_numpy(zero_copy_only=False)
-                .reshape(-1, m)
-            )  # (n, m) — fixed-width rows by construction (pq_encode)
+                .reshape(b.num_rows, m)
+            )  # pin both dims: flatten() drops null entries, so -1
+            # could silently misalign codes with cids (r13 advisor)
             cids = b.column("_cid").to_numpy(zero_copy_only=False)
             cols = np.arange(m)
             out_q, out_c, out_s = [], [], []
@@ -1106,7 +1110,7 @@ def _cosine_topk_ivf_pq_once(
                 b.column("codes")
                 .flatten()
                 .to_numpy(zero_copy_only=False)
-                .reshape(-1, m)
+                .reshape(b.num_rows, m)
             )
             cids = b.column("_cid").to_numpy(zero_copy_only=False)
             cls = b.column("cluster").to_numpy(zero_copy_only=False)

@@ -238,8 +238,14 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens")
     # |sources|-row barrier (r13, guide §3.3): per_src feeds the
     # total, the normalizer and the final projection — the before-
-    # plan re-derived the scan+tokenize+aggregate subtree 4x
-    ).localCheckpoint(eager=True)
+    # plan re-derived the scan+tokenize+aggregate subtree 4x.
+    # LAZY (r14, verdict r13 #5): the eager form ran the checkpoint
+    # as its own serial job; lazy fuses the materialization into the
+    # first consumer job (the `total` broadcast collect computes
+    # every partition anyway) — the dd3d866 trainer pattern. Still 0
+    # document scans in the action plan; one scan total per
+    # invocation, now inside the first consumer job.
+    ).localCheckpoint(eager=False)
     total = per_src.agg(
         F.sum("n_tokens").cast("double").alias("total")
     )

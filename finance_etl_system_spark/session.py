@@ -43,6 +43,17 @@ def get_spark(app_name: str = "finance-etl-system-spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", driver_mem)
+    )
+    # When several local-mode JVMs share one host (the parallel test
+    # gate runs up to 8 of them), each JVM's GC/JIT thread pools
+    # default to the MACHINE's core count — 8 x ~23 GC threads
+    # oversubscribes 32 cores badly. The parallel runner passes caps
+    # via this env; a single-JVM run leaves it unset (no change).
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    builder = (
+        builder
         # AQE: runtime coalescing, skew-join handling, dynamic join
         # strategy switch — replaces the reference's fixed parallelism=4.
         .config("spark.sql.adaptive.enabled", "true")

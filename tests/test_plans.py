@@ -593,7 +593,9 @@ def test_no_forced_corpus_vocab_broadcast_hints(spark):
         "importance_rank": 1,     # the 1-row consts scalar; the
         # target-vocab hint and the second scalar disappeared when the
         # r13 rewrite folded raw+target counts into one groupBy (no
-        # raw⋈tgt join left to hint)
+        # raw⋈tgt join left to hint). NOTE: this pin lagged that
+        # rewrite (ff8d0fb) by a few commits — the 3→1 update was a
+        # catch-up fix, not evidence of a later rewrite (r13 advisor)
         "dedup_safe_split": 0,    # cc labels join un-hinted
     }
     for name, want in expected.items():

@@ -1,6 +1,7 @@
 """Capture ``explain("formatted")`` for named headline queries into
-plans/r13/<query>_<tag>.txt (guide §1 / §7.2 — the committed evidence
-for every plan-shape claim in OPTIMIZATION_r13.md).
+plans/<round>/<query>_<tag>.txt (guide §1 / §7.2 — the committed
+evidence for every plan-shape claim in OPTIMIZATION_r*.md).
+Round dir defaults to r14; override with SPARK_GRAFT_PLANS_DIR.
 
 Usage: python tools/capture_plans.py <tag> query [query ...]
        tag is e.g. 'before' or 'after'.
@@ -24,7 +25,8 @@ def main() -> int:
     spark = get_spark("plans")
     qs = entrymod.queries()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
