@@ -261,21 +261,30 @@ def main() -> None:
         # single noisy headline number as a regression. This sidecar
         # holds the latest run's FULL per-query map; commit it each
         # round next to BENCH_r*.json.
-        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_full.json")
-        with open(full_path, "w") as fh:
-            json.dump(
-                {
-                    "ts": round(time.time(), 1),
-                    "sf": sf,
-                    "value": line["value"],
-                    "canary_sec": canary,
-                    "scan_canary_sec": scan_canary,
-                    "timing": line["timing"],
-                    "queries": timings,
-                },
-                fh, indent=1, sort_keys=True,
-            )
+        payload = {
+            "ts": round(time.time(), 1),
+            "sf": sf,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "value": line["value"],
+            "canary_sec": canary,
+            "scan_canary_sec": scan_canary,
+            "timing": line["timing"],
+            "queries": timings,
+        }
+        base = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(base, "bench_full.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        # Low-core scaling runs get their own sidecar (r14, verdict r13
+        # #2): the driver benches once at full cores and once at <=8 to
+        # measure scaling, and overwriting one file with whichever ran
+        # last made per-query ratios un-diffable without spelunking
+        # bench_history.jsonl.
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+        if cpus_env.isdigit() and int(cpus_env) <= 8:
+            with open(os.path.join(base,
+                                   f"bench_full_c{cpus_env}.json"),
+                      "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout must not fail the bench
     print(json.dumps(line))

@@ -86,7 +86,25 @@ def exact_dedup_by_priority(
 
 
 def shingles(text_col, n: int = 3):
-    """Word n-gram shingle array (distinct) from normalized text."""
+    """Word n-gram shingle array (distinct) from normalized text.
+
+    Accepts a Column (legacy) or a plain COLUMN NAME string. The
+    string form assembles the whole expression as ONE SQL string
+    parsed JVM-side (r14, guide §1.2 step 2): the Column form costs
+    ~10 py4j round trips per call — including two lambda-function
+    registrations — which measured 0.1-0.3 s of pure driver time per
+    signature pass. Identical expression tree after parsing (the
+    token subtree is duplicated either way: Catalyst expressions have
+    no DAG sharing)."""
+    if isinstance(text_col, str):
+        toks = _tokens_sql(text_col)
+        if n == 1:
+            return F.expr(f"array_distinct({toks})")
+        return F.expr(
+            f"array_distinct(transform("
+            f"sequence(0, greatest(array_size({toks}) - {int(n)}, 0)),"
+            f" i -> concat_ws(' ', slice({toks}, i + 1, {int(n)}))))"
+        )
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
@@ -97,6 +115,14 @@ def shingles(text_col, n: int = 3):
             idx,
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+
+
+def _tokens_sql(col: str) -> str:
+    """SQL-string twin of ``tokens(F.col(col))`` — keep in lockstep
+    with operators/text.normalized + tokens."""
+    return (
+        f"split(trim(regexp_replace(lower(`{col}`), '\\\\s+', ' ')), ' ')"
     )
 
 
@@ -117,7 +143,7 @@ def ngram_jaccard_pairs(
     are spread across cores, already-parallel scans are never
     reshuffled."""
     sh = spread_for_expansion(df, id_col, spread=spread).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     )
     sizes = sh.select("id", F.array_size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("shingle"))
@@ -184,14 +210,16 @@ def minhash_signatures(
     # conditional spread: small-file local sources arrive as one
     # partition and need the hashing parallelized; already-parallel
     # scans pass through with NO reshuffle of the raw text.
+    # expr-string construction throughout (r14): the Column/lambda
+    # form of this chain measured 0.3-0.5 s of py4j round trips per
+    # signature pass; the parsed expression tree is identical.
     sh = spread_for_expansion(df, id_col, spread=spread).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     )
     hashed = sh.select(
         "id",
-        F.transform(
-            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        ).alias("h"),
+        F.expr(f"transform(sh, s -> pmod(xxhash64(s), {_MERSENNE}))")
+        .alias("h"),
     )
     id_type = hashed.schema["id"].dataType.simpleString()
     k = int(num_perm)
@@ -257,22 +285,20 @@ def minhash_signatures(
 
 
 def _band_rows(sig: DataFrame, bands: int, rpb: int) -> DataFrame:
-    """(id, band, band-hash) rows: one xxhash64 per band slice."""
+    """(id, band, band-hash) rows: one xxhash64 per band slice.
+
+    Built as ONE SQL string (r14): the Column form was ~8 py4j calls
+    per band (~0.2 s per call site at bands=8); parsed tree identical.
+    """
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
+            b=bi,
+            cols=", ".join(f"sig[{bi * rpb + j}]" for j in range(rpb)),
+        )
+        for bi in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[bi * rpb + j] for j in range(rpb)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
+        "id", F.expr(f"explode(array({structs}))").alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
@@ -306,15 +332,11 @@ def _cap_hot_buckets(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
 
 
 def _est_jaccard(num_perm: int):
-    return F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(num_perm),
-        6,
+    # one parsed SQL string — the two lambda registrations alone were
+    # ~6 py4j round trips per call site (r14); tree identical
+    return F.expr(
+        f"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+        f" m -> m)) / {int(num_perm)}, 6)"
     )
 
 

@@ -176,12 +176,12 @@ def build_training_corpus(
     # 4. decontamination: drop docs sharing any word-5-gram with eval
     eval_grams = (
         eval_docs.select(
-            F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+            F.explode(shingles(text_col, NGRAM)).alias("gram")
         )
         .distinct()
     )
     doc_grams = d.select(
-        id_col, F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+        id_col, F.explode(shingles(text_col, NGRAM)).alias("gram")
     )
     contaminated = (
         doc_grams.join(F.broadcast(eval_grams), "gram")
@@ -392,10 +392,10 @@ def corpus_increment(
 
     # 4. decontamination — eval set is fixed, broadcast gram probe
     eval_grams = eval_docs.select(
-        F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+        F.explode(shingles(text_col, NGRAM)).alias("gram")
     ).distinct()
     doc_grams = d.select(
-        id_col, F.explode(shingles(F.col(text_col), NGRAM)).alias("gram")
+        id_col, F.explode(shingles(text_col, NGRAM)).alias("gram")
     )
     contaminated = (
         doc_grams.join(F.broadcast(eval_grams), "gram").select(id_col).distinct()

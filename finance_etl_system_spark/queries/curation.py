@@ -512,8 +512,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # corpus and eval are disjoint slices of ONE table: sign it once
     # and hand both filtered views to the matcher (half the signature
-    # jobs vs signing each slice separately)
-    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    # jobs vs signing each slice separately). LAZY checkpoint (r14):
+    # the matcher's FIRST job is the probe-band broadcast build, which
+    # computes every sig partition — it doubles as the materialization
+    # job, so the eager form's separate serial signature job is gone.
+    # (minhash_lsh_pairs keeps ITS checkpoint eager: there the first
+    # consumer is the final self-join job where the sig subtree
+    # appears 3x concurrently — measured recomputation hazard, see
+    # _cap_hot_buckets.)
+    sig = minhash_signatures(d).localCheckpoint(eager=False)
     pairs = minhash_lsh_match(
         None,
         None,

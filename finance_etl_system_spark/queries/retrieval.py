@@ -190,8 +190,14 @@ def _bm25_scored(
     measured +0.6-0.8 s at sf0.1). One localCheckpoint of the narrow
     doc-level frame makes it one tokenize pass (guide §8: decide on a
     lightweight proxy, materialize it, never re-derive)."""
+    # LAZY checkpoint (r14, the dd3d866 trainer pattern): the first
+    # consumer is the ``stats`` BROADCAST build — a serial job that
+    # computes every per_doc partition anyway, so it doubles as the
+    # materialization job and the eager form's extra serial pass
+    # disappears. The scoring projection then reads the persisted
+    # blocks; one tokenize pass either way.
     per_doc = _per_doc_tf(d, terms, analyzed=analyzed).localCheckpoint(
-        eager=True
+        eager=False
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
