@@ -56,7 +56,38 @@ def bisect_bucket(value, edges: list):
     every ``otherwise`` branch and lands in bucket 1, exactly as
     the fold did. Edges arrive as collected literals (the 1-row
     edge-frame collect is query-grid-sized — the permissible class);
-    duplicate edge values bisect correctly (first-match-left)."""
+    duplicate edge values bisect correctly (first-match-left).
+
+    ``value`` may be a Column (legacy) or a plain COLUMN NAME string:
+    the string form emits the tree as ONE SQL text parsed JVM-side
+    (r14, guide §1.2 step 2) — the Column form costs ~3 py4j round
+    trips per edge (~0.5 s of driver time per invocation on the
+    99-edge centile grid). Identical expression tree after parsing:
+    float edges carry the ``D`` (double) literal suffix so they parse
+    to the exact same DoubleType literal ``F.lit`` produced (repr()
+    is shortest-round-trip, Double.parseDouble returns the same
+    bits); int edges parse to int/bigint exactly as ``F.lit`` does."""
+    if isinstance(value, str):
+        col = f"`{value}`"
+
+        def lit_sql(v) -> str:
+            if isinstance(v, bool):  # bool is an int subclass — reject
+                raise TypeError("boolean edges are not bucketable")
+            if isinstance(v, int):
+                return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+            return f"{v!r}D"
+
+        def rec_sql(lo: int, hi: int) -> str:
+            if lo == hi:
+                return str(lo + 1)
+            mid = (lo + hi) // 2
+            return (
+                f"CASE WHEN {col} > {lit_sql(edges[mid])} THEN "
+                f"{rec_sql(mid + 1, hi)} ELSE {rec_sql(lo, mid)} END"
+            )
+
+        return F.expr(rec_sql(0, len(edges)))
+
     def rec(lo: int, hi: int):
         if lo == hi:
             return F.lit(lo + 1)
@@ -83,7 +114,7 @@ def _bucket_counts(
     )
     b = o.select(
         "is_ref",
-        bisect_bucket(F.col("o_totalprice"), edge_vals).alias("bucket"),
+        bisect_bucket("o_totalprice", edge_vals).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
@@ -634,7 +665,7 @@ def q_drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_ticks = [int(x) for x in _tick_hist_edges(o, N_PSI_BUCKETS).first()["e"]]
     b = o.select(
         "is_ref",
-        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
+        bisect_bucket("ticks", edge_ticks).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
@@ -707,7 +738,7 @@ def q_drift_ks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_ticks = [int(x) for x in _tick_hist_edges(o, N_KS_BINS).first()["e"]]
     b = o.select(
         "is_ref",
-        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
+        bisect_bucket("ticks", edge_ticks).alias("bucket"),
     )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_b"),
@@ -864,7 +895,7 @@ def q_drift_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.select(
         "segment",
         "is_ref",
-        bisect_bucket(F.col("o_totalprice"), edge_vals).alias("bucket"),
+        bisect_bucket("o_totalprice", edge_vals).alias("bucket"),
     )
     return _segment_psi(b)
 
@@ -889,7 +920,7 @@ def q_drift_psi_by_segment_histogram(
     b = o.select(
         "segment",
         "is_ref",
-        bisect_bucket(F.col("ticks"), edge_ticks).alias("bucket"),
+        bisect_bucket("ticks", edge_ticks).alias("bucket"),
     )
     return _segment_psi(b)
 

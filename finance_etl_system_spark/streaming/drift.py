@@ -49,7 +49,7 @@ def bucketize_counts(batch: DataFrame, value_col: str, edges: list[float]) -> Da
     from ..queries.drift import bisect_bucket
 
     b = batch.filter(F.col(value_col).isNotNull()).select(
-        bisect_bucket(F.col(value_col), [float(x) for x in edges]).alias(
+        bisect_bucket(value_col, [float(x) for x in edges]).alias(
             "bucket"
         )
     )
