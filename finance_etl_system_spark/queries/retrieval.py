@@ -649,8 +649,13 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # scored is QUERY-HIT-sized (docs containing >= 1 query term) and
     # feeds four metric branches — checkpoint it once so the corpus
-    # scoring runs once, not per branch (the dedup_minhash_lsh rule)
-    scored = _bm25_scored(d).localCheckpoint(eager=True)
+    # scoring runs once, not per branch (the dedup_minhash_lsh rule).
+    # LAZY (r14): the metric branches are 1-row aggregates that join
+    # by broadcast, so the FIRST branch evaluated is a serial
+    # broadcast-build job that computes (and persists) every scored
+    # partition — it doubles as the materialization job; the eager
+    # form ran that as its own extra pass.
+    scored = _bm25_scored(d).localCheckpoint(eager=False)
     ranked = _rank_topk(scored)  # top 20, rnk
 
     def _contrib_ticks():
