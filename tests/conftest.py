@@ -238,10 +238,25 @@ def pytest_runtestloop(session):
             " -XX:CICompilerCount=2",
         )
         log_fh = open(log_path, "w")  # noqa: SIM115 — closed in finally
+
+        def _die_with_parent():  # pragma: no cover — child-side hook
+            # If the orchestrating pytest is SIGKILLed (e.g. an outer
+            # verification window expires), orphaned worker JVMs must
+            # not keep burning the host through whatever runs next
+            # (the bench). PR_SET_PDEATHSIG delivers SIGKILL to the
+            # worker the moment its parent dies.
+            try:
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").prctl(1, 9)  # PR_SET_PDEATHSIG, SIGKILL
+            except Exception:  # noqa: BLE001 — best-effort, non-Linux
+                pass
+
         p = subprocess.Popen(
             base_cmd + ["--junitxml", xml_path] + shard,
             stdout=log_fh, stderr=subprocess.STDOUT, env=env,
             cwd=str(config.rootpath),
+            preexec_fn=_die_with_parent,
         )
         procs.append({"i": i, "p": p, "log_fh": log_fh, "log": log_path,
                       "xml": xml_path, "shard": shard, "rc": None})
