@@ -38,6 +38,27 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+# SQL-text twins of the three helpers above — keep in lockstep
+# (r14, guide §1.2 step 2: each Column lambda registration costs py4j
+# round trips; the bruteforce construction measured ~250 ms of pure
+# driver time). The parsed trees are the same expressions — the
+# sequential (acc, v) -> acc + v fold order is untouched, so scores
+# stay bit-identical. Parity pinned in tests/test_retrieval_sqltext.py.
+def _as_double_sql(col: str) -> str:
+    return f"transform(`{col}`, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,20 +77,21 @@ def cosine_topk_bruteforce(
     partition heads). Cosine is rounded BEFORE ranking so ordering is
     deterministic across engines/plans.
     """
-    q = queries.select(
-        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    # projections assembled as JVM-parsed strings (r14): identical
+    # expression trees to the Column chain, ~250 ms less driver time
+    # per construction — see the _*_sql twins above
+    q = queries.selectExpr(
+        f"`{query_id}` AS qid", f"{_as_double_sql(vec_col)} AS qv"
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    c = corpus.selectExpr(
+        f"`{corpus_id}` AS cid", f"{_as_double_sql(vec_col)} AS cv"
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
+    scored = c.crossJoin(F.broadcast(q)).selectExpr(
         "qid",
         "cid",
-        F.round(
-            _dot(F.col("qv"), F.col("cv"))
-            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            round_dp,
-        ).alias("cosine"),
+        f"round({_dot_sql('qv', 'cv')}"
+        f" / ({_norm_sql('qv')} * {_norm_sql('cv')}), {int(round_dp)})"
+        " AS cosine",
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (

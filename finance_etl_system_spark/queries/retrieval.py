@@ -77,6 +77,29 @@ def _s_stem_col(x):
     )
 
 
+def _s_stem_sql(x: str) -> str:
+    """SQL-text twin of :func:`_s_stem_col` over the expression ``x``
+    — keep in lockstep (parity pinned in tests/test_retrieval_sqltext
+    .py). Same guide §1.2-step-2 motivation as operators/dedup
+    .shingles: the Column form of the when-chain costs ~35 py4j round
+    trips per construction; this parses JVM-side as one string into
+    the identical CASE tree."""
+    return (
+        "CASE WHEN "
+        f"endswith({x}, 'ies') AND NOT endswith({x}, 'eies')"
+        f" AND NOT endswith({x}, 'aies') AND length({x}) >= 4"
+        f" THEN concat(substring({x}, 1, length({x}) - 3), 'y')"
+        f" WHEN endswith({x}, 'es') AND NOT endswith({x}, 'aes')"
+        f" AND NOT endswith({x}, 'ees') AND NOT endswith({x}, 'oes')"
+        f" AND length({x}) >= 4"
+        f" THEN substring({x}, 1, length({x}) - 1)"
+        f" WHEN endswith({x}, 's') AND NOT endswith({x}, 'us')"
+        f" AND NOT endswith({x}, 'ss') AND length({x}) >= 3"
+        f" THEN substring({x}, 1, length({x}) - 1)"
+        f" ELSE {x} END"
+    )
+
+
 def s_stem(t: str) -> str:
     """Python twin of the S-stemmer — used to analyze QUERY terms so
     they meet the corpus in the same normalized space."""
@@ -94,11 +117,35 @@ def token_array(text_col, *, analyzed: bool = False):
     dropped; with ``analyzed``, stop-word filter + S-stemmer. The
     single definition shared by the scan-path ranker AND the
     persisted index (operators/textindex.py) — any analyzer change
-    lands in both or the index≠scan parity oracle breaks."""
+    lands in both or the index≠scan parity oracle breaks.
+
+    Accepts a Column (legacy, the textindex path) or a plain COLUMN
+    NAME string; the string form assembles the whole chain as ONE
+    JVM-parsed SQL string (r14, guide §1.2 step 2 — the Column form
+    costs ~45 py4j round trips incl. two lambda registrations and the
+    stemmer when-chain, measured 44/164 ms plain/analyzed per
+    construction). Identical expression tree after parsing; parity
+    pinned in tests/test_retrieval_sqltext.py."""
+    if isinstance(text_col, str):
+        return F.expr(_token_array_sql(text_col, analyzed=analyzed))
     arr = ws_tokens(text_col)
     if analyzed:
         arr = F.transform(
             F.filter(arr, lambda x: ~x.isin(*STOPWORDS)), _s_stem_col
+        )
+    return arr
+
+
+def _token_array_sql(col: str, *, analyzed: bool = False) -> str:
+    """SQL-text twin of :func:`token_array` — keep in lockstep with
+    it AND with operators/text.ws_tokens (the '\\\\s+' regex below is
+    Java \\s: [ \\t\\n\\x0B\\f\\r])."""
+    arr = f"filter(split(lower(`{col}`), '\\\\s+'), x -> x != '')"
+    if analyzed:
+        stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+        arr = (
+            f"transform(filter({arr}, x -> NOT (x IN ({stop}))), "
+            f"x -> {_s_stem_sql('x')})"
         )
     return arr
 
@@ -143,22 +190,25 @@ def _per_doc_tf(
     A spread_for_expansion reshuffle was measured and REJECTED here:
     per-doc work is ~0.1 ms, so at local scale the exchange+task
     overhead exceeds the parallelism win (0.79 s vs 0.56 s for the
-    checkpointed pass), and a 100-TB scan is already multi-split."""
-    base = d.select("doc_id", "text").select(
-        "doc_id", token_array(F.col("text"), analyzed=analyzed).alias("_toks")
+    checkpointed pass), and a 100-TB scan is already multi-split.
+
+    r14: assembled as TWO JVM-parsed selectExpr strings (guide §1.2
+    step 2) — the Column form measured 96/206 ms plain/analyzed of
+    pure driver time per construction; the parsed tree is identical
+    (parity pinned in tests/test_retrieval_sqltext.py). Terms are
+    module constants; the assert keeps a quote from ever reaching the
+    f-string."""
+    assert all(t.isalnum() for t in terms), terms
+    base = d.selectExpr(
+        "doc_id", f"{_token_array_sql('text', analyzed=analyzed)} AS _toks"
     )
-    return base.select(
-        "doc_id",
-        F.size("_toks").alias("dl"),
-        F.array(
-            *[
-                (
-                    F.size("_toks") - F.size(F.array_remove("_toks", t))
-                ).cast("long")
-                for t in terms
-            ]
-        ).alias("tfs"),
-    ).filter(F.col("dl") > 0)
+    tf_items = ", ".join(
+        f"CAST(size(_toks) - size(array_remove(_toks, '{t}')) AS BIGINT)"
+        for t in terms
+    )
+    return base.selectExpr(
+        "doc_id", "size(_toks) AS dl", f"array({tf_items}) AS tfs"
+    ).filter("dl > 0")
 
 
 def _bm25_scored(
@@ -199,45 +249,47 @@ def _bm25_scored(
     per_doc = _per_doc_tf(d, terms, analyzed=analyzed).localCheckpoint(
         eager=False
     )
+    # The stats aggregate and the scoring projection are assembled as
+    # JVM-parsed expression strings (r14, guide §1.2 step 2): the
+    # Column loop below them measured ~370 ms of pure driver py4j
+    # time per construction. Double literals go through repr() —
+    # shortest-round-trip, so Double.parseDouble returns the
+    # identical bits F.lit carried (the bisect_bucket precedent);
+    # the parsed trees are otherwise the same expressions, parity
+    # pinned in tests/test_retrieval_sqltext.py.
     stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("sum(dl) AS total_dl"),
         *[
-            F.sum((F.col("tfs")[i] > 0).cast("long")).alias(f"_df{i}")
+            F.expr(f"sum(CAST(tfs[{i}] > 0 AS BIGINT)) AS _df{i}")
             for i in range(len(terms))
         ],
     )
     scored = per_doc.crossJoin(F.broadcast(stats))
-    avgdl = F.col("total_dl") / F.col("n_docs")
+    avgdl = "(total_dl / n_docs)"
+    k1p1 = repr(K1 + 1.0) + "D"
+    k1 = repr(K1) + "D"
+    one_m_b = repr(1.0 - B) + "D"
+    b = repr(B) + "D"
     contribs = []
     hits = []
     for i in range(len(terms)):
-        tf = F.col("tfs")[i]
-        df = F.col(f"_df{i}")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
-        )
+        tf = f"tfs[{i}]"
+        df = f"_df{i}"
+        idf = f"ln(1.0D + (n_docs - {df} + 0.5D) / ({df} + 0.5D))"
         contrib = (
-            idf
-            * tf
-            * F.lit(K1 + 1.0)
-            / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / avgdl))
+            f"{idf} * {tf} * {k1p1}"
+            f" / ({tf} + {k1} * ({one_m_b} + {b} * dl / {avgdl}))"
         )
-        contribs.append(F.when(tf > 0, contrib).otherwise(F.lit(0.0)))
-        hits.append(F.when(tf > 0, 1).otherwise(0))
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
-    n_hit = hits[0]
-    for h in hits[1:]:
-        n_hit = n_hit + h
-    return (
-        scored.withColumn("bm25", F.round(total, 6))
-        .withColumn("n_terms_hit", n_hit.cast("long"))
-        .filter(F.col("n_terms_hit") > 0)
-        .select("doc_id", "bm25", "n_terms_hit")
-    )
+        contribs.append(f"CASE WHEN {tf} > 0 THEN {contrib} ELSE 0.0D END")
+        hits.append(f"CASE WHEN {tf} > 0 THEN 1 ELSE 0 END")
+    total = " + ".join(contribs)
+    n_hit = " + ".join(hits)
+    return scored.selectExpr(
+        "doc_id",
+        f"round({total}, 6) AS bm25",
+        f"CAST({n_hit} AS BIGINT) AS n_terms_hit",
+    ).filter("n_terms_hit > 0")
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -448,18 +500,15 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = cosine_topk_bruteforce(qv, e, k=_BRANCH_K).select(
         F.col("cid").alias("doc_id"), F.col("rnk").alias("vec_rank")
     )
-    fused = (
-        kw.join(vec, "doc_id", "full_outer")
-        .withColumn(
-            "rrf",
-            F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0))
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
-                ),
-                6,
-            ),
-        )
+    # one JVM-parsed projection (r14, guide §1.2 step 2) — same
+    # expressions the Column chain built, int RRF_K literal and 1.0D /
+    # 0.0D double literals exactly as F.lit carried them
+    fused = kw.join(vec, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        f"round(coalesce(1.0D / ({int(RRF_K)} + kw_rank), 0.0D)"
+        f" + coalesce(1.0D / ({int(RRF_K)} + vec_rank), 0.0D), 6) AS rrf",
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return (
@@ -659,21 +708,23 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _rank_topk(scored)  # top 20, rnk
 
     def _contrib_ticks():
-        gain = F.pow(F.lit(2.0), F.col("n_terms_hit").cast("double")) - 1.0
-        return F.round(
-            gain / F.log2(F.col("rnk") + 1) * 1_000_000
-        ).cast("long")
+        # one parsed string (r14): same tree the Column chain built —
+        # (2^grade − 1) / log2(rnk+1), micro-ticked and CAST to long
+        return F.expr(
+            "CAST(round((pow(2.0D, CAST(n_terms_hit AS DOUBLE)) - 1.0D)"
+            " / log2(rnk + 1) * 1000000) AS BIGINT)"
+        )
 
     dcg = (
-        ranked.filter(F.col("rnk") <= 10)
+        ranked.filter("rnk <= 10")
         .select(_contrib_ticks().alias("t"))
-        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("dcg_ticks"))
+        .agg(F.expr("coalesce(sum(t), 0) AS dcg_ticks"))
     )
     ideal = ranked_topk(
         scored, [F.col("n_terms_hit").desc(), F.col("doc_id").asc()], 10
     )
     idcg = ideal.select(_contrib_ticks().alias("t")).agg(
-        F.coalesce(F.sum("t"), F.lit(0)).alias("idcg_ticks")
+        F.expr("coalesce(sum(t), 0) AS idcg_ticks")
     )
     # relevance for recall@20 is STRICTER than candidacy: candidacy
     # (>= 1 term hit) is also the pool the top-20 is drawn from, so a
@@ -681,43 +732,32 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_relevant) regardless of ranking quality (ADVICE r8). Using
     # the >= 2 grade (the MRR relevance bar) makes recall@20 measure
     # whether the ranker actually surfaces multi-term docs.
-    rel = scored.filter(F.col("n_terms_hit") >= 2).agg(
-        F.count(F.lit(1)).alias("n_relevant")
+    rel = scored.filter("n_terms_hit >= 2").agg(
+        F.expr("count(1) AS n_relevant")
     )
     hits = ranked.agg(
-        F.coalesce(
-            F.sum((F.col("n_terms_hit") >= 2).cast("long")), F.lit(0)
-        ).alias("n_hits_top20"),
-        F.min(
-            F.when(F.col("n_terms_hit") >= 2, F.col("rnk"))
-        ).alias("first_rel2"),
+        F.expr(
+            "coalesce(sum(CAST(n_terms_hit >= 2 AS BIGINT)), 0)"
+            " AS n_hits_top20"
+        ),
+        F.expr(
+            "min(CASE WHEN n_terms_hit >= 2 THEN rnk END) AS first_rel2"
+        ),
     )
     # 1-row scalar frames: the adjudicated broadcast-cross shape
     return (
         dcg.crossJoin(idcg)
         .crossJoin(rel)
         .crossJoin(hits)
-        .select(
-            F.when(
-                F.col("idcg_ticks") > 0,
-                F.round(
-                    F.col("dcg_ticks")
-                    / F.col("idcg_ticks").cast("double"),
-                    6,
-                ),
-            ).alias("ndcg_at_10"),
-            F.round(
-                F.coalesce(1.0 / F.col("first_rel2"), F.lit(0.0)), 6
-            ).alias("mrr_at_20"),
-            F.when(
-                F.col("n_relevant") > 0,
-                F.round(
-                    F.col("n_hits_top20")
-                    / F.col("n_relevant").cast("double"),
-                    6,
-                ),
-            ).alias("recall_at_20"),
-            F.col("n_relevant").cast("long").alias("n_relevant"),
+        .selectExpr(
+            "CASE WHEN idcg_ticks > 0 THEN"
+            " round(dcg_ticks / CAST(idcg_ticks AS DOUBLE), 6) END"
+            " AS ndcg_at_10",
+            "round(coalesce(1.0D / first_rel2, 0.0D), 6) AS mrr_at_20",
+            "CASE WHEN n_relevant > 0 THEN"
+            " round(n_hits_top20 / CAST(n_relevant AS DOUBLE), 6) END"
+            " AS recall_at_20",
+            "CAST(n_relevant AS BIGINT) AS n_relevant",
         )
     )
 
