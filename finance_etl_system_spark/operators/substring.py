@@ -75,23 +75,35 @@ def _toks(text_col: str) -> Column:
     return ws_tokens(F.col(text_col))
 
 
+# The construction paths below assemble their projections as
+# JVM-parsed SQL strings (r14, guide §1.2 step 2): the Column chains
+# they replace cost ~0.35-0.40 s of pure driver py4j time per query
+# invocation (measured: builders with ZERO Spark jobs), dominated by
+# the nested-lambda expressions. The parsed trees are the identical
+# expressions — parity with the pre-r14 Column formulations is
+# pinned on real data in tests/test_substring_sqltext.py; the
+# operator signatures already take plain column-name strings and
+# ints, so every caller is unchanged.
 def _gram_positions(
     docs: DataFrame, *, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(id, i, gram): every k-gram start position, 1-based."""
+    from .text import ws_tokens_expr
+
+    k = int(k)
     d = (
         spread_for_expansion(docs, id_col)
-        .select(id_col, _toks(text_col).alias("_toks"))
-        .filter(F.size("_toks") >= k)
+        .selectExpr(f"`{id_col}`", f"{ws_tokens_expr(text_col)} AS _toks")
+        .filter(f"size(_toks) >= {k}")
     )
-    return d.select(
-        id_col,
+    return d.selectExpr(
+        f"`{id_col}`",
         "_toks",
-        F.explode(F.sequence(F.lit(1), F.size("_toks") - (k - 1))).alias("i"),
-    ).select(
-        id_col,
+        f"explode(sequence(1, size(_toks) - {k - 1})) AS i",
+    ).selectExpr(
+        f"`{id_col}`",
         "i",
-        F.concat_ws(" ", F.slice("_toks", F.col("i"), k)).alias("gram"),
+        f"concat_ws(' ', slice(_toks, i, {k})) AS gram",
     )
 
 
@@ -114,11 +126,11 @@ def gram_keys(
     grams = _gram_positions(docs, text_col=text_col, id_col=id_col, k=k)
     if key == "hash128":
         return (
-            grams.select(
-                id_col,
+            grams.selectExpr(
+                f"`{id_col}`",
                 "i",
-                F.xxhash64("gram").alias("_h1"),
-                F.xxhash64(F.lit(_H2_SEED), F.col("gram")).alias("_h2"),
+                "xxhash64(gram) AS _h1",
+                f"xxhash64({int(_H2_SEED)}, gram) AS _h2",
             ),
             ["_h1", "_h2"],
         )
@@ -141,8 +153,8 @@ def repeated_gram_positions(
     )
     hot = (
         grams.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
+        .agg(F.expr("count(1) AS _n"))
+        .filter(f"_n >= {int(min_count)}")
         .select(*key_cols)
     )
     return grams.join(hot, key_cols).select(id_col, "i")
@@ -153,26 +165,23 @@ def spans_from_flagged(
 ) -> DataFrame:
     """Merge flagged gram starts (id, i) into maximal non-overlapping
     spans. Window over the flagged subset only, partitioned by id."""
-    w = Window.partitionBy(id_col).orderBy("i")
-    islands = flagged.withColumn(
-        "_new",
-        F.when(
-            F.col("i") - F.lag("i").over(w) <= k, F.lit(0)
-        ).otherwise(F.lit(1)),
-    ).withColumn("_island", F.sum("_new").over(w))
+    k = int(k)
+    over = f"OVER (PARTITION BY `{id_col}` ORDER BY i)"
+    islands = flagged.selectExpr(
+        "*",
+        f"CASE WHEN i - lag(i) {over} <= {k} THEN 0 ELSE 1 END AS _new",
+    ).selectExpr("*", f"sum(_new) {over} AS _island")
     return (
         islands.groupBy(id_col, "_island")
         .agg(
-            F.min("i").alias("span_start"),
-            (F.max("i") + (k - 1)).alias("span_end"),
+            F.expr("min(i) AS span_start"),
+            F.expr(f"(max(i) + {k - 1}) AS span_end"),
         )
-        .select(
-            id_col,
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("span_tokens"),
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(span_start AS BIGINT) AS span_start",
+            "CAST(span_end AS BIGINT) AS span_end",
+            "CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens",
         )
     )
 
@@ -293,46 +302,40 @@ def _scrub_with_spans(
     """Shared scrub kernel: drop every token covered by a merged span
     (higher-order exists() inside the document row, no token-level
     shuffle); emit the report frame."""
+    from .text import ws_tokens_expr
+
     per_doc = spans.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("_spans"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_tokens").alias("dup_tokens"),
-    )
-    d = docs.select(id_col, _toks(text_col).alias("_toks")).join(
-        per_doc, id_col, "left"
-    )
-    spans_arr = F.coalesce(
-        F.col("_spans"),
-        F.array().cast("array<struct<span_start:long,span_end:long>>"),
-    )
-    covered = lambda t: F.exists(  # noqa: E731 — local plan builder
-        spans_arr,
-        lambda sp: (t >= sp["span_start"]) & (t <= sp["span_end"]),
-    )
-    kept = F.filter(
-        F.transform(
-            F.col("_toks"), lambda x, i: F.struct(x.alias("x"), i.alias("i"))
+        F.expr(
+            "sort_array(collect_list(struct(span_start, span_end)))"
+            " AS _spans"
         ),
-        lambda s: ~covered(s["i"] + 1),
+        F.expr("count(1) AS n_spans"),
+        F.expr("sum(span_tokens) AS dup_tokens"),
     )
-    return d.select(
-        id_col,
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    d = docs.selectExpr(
+        f"`{id_col}`", f"{ws_tokens_expr(text_col)} AS _toks"
+    ).join(per_doc, id_col, "left")
+    spans_arr = (
+        "coalesce(_spans, CAST(array() AS"
+        " array<struct<span_start:bigint,span_end:bigint>>))"
+    )
+    covered = (
+        f"exists({spans_arr},"
+        " sp -> s.i + 1 >= sp.span_start AND s.i + 1 <= sp.span_end)"
+    )
+    kept = (
+        "filter(transform(_toks, (x, i) -> struct(x AS x, i AS i)),"
+        f" s -> NOT ({covered}))"
+    )
+    return d.selectExpr(
+        f"`{id_col}`",
+        "CAST(size(_toks) AS BIGINT) AS n_tokens",
+        "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans",
+        "CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens",
         # explicit zero-token guard: Spark 0/0.0 is NULL, DuckDB NaN —
         # pin both engines to NULL
-        F.when(
-            F.size("_toks") > 0,
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.size("_toks").cast("double"),
-                6,
-            ),
-        ).alias("dup_ratio"),
-        F.concat_ws(
-            " ", F.transform(kept, lambda s: s["x"])
-        ).alias("clean_text"),
+        "CASE WHEN size(_toks) > 0 THEN"
+        " round(coalesce(dup_tokens, 0) / CAST(size(_toks) AS DOUBLE), 6)"
+        " END AS dup_ratio",
+        f"concat_ws(' ', transform({kept}, s -> s.x)) AS clean_text",
     )

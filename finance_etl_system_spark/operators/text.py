@@ -59,6 +59,17 @@ def ws_tokens_sql(col: str = "text") -> str:
     )
 
 
+def ws_tokens_expr(col: str) -> str:
+    """Spark-SQL-text twin of :func:`ws_tokens` — keep in lockstep
+    with it and with :func:`ws_tokens_sql` (the DuckDB twin). One
+    JVM-parsed string instead of ~8 py4j round trips incl. a lambda
+    registration (r14, guide §1.2 step 2); the parsed tree is the
+    identical filter(split(lower(...))) chain. Parity pinned in
+    tests/test_retrieval_sqltext.py and tests/test_substring_sqltext
+    .py."""
+    return f"filter(split(lower(`{col}`), '\\\\s+'), x -> x != '')"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of the normalized text."""
     return F.split(normalized(text), " ")

@@ -138,9 +138,11 @@ def token_array(text_col, *, analyzed: bool = False):
 
 def _token_array_sql(col: str, *, analyzed: bool = False) -> str:
     """SQL-text twin of :func:`token_array` — keep in lockstep with
-    it AND with operators/text.ws_tokens (the '\\\\s+' regex below is
-    Java \\s: [ \\t\\n\\x0B\\f\\r])."""
-    arr = f"filter(split(lower(`{col}`), '\\\\s+'), x -> x != '')"
+    it; the tokenizer half is operators/text.ws_tokens_expr (the ONE
+    repo-wide rule)."""
+    from ..operators.text import ws_tokens_expr
+
+    arr = ws_tokens_expr(col)
     if analyzed:
         stop = ", ".join(f"'{w}'" for w in STOPWORDS)
         arr = (
