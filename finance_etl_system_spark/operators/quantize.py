@@ -46,14 +46,6 @@ def _round_half_away(a: np.ndarray, digits: int = 6) -> np.ndarray:
         return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
 
 
-def _as_double(col: Column) -> Column:
-    # kept as a local alias; the canonical fold helpers (_dot/_norm)
-    # live in operators/similarity.py and cosine_topk_sq8 imports them
-    from .similarity import _as_double as impl
-
-    return impl(col)
-
-
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -66,17 +58,25 @@ def quantize_int8(
     All-zero vectors quantize to all-zero codes with scale 0 (the
     CASE guard mirrors the SQL oracle exactly). Codes are longs in
     [-127, 127]; a sink can cast to byte for storage.
-    """
-    v = _as_double(F.col(vec_col))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(float(Q_MAX))
-    codes = F.transform(
-        v,
-        lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(x / scale + F.lit(0.5))
-        ),
+
+    The two expressions parse JVM-side from strings (r14, guide §1.2
+    step 2 — the Column chain cost ~15 py4j round trips incl. two
+    lambda registrations per call); the trees are identical (the
+    scale subtree is duplicated inside the codes lambda either way —
+    Catalyst expressions have no DAG sharing). Parity pinned in
+    tests/test_quantize_sqltext.py."""
+    from .similarity import _as_double_sql
+
+    v = _as_double_sql(vec_col)
+    scale = f"array_max(transform({v}, x -> abs(x))) / {float(Q_MAX)!r}D"
+    codes = (
+        f"transform({v}, x -> CASE WHEN {scale} = 0"
+        f" THEN CAST(0 AS BIGINT)"
+        f" ELSE floor(x / ({scale}) + 0.5D) END)"
     )
-    return df.withColumn(out_scale, scale).withColumn(out_codes, codes)
+    return df.withColumns(
+        {out_scale: F.expr(scale), out_codes: F.expr(codes)}
+    )
 
 
 def dequantize(codes: Column, scale: Column) -> Column:
@@ -126,8 +126,6 @@ def cosine_topk_sq8(
     survivors only, top-``k``.
     """
     from pyspark.sql import Window
-
-    from .similarity import _as_double, _dot, _norm
 
     # query codes: JVM quantize, |queries|-row collect
     qrows = (
@@ -194,16 +192,18 @@ def cosine_topk_sq8(
     # broadcast the survivor id set into the corpus scan (a
     # semi-join-shaped broadcast hash join — the corpus still never
     # shuffles), queries re-broadcast by qid
-    qv = queries.select(
-        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    from .similarity import _as_double_sql, _dot_sql, _norm_sql
+
+    qv = queries.selectExpr(
+        f"`{query_id}` AS qid", f"{_as_double_sql(vec_col)} AS qv"
     )
-    cv = corpus.select(
-        F.col(corpus_id).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    cv = corpus.selectExpr(
+        f"`{corpus_id}` AS cid", f"{_as_double_sql(vec_col)} AS cv"
     )
     exact = (
         cv.join(F.broadcast(survivors), "cid")
         .join(F.broadcast(qv), "qid")
-        .select(
+        .selectExpr(
             "qid",
             "cid",
             "coarse",
@@ -211,13 +211,8 @@ def cosine_topk_sq8(
             # cosine NULL (ranks last) instead of an ANSI-mode
             # DIVIDE_BY_ZERO abort — quantize_int8's contract
             # explicitly admits all-zero vectors
-            F.round(
-                F.try_divide(
-                    _dot(F.col("qv"), F.col("cv")),
-                    _norm(F.col("qv")) * _norm(F.col("cv")),
-                ),
-                6,
-            ).alias("cosine"),
+            f"round(try_divide({_dot_sql('qv', 'cv')},"
+            f" {_norm_sql('qv')} * {_norm_sql('cv')}), 6) AS cosine",
         )
     )
     we = Window.partitionBy("qid").orderBy(
